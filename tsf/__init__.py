@@ -1,0 +1,28 @@
+"""tsf — a PySpark-native time-series rollup + downsample + retention engine.
+
+Re-expresses the capabilities of brendanjohnharris/TimeseriesFeatures.jl
+(reference at /root/reference, studied for semantics only) as an idiomatic
+Spark engine over tables of pre-tokenized sequences
+``(doc_id string, tokens array<int>, n_tok int, source string)``:
+
+- ``tsf.registry``   Feature / SuperFeature / FeatureSet with set algebra
+                     (reference: src/Features.jl:39-64, src/FeatureSets.jl,
+                     src/SuperFeatures.jl:87-117).
+- ``tsf.kernels``    vectorized numpy feature kernels (ACF, PACF, RAD,
+                     histogram mode, z-score supers, first-ACF-crossing).
+- ``tsf.rollup``     tier-0 tumbling-window rollup (mapInPandas) and the
+                     10x/100x downsample tier cascade derived from
+                     lower-tier compressed blocks (segment-tree layout).
+- ``tsf.gorilla``    Gorilla-style XOR float codec + delta-of-delta int
+                     codec, vectorized numpy bit-packing, exact round-trip.
+- ``tsf.gapfill``    window-grid densify + LOCF + linear interpolation.
+- ``tsf.ledger``     per-tier rollup ledger (partition_id, watermark,
+                     checksum, metrics) and exact resume-from-checkpoint.
+- ``tsf.dedup`` / ``tsf.similarity`` / ``tsf.textstats``  training-data
+                     pipeline operators (exact + MinHash/SimHash dedup,
+                     ANN cosine search, language-ID / quality scoring).
+"""
+
+from tsf.registry import Feature, FeatureSet  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,102 @@
+"""Sources: fixture synthesis, documents->sequences tokenization, writers.
+
+Tokenization must be expressible identically in Spark SQL and DuckDB SQL
+(the driver's correctness gate runs both): ``tok(w) = length(w) * 97 +
+ascii(w)`` over whitespace-split non-empty words. Deterministic, no UDF,
+JVM-side in Spark.
+
+Fixture synthesis follows FIXTURES.md §1's case families (seeded
+numpy.default_rng — same shapes the reference's tests exercise:
+uniform/gaussian/sine/ar1/constant/short/empty/longtail/multisource).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TOKENIZE_SPARK = ("transform(filter(split(text, ' '), w -> length(w) > 0), "
+                  "w -> cast(length(w) * 97 + ascii(w) as int))")
+TOKENIZE_DUCKDB = ("list_transform(list_filter(string_split(text, ' '), "
+                   "w -> length(w) > 0), w -> CAST(length(w) * 97 + ascii(w) AS INT))")
+
+
+def sequences_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> the engine-native sequences shape
+    (doc_id string, tokens array<int>, n_tok int, source string)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs
+            .withColumn("tokens", F.expr(TOKENIZE_SPARK))
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    "tokens",
+                    F.size("tokens").cast("int").alias("n_tok"),
+                    "source"))
+
+
+def sequences_duckdb_cte() -> str:
+    """DuckDB CTE producing the identical sequences view over `documents`."""
+    return (f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, {TOKENIZE_DUCKDB} AS tokens, "
+            f"CAST(len({TOKENIZE_DUCKDB}) AS INT) AS n_tok, source FROM documents")
+
+
+# ------------------------------------------------------------ fixture synthesis
+
+VOCAB = 50257
+
+
+def synth_sequences_pdf(n_docs: int = 200, seed: int = 42,
+                        longtail_max: int = 200_000) -> pd.DataFrame:
+    """Deterministic fixture table covering FIXTURES.md §1 case families."""
+    rng = np.random.default_rng(seed)
+    rows = []
+
+    def add(name, toks, source):
+        toks = np.asarray(toks, dtype=np.int32)
+        rows.append((name, toks, np.int32(toks.size), source))
+
+    sources = ["web", "code", "books"]
+    per = max(1, n_docs // (len(sources) * 5))
+    for si, src in enumerate(sources):
+        for i in range(per):
+            add(f"{src}-unif-{i:05d}",
+                rng.integers(0, VOCAB, 1000), src)
+            g = np.clip(rng.normal(VOCAB / 2, VOCAB / 8, 1000), 0, VOCAB - 1)
+            add(f"{src}-gaus-{i:05d}", np.round(g), src)
+            t = np.arange(1000) * (0.01 + 0.001 * i) + si
+            add(f"{src}-sine-{i:05d}",
+                np.round(np.sin(t) * 2000 + VOCAB / 2), src)
+            ar = np.empty(1000)
+            ar[0] = 0.0
+            eps = rng.normal(0, 300, 1000)
+            for tt in range(1, 1000):  # AR(1), phi=.8 (fixture gen only)
+                ar[tt] = 0.8 * ar[tt - 1] + eps[tt]
+            add(f"{src}-ar1-{i:05d}", np.clip(np.round(ar + VOCAB / 2), 0, VOCAB - 1), src)
+            add(f"{src}-const-{i:05d}", np.full(500, 7 + i), src)
+    # edges: short / empty / longtail
+    for n in (1, 5, 39, 40, 41, 99, 100, 101):
+        add(f"web-short-{n:05d}", rng.integers(0, VOCAB, n), "web")
+    add("web-empty-00000", np.empty(0, dtype=np.int32), "web")
+    for i, n in enumerate([longtail_max, longtail_max // 4]):
+        add(f"code-long-{i:05d}", rng.integers(0, VOCAB, n), "code")
+    return pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source"])
+
+
+def synth_sequences(spark: SparkSession, n_docs: int = 200, seed: int = 42,
+                    longtail_max: int = 200_000, partitions: int = 8) -> DataFrame:
+    pdf = synth_sequences_pdf(n_docs, seed, longtail_max)
+    pdf["tokens"] = pdf["tokens"].map(lambda a: a.tolist())
+    sdf = spark.createDataFrame(
+        pdf, "doc_id string, tokens array<int>, n_tok int, source string")
+    return sdf.repartition(partitions, "doc_id")
+
+
+def write_rollup(df: DataFrame, path: str, mode: str = "overwrite",
+                 partition_cols: tuple[str, ...] = ("source",)) -> None:
+    """Parquet sink partitioned for partition pruning on (source,...).
+
+    On a real deployment this is an Iceberg table bucketed by
+    (source, bucket(doc_id)); parquet directory layout is the sandbox
+    stand-in (no Iceberg jars here), behind this single writer.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,109 @@
+"""Per-tier rollup ledger + exact resume-from-checkpoint.
+
+North rule (BASELINE.json:6): "a per-tier rollup ledger of (partition_id,
+watermark, checksum) enabling exact resume-from-checkpoint with
+per-partition lineage and throughput metrics".
+
+Protocol
+--------
+1. Every sequence row gets a deterministic ``partition_id =
+   pmod(xxhash64(doc_id), n_buckets)`` — stable across runs and cluster
+   sizes (it is a *logical* bucket, not a physical Spark partition).
+2. A run processes only buckets with no committed ledger row
+   (broadcast anti-join — the done-set is tiny next to the data).
+3. Data for the processed buckets is written with dynamic partition
+   overwrite (``partitionBy(tier, partition_id)``), so a re-run of a
+   bucket that died mid-write simply replaces its incomplete output.
+4. The ledger row (watermark = max window_id, an order-insensitive
+   checksum, row count, wall time, points/sec) is appended ONLY after the
+   data write commits — the ledger is the source of truth for "done".
+
+Resume is therefore exact: kill the job anywhere; the next run redoes
+only un-committed buckets and the final table is bit-identical to a
+single-shot run (pytest enforces this).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LEDGER_SCHEMA = ("tier int, partition_id int, watermark bigint, checksum string, "
+                 "rows_out bigint, wall_ms bigint, points_per_sec double, "
+                 "attempt int, committed_at timestamp")
+
+
+def with_partition_id(seq: DataFrame, n_buckets: int) -> DataFrame:
+    return seq.withColumn(
+        "partition_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+
+
+def checksum_expr(cols: list[str]):
+    """Order-insensitive content checksum: sum of per-row xxhash64 over the
+    named columns (as decimal so it never overflows)."""
+    return F.sum(F.xxhash64(*cols).cast("decimal(30,0)")).cast("string")
+
+
+def load_done(spark: SparkSession, ledger_path: str, tier: int) -> DataFrame | None:
+    try:
+        led = spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path)
+    except Exception:
+        return None
+    return led.where(F.col("tier") == tier).select("partition_id").distinct()
+
+
+def run_tier_with_ledger(spark: SparkSession,
+                         rollup_df: DataFrame,
+                         tier: int,
+                         data_path: str,
+                         ledger_path: str,
+                         checksum_cols: list[str] | None = None) -> int:
+    """Write `rollup_df` (must carry partition_id) bucket-by-bucket with
+    ledger commits. Returns number of buckets processed this run.
+
+    `rollup_df` must already be filtered to not-done buckets by the caller
+    (see :func:`resumable_rollup` for the full loop).
+    """
+    t0 = time.time()
+    csum_cols = checksum_cols or ["doc_id", "window_id", "cnt", "sum_tok", "mean"]
+    df = rollup_df.withColumn("tier_p", F.lit(tier))
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy("tier_p", "partition_id")
+       .parquet(data_path))
+    wall_ms = int((time.time() - t0) * 1000)
+    # ledger rows from the committed data (reading back = lineage of what
+    # is actually on disk, not what we intended to write)
+    written = (spark.read.parquet(data_path)
+               .where(F.col("tier_p") == tier))
+    stats = (written.groupBy("partition_id")
+             .agg(F.max("window_id").alias("watermark"),
+                  checksum_expr(csum_cols).alias("checksum"),
+                  F.count("*").alias("rows_out"),
+                  F.sum("cnt").alias("points")))
+    done = load_done(spark, ledger_path, tier)
+    if done is not None:
+        stats = stats.join(F.broadcast(done), "partition_id", "left_anti")
+    ledger_rows = stats.select(
+        F.lit(tier).alias("tier"),
+        F.col("partition_id").cast("int"),
+        F.col("watermark").cast("bigint"),
+        "checksum",
+        F.col("rows_out").cast("bigint"),
+        F.lit(wall_ms).cast("bigint").alias("wall_ms"),
+        (F.col("points") / F.greatest(F.lit(1), F.lit(wall_ms)) * 1000.0
+         ).cast("double").alias("points_per_sec"),
+        F.lit(1).alias("attempt"),
+        F.current_timestamp().alias("committed_at"))
+    n = ledger_rows.count()
+    ledger_rows.write.mode("append").parquet(ledger_path)
+    return n
+
+
+def filter_not_done(spark: SparkSession, seq_with_pid: DataFrame,
+                    ledger_path: str, tier: int) -> DataFrame:
+    done = load_done(spark, ledger_path, tier)
+    if done is None:
+        return seq_with_pid
+    return seq_with_pid.join(F.broadcast(done), "partition_id", "left_anti")

@@ -1,0 +1,236 @@
+"""Feature / SuperFeature / FeatureSet registry.
+
+Clean-room re-expression of the reference's metadata layer:
+
+- ``Feature``: a kernel annotated with name / description / keywords;
+  **identity and hashing are by name only** (reference
+  ``src/Features.jl:39-44,62-64``).
+- ``super``: the name of a shared intermediate ("super feature",
+  ``src/SuperFeatures.jl:22-30``). Evaluation computes each distinct
+  intermediate once per batch and fans out leaves — the reference's
+  ``unique``/``indexin`` CSE (``src/SuperFeatures.jl:87-117``) is realized
+  here by :class:`tsf.kernels.WindowCtx` cache lookups.
+- ``FeatureSet``: ordered, name-indexed, supports ``+`` (vcat), ``|``
+  (union, keeps LHS on collision), ``&`` (intersect), ``-`` (setdiff),
+  slicing by name / index / list, and ``filter`` — reference
+  ``src/FeatureSets.jl:38-96``, ``src/SuperFeatures.jl:140-162``.
+
+Evaluation of a FeatureSet over a batch of windows is ONE pass over the
+shared :class:`WindowCtx` producing a dict of float64 columns — this is
+the engine's single-UDF-per-stage contract (never one Python UDF per
+feature).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tsf import kernels as K
+
+
+@dataclass(frozen=True)
+class Feature:
+    """A named scalar functional over one window of a series."""
+
+    name: str
+    method: Callable[[K.WindowCtx], np.ndarray] = field(compare=False)
+    description: str = field(default="", compare=False)
+    keywords: tuple[str, ...] = field(default=(), compare=False)
+    #: name of the shared intermediate this leaf reads (None = raw window);
+    #: informational — the WindowCtx cache enforces compute-once regardless.
+    super: str | None = field(default=None, compare=False)
+
+    def __hash__(self) -> int:  # identity by name (src/Features.jl:62-64)
+        return hash(self.name)
+
+    def __call__(self, x) -> float:
+        """Evaluate on a single 1-D series (reference src/Features.jl:55)."""
+        x = np.asarray(x, dtype=np.float64)
+        ctx = K.WindowCtx(x[None, :], np.array([x.size]))
+        return float(self.method(ctx)[0])
+
+
+class FeatureSet:
+    """Ordered, name-indexed collection of Features with set algebra."""
+
+    def __init__(self, features: Iterable[Feature] = ()):
+        self._feats: list[Feature] = []
+        self._by_name: dict[str, Feature] = {}
+        for f in features:
+            self.append(f)
+
+    # -- collection protocol -------------------------------------------------
+    def append(self, f: Feature) -> None:
+        if f.name in self._by_name:  # name-keyed: keep first (LHS) occurrence
+            return
+        self._feats.append(f)
+        self._by_name[f.name] = f
+
+    def __len__(self) -> int:
+        return len(self._feats)
+
+    def __iter__(self):
+        return iter(self._feats)
+
+    def __contains__(self, item) -> bool:
+        name = item.name if isinstance(item, Feature) else item
+        return name in self._by_name
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self._by_name[key]
+        if isinstance(key, (list, tuple)):
+            return FeatureSet(self[k] for k in key)
+        if isinstance(key, slice):
+            return FeatureSet(self._feats[key])
+        return self._feats[key]
+
+    def __delitem__(self, key) -> None:
+        f = self[key]
+        self._feats.remove(f)
+        del self._by_name[f.name]
+
+    @property
+    def names(self) -> list[str]:
+        return [f.name for f in self._feats]
+
+    def filter(self, pred: Callable[[Feature], bool]) -> "FeatureSet":
+        return FeatureSet(f for f in self._feats if pred(f))
+
+    def with_keyword(self, kw: str) -> "FeatureSet":
+        return self.filter(lambda f: kw in f.keywords)
+
+    # -- set algebra (src/FeatureSets.jl:38-40, SuperFeatures.jl:140-162) ----
+    def __add__(self, other) -> "FeatureSet":
+        return FeatureSet([*self, *_lift(other)])
+
+    __or__ = __add__  # union keeps LHS on name collision
+
+    def __and__(self, other) -> "FeatureSet":
+        names = {f.name for f in _lift(other)}
+        return self.filter(lambda f: f.name in names)
+
+    def __sub__(self, other) -> "FeatureSet":
+        names = {f.name for f in _lift(other)}
+        return self.filter(lambda f: f.name not in names)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, FeatureSet) and self.names == other.names
+
+    def __repr__(self) -> str:
+        return f"FeatureSet({self.names})"
+
+    # -- evaluation -----------------------------------------------------------
+    def evaluate(self, X: np.ndarray, n: np.ndarray) -> dict[str, np.ndarray]:
+        """One pass over a batch of windows -> {feature name: (nw,) float64}.
+
+        Distinct supers are computed once via the shared WindowCtx cache
+        (reference src/SuperFeatures.jl:96-110).
+        """
+        ctx = K.WindowCtx(X, n)
+        return {f.name: np.asarray(f.method(ctx), dtype=np.float64) for f in self}
+
+    def evaluate_series(self, x) -> dict[str, float]:
+        x = np.asarray(x, dtype=np.float64)
+        out = self.evaluate(x[None, :], np.array([x.size]))
+        return {k: float(v[0]) for k, v in out.items()}
+
+    @property
+    def supers(self) -> list[str]:
+        """Distinct shared intermediates, in first-use order."""
+        seen: list[str] = []
+        for f in self:
+            if f.super is not None and f.super not in seen:
+                seen.append(f.super)
+        return seen
+
+
+def _lift(x) -> "FeatureSet":
+    if isinstance(x, FeatureSet):
+        return x
+    if isinstance(x, Feature):
+        return FeatureSet([x])
+    return FeatureSet(x)
+
+
+# ---------------------------------------------------------------- catalogue
+
+def _stats() -> list[Feature]:
+    mk = Feature
+    feats = [
+        mk("cnt", K.k_cnt, "Number of points in window", ("distribution",)),
+        mk("sum_tok", K.k_sum, "Sum of values", ("distribution",)),
+        mk("min_tok", K.k_min, "Minimum value", ("distribution",)),
+        mk("max_tok", K.k_max, "Maximum value", ("distribution",)),
+        mk("mean", K.k_mean, "Arithmetic mean", ("distribution",), super="mean"),
+        mk("std", K.k_std, "Corrected sample SD (ddof=1)", ("distribution",), super="std"),
+    ]
+    return feats
+
+
+def _acf_feats(max_lag: int = K.ACF_MAX_LAG) -> list[Feature]:
+    # reference: AC = SuperFeatureSet over shared ACF (src/StatsBase.jl:10-15)
+    return [
+        Feature(f"ac_{l}", K.k_ac(l), f"Autocorrelation at lag {l}",
+                ("correlation",), super="acf")
+        for l in range(1, max_lag + 1)
+    ]
+
+
+def _pacf_feats(max_lag: int = K.PACF_MAX_LAG) -> list[Feature]:
+    # reference: Partial_AC over shared PACF (src/StatsBase.jl:21-27)
+    return [
+        Feature(f"pacf_{l}", K.k_pacf(l), f"Partial autocorrelation at lag {l}",
+                ("correlation",), super="pacf")
+        for l in range(1, max_lag + 1)
+    ]
+
+
+def catalogue() -> FeatureSet:
+    """The full feature catalogue (reference parity + north-rule additions)."""
+    fs = FeatureSet(_stats())
+    for f in _acf_feats():
+        fs.append(f)
+    for f in _pacf_feats():
+        fs.append(f)
+    fs.append(Feature("acf_timescale", K.k_acf_timescale,
+                      "First zero-crossing of the ACF, linearly interpolated "
+                      "(firstcrossingacf, src/StatsBase.jl:44-64)",
+                      ("correlation", "timescale"), super="acf_full"))
+    fs.append(Feature("histmode5", K.k_histmode5,
+                      "DN_HistogramMode_5 over z-scored window (catch22 family)",
+                      ("distribution",), super="z"))
+    fs.append(Feature("histmode10", K.k_histmode10,
+                      "DN_HistogramMode_10 over z-scored window (catch22 family)",
+                      ("distribution",), super="z"))
+    fs.append(Feature("rad", K.k_rad,
+                      "CR_RAD rescaled auto-density criticality metric, centered "
+                      "(src/StatsBase.jl:109-111)", ("criticality",)))
+    fs.append(Feature("rad_raw", K.k_rad_raw,
+                      "CR_RAD_raw, uncentered (src/StatsBase.jl:112-114)",
+                      ("criticality",)))
+    fs.append(Feature("plv_phase", K.k_plv_phase,
+                      "Phase-locking value of the analytic phase "
+                      "(ext/DSPExt.jl:36-40)", ("phase",), super="analytic_phase"))
+    fs.append(Feature("ppc_phase", K.k_ppc_phase,
+                      "Pairwise phase consistency of the analytic phase, O(N) "
+                      "closed form (ext/DSPExt.jl:16-32)", ("phase",),
+                      super="analytic_phase"))
+    return fs
+
+
+#: default per-window feature set used by the tier rollup — the catch22-ish
+#: subset named by the north rule plus continuous aggregates; full
+#: ``catalogue()`` remains available to callers.
+def default_rollup_features() -> FeatureSet:
+    fs = FeatureSet(_stats())
+    for f in _acf_feats(10):
+        fs.append(f)
+    for f in _pacf_feats(5):
+        fs.append(f)
+    for name in ("acf_timescale", "histmode5", "histmode10", "rad", "rad_raw"):
+        fs.append(catalogue()[name])
+    return fs

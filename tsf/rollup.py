@@ -1,0 +1,190 @@
+"""Tier rollup: tier-0 windows over raw tokens; higher tiers derived from
+lower-tier compressed blocks (segment-tree layout — never re-reads raw
+tokens, per the north rule).
+
+Tier semantics (SURVEY.md §2.f/§2.g): tier ``t`` sees the series
+downsampled ``10^t``x (hierarchical means: each tier-t point is the mean
+of 10 tier-(t-1) points); every tier uses the same window of ``W`` points
+in its own units, so a tier-t window covers ``W * 10^t`` raw tokens.
+A tier row stores its window's feature values plus a Gorilla-compressed
+block of its 10-point group means ("decades") — exactly the points the
+next tier consumes.
+
+Execution shape:
+
+- tier 0: chunked sequences -> ``mapInPandas`` (one vectorized kernel per
+  Arrow batch; windows from all rows of the batch are stacked into ONE
+  numpy matrix so every feature is computed in a handful of matrix ops).
+- tier N+1: ``groupBy(doc, parent_window)`` with JVM-side
+  ``sort_array(collect_list(struct(window_id, block)))`` — a bounded
+  10-row group — then ``mapInPandas`` to decompress + evaluate. The
+  shuffle moves only compressed blocks (~80 bytes/row), not tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from tsf import gorilla
+from tsf.kernels import decade_means
+from tsf.registry import FeatureSet, default_rollup_features
+from tsf.windows import DEFAULT_CHUNK_WINDOWS, DEFAULT_WINDOW, TIER_FACTOR, chunk_sequences
+
+META_COLS = "doc_id string, source string, tier int, window_id bigint, win_start bigint"
+
+
+def rollup_schema(features: FeatureSet, blocks: bool = True) -> str:
+    s = META_COLS + ", " + ", ".join(f"{n} double" for n in features.names)
+    if blocks:
+        s += ", values_gorilla binary"
+    return s
+
+
+def _assemble_windows(arrs, W: int):
+    """Stack ragged per-row token arrays into one zero-padded window matrix.
+
+    Returns (M (total_windows, W) float64, n (total_windows,) lengths,
+    row_of_window, local_window_index). Vectorized scatter — the only
+    Python loop is over batch rows to read array lengths.
+    """
+    nrows = len(arrs)
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=nrows)
+    nwin = -(-lens // W)  # ceil; 0 windows for empty docs
+    total = int(nwin.sum())
+    M = np.zeros((total, W), dtype=np.float64)
+    n = np.zeros(total, dtype=np.int64)
+    if total == 0:
+        return M, n, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    win_base = np.zeros(nrows, dtype=np.int64)
+    np.cumsum(nwin[:-1], out=win_base[1:])
+    flat = np.concatenate([np.asarray(a, dtype=np.float64) for a in arrs if len(a)])
+    tok_row = np.repeat(np.arange(nrows), lens)
+    starts = np.zeros(nrows, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = np.arange(flat.size) - np.repeat(starts, lens)
+    dest = (win_base[tok_row] + pos // W) * W + pos % W
+    M.ravel()[dest] = flat
+    row_of_win = np.repeat(np.arange(nrows), nwin)
+    local_w = np.arange(total) - np.repeat(win_base, nwin)
+    n[:] = np.minimum(W, np.repeat(lens, nwin) - local_w * W)
+    return M, n, row_of_win, local_w
+
+
+def _emit(pdf_cols: dict, features: FeatureSet, M, n, blocks: bool) -> pd.DataFrame:
+    feats = features.evaluate(M, n)
+    out = dict(pdf_cols)
+    out.update(feats)
+    if blocks:
+        dec, cnts = decade_means(M, n, TIER_FACTOR)
+        ndec = -(-n // TIER_FACTOR)
+        out["values_gorilla"] = gorilla.compress_float_rows(dec, ndec)
+    return pd.DataFrame(out)
+
+
+def make_tier0_fn(features: FeatureSet, W: int, blocks: bool):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = pdf["chunk_toks"].tolist()
+            M, n, row_of_win, local_w = _assemble_windows(arrs, W)
+            if M.shape[0] == 0:
+                continue
+            doc = pdf["doc_id"].to_numpy()
+            src = pdf["source"].to_numpy()
+            off = pdf["chunk_off"].to_numpy().astype(np.int64)
+            window_id = off[row_of_win] // W + local_w
+            meta = {
+                "doc_id": doc[row_of_win],
+                "source": src[row_of_win],
+                "tier": np.zeros(M.shape[0], dtype=np.int32),
+                "window_id": window_id,
+                "win_start": window_id * W,
+            }
+            yield _emit(meta, features, M, n, blocks)
+    return fn
+
+
+def tier0(seq: DataFrame,
+          features: FeatureSet | None = None,
+          window: int = DEFAULT_WINDOW,
+          chunk_windows: int = DEFAULT_CHUNK_WINDOWS,
+          num_partitions: int | None = None,
+          blocks: bool = True) -> DataFrame:
+    """Tier-0 rollup of a sequences table (doc_id, tokens, n_tok, source)."""
+    features = features or default_rollup_features()
+    chunked = chunk_sequences(seq, window, chunk_windows)
+    if num_partitions:
+        chunked = chunked.repartition(num_partitions, "doc_id", "chunk_id")
+    return chunked.mapInPandas(make_tier0_fn(features, window, blocks),
+                               rollup_schema(features, blocks))
+
+
+def make_tierN_fn(features: FeatureSet, W: int, tier: int, blocks: bool):
+    span = W * TIER_FACTOR ** tier  # raw tokens covered per window at this tier
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # each row: list of {window_id, values_gorilla} structs, sorted
+            arrs = []
+            for row in pdf["blocks"]:
+                if row is None or len(row) == 0:
+                    arrs.append(np.empty(0))
+                else:
+                    arrs.append(np.concatenate(
+                        [gorilla.decompress_floats(bytes(b["values_gorilla"]))
+                         for b in row]))
+            M, n, row_of_win, local_w = _assemble_windows(arrs, W)
+            if M.shape[0] == 0:
+                continue
+            # a parent group holds <= TIER_FACTOR * (W/10) = W points: 1 window
+            window_id = pdf["parent_id"].to_numpy().astype(np.int64)[row_of_win]
+            meta = {
+                "doc_id": pdf["doc_id"].to_numpy()[row_of_win],
+                "source": pdf["source"].to_numpy()[row_of_win],
+                "tier": np.full(M.shape[0], tier, dtype=np.int32),
+                "window_id": window_id,
+                "win_start": window_id * span,
+            }
+            yield _emit(meta, features, M, n, blocks)
+    return fn
+
+
+def next_tier(prev: DataFrame,
+              prev_tier: int,
+              features: FeatureSet | None = None,
+              window: int = DEFAULT_WINDOW,
+              blocks: bool = True) -> DataFrame:
+    """Derive tier t+1 rows from tier t rows' compressed decade blocks.
+
+    Shuffle key (doc_id, window_id // 10): bounded 10-row groups, so no
+    skew regardless of doc length — long docs fan out across partitions.
+    ``prev_tier`` is passed explicitly so plan construction stays lazy
+    (no action on the input DataFrame).
+    """
+    features = features or default_rollup_features()
+    nxt = prev_tier + 1
+    grouped = (
+        prev.groupBy("doc_id", "source",
+                     F.expr(f"window_id div {TIER_FACTOR}").alias("parent_id"))
+        .agg(F.sort_array(F.collect_list(
+            F.struct("window_id", "values_gorilla"))).alias("blocks"))
+    )
+    return grouped.mapInPandas(make_tierN_fn(features, window, nxt, blocks),
+                               rollup_schema(features, blocks))
+
+
+def cascade(seq: DataFrame, tiers: int = 3, features: FeatureSet | None = None,
+            window: int = DEFAULT_WINDOW, **kw) -> list[DataFrame]:
+    """[tier0, tier1, ..., tier_{tiers-1}] DataFrames (lazy)."""
+    features = features or default_rollup_features()
+    out = [tier0(seq, features, window, **kw)]
+    for t in range(1, tiers):
+        out.append(next_tier(out[-1], t - 1, features, window))
+    return out

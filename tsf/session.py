@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for the rollup workload.
+
+The sandbox runs local[N]; on a real cluster the same confs apply (the
+builder only sets master when none is configured, so ``spark-submit
+--master yarn ...`` wins).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tsf",
+              cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              arrow_batch_rows: int = 512,
+              extra: dict[str, str] | None = None) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # TSF_MASTER lets spark-submit target a real cluster (yarn/k8s) while
+    # the default stays local[N] for the sandbox.
+    master = os.environ.get("TSF_MASTER", f"local[{cores}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # UTC so timestamp comparisons against DuckDB (UTC-naive) line up.
+        .config("spark.sql.session.timeZone", "UTC")
+        # ~2 shuffle partitions per core locally; AQE coalesces the rest.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow everywhere; bounded batches so long token arrays cannot
+        # blow up the Python worker (512 rows x ~100KB chunk ~= 50MB).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("TSF_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
