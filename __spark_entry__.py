@@ -1,38 +1,480 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
+exposes one entry per implemented operator (SURVEY.md §2 + training-data
+pipeline ops); `oracle_sql()` gives the DuckDB-equivalent SQL where the
+operator is SQL-expressible (UDF-kernel features like PACF/RAD/timescale
+are rows-only and are bit-exactness-tested in pytest instead).
+
+Column-name / rounding discipline: every float column is rounded to 6
+decimals (4 for large money sums) on BOTH sides, NaN is mapped to NULL,
+and aggregates share exact integer sufficient statistics, so the driver's
+order-insensitive value hash matches bit-for-bit.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from tsf import dedup, gapfill, similarity, textstats  # noqa: E402
+from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
+from tsf.registry import catalogue  # noqa: E402
+from tsf.rollup import next_tier, tier0  # noqa: E402
+
+STATS = ["cnt", "sum_tok", "min_tok", "max_tok", "mean", "std"]
+
+
+def _stats_fs():
+    return catalogue()[STATS]
+
+
+def _nn(c: str):
+    """NaN -> NULL so engine NaN semantics compare against SQL NULL."""
+    col = F.col(c)
+    return F.when(F.isnan(col), F.lit(None)).otherwise(col)
+
+
+def _r6f(col):
+    """Tie-proof 6-dp rounding: floor(x*1e6 + 0.5)/1e6 — bit-identical in
+    Spark and DuckDB given identical input doubles (decimal round() differs
+    between the engines on exact dyadic ties like interpolated midpoints)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+R6F_SQL = "floor({x} * 1000000.0 + 0.5) / 1000000.0"
+
+
+def _seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequences_from_documents(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _rollup_select(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", "source", "tier", "window_id", "win_start",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("sum_tok").cast("bigint").alias("sum_tok"),
+        F.col("min_tok").cast("int").alias("min_tok"),
+        F.col("max_tok").cast("int").alias("max_tok"),
+        F.round(_nn("mean"), 6).alias("mean"),
+        F.round(_nn("std"), 6).alias("std"))
+
+
+def _rollup_select_t1(df: DataFrame) -> DataFrame:
+    # tier>=1 values are decade means (doubles): round the float-valued aggs
+    return df.select(
+        "doc_id", "source", "tier", "window_id", "win_start",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(_nn("sum_tok"), 6).alias("sum_tok"),
+        F.round(_nn("min_tok"), 6).alias("min_tok"),
+        F.round(_nn("max_tok"), 6).alias("max_tok"),
+        F.round(_nn("mean"), 6).alias("mean"),
+        F.round(_nn("std"), 6).alias("std"))
+
+
+# --------------------------------------------------------------- queries
+
+def q_seq_source_stats(spark, sf_dir):
+    return (_seq(spark, sf_dir).groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("total_tok"),
+                 F.min(F.array_min("tokens")).alias("min_tok"),
+                 F.max(F.array_max("tokens")).alias("max_tok"),
+                 F.round(F.avg("n_tok"), 6).alias("avg_n_tok")))
+
+
+def q_tier0_rollup(spark, sf_dir):
+    return _rollup_select(tier0(_seq(spark, sf_dir), _stats_fs(), window=20,
+                                blocks=False))
+
+
+def q_tier1_rollup(spark, sf_dir):
+    t0 = tier0(_seq(spark, sf_dir), _stats_fs(), window=20)
+    return _rollup_select_t1(next_tier(t0, 0, _stats_fs(), window=20))
+
+
+def q_series_acf(spark, sf_dir):
+    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
+    fs = catalogue()[["cnt", "mean", "std", "ac_1"]]
+    r = tier0(seq, fs, window=1000, blocks=False)
+    return r.select("doc_id",
+                    F.col("cnt").cast("bigint").alias("cnt"),
+                    F.round(_nn("mean"), 6).alias("mean"),
+                    F.round(_nn("std"), 6).alias("std"),
+                    F.round(_nn("ac_1"), 6).alias("ac_1"))
+
+
+def q_acf_features(spark, sf_dir):
+    """UDF-kernel features with no SQL equivalent (rows-only check):
+    bit-exactness vs the numpy oracle is enforced in pytest instead."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
+    fs = catalogue()[["acf_timescale", "histmode5", "histmode10", "rad",
+                      "rad_raw", "pacf_1", "pacf_2", "plv_phase", "ppc_phase"]]
+    r = tier0(seq, fs, window=1000, blocks=False)
+    keep = ["doc_id"] + [F.round(_nn(n), 6).alias(n) for n in fs.names]
+    return r.select(*keep)
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type",
+                       (F.unix_timestamp(F.date_trunc("hour", "ts"))
+                        / 3600).cast("bigint").alias("hour_idx"))
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def _events_hourly_value(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("user_id",
+                       (F.unix_timestamp(F.date_trunc("hour", "ts"))
+                        / 3600).cast("bigint").alias("hour_idx"))
+            .agg(_r6f(F.avg("value")).alias("v")))
+
+
+def q_gapfill_locf(spark, sf_dir):
+    hourly = _events_hourly_value(spark, sf_dir)
+    dense = gapfill.densify(hourly, ["user_id"], "hour_idx")
+    out = gapfill.locf(dense, ["user_id"], "hour_idx", ["v"])
+    return out.select("user_id", "hour_idx", F.round(_nn("v_filled"), 6).alias("v_filled"))
+
+
+def q_gapfill_linear(spark, sf_dir):
+    hourly = _events_hourly_value(spark, sf_dir)
+    dense = gapfill.densify(hourly, ["user_id"], "hour_idx")
+    out = gapfill.linear(dense, ["user_id"], "hour_idx", ["v"])
+    return out.select("user_id", "hour_idx",
+                      _r6f(_nn("v_filled")).alias("v_filled"),
+                      "fill_method")
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q_topk_orders(spark, sf_dir):
+    from pyspark.sql import Window
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (o.withColumn("rk", F.row_number().over(w)).where("rk <= 3")
+            .select("o_orderpriority", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"), "rk"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_dups(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    d = textstats.with_text_stats(_docs(spark, sf_dir))
+    return d.select("doc_id", "n_words", "avg_word_len", "stopword_ratio",
+                    "uniq_ratio", "quality")
+
+
+def q_langid(spark, sf_dir):
+    return textstats.with_langid(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.with_fingerprint(_seq(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where("vec_id = 0").select("embedding").first())
+    return [float(x) for x in row[0]]
+
+
+def q_cosine_threshold(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_threshold(emb, _query_vec(spark, sf_dir), 0.15)
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_pairwise_pearson(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pairwise_pearson(emb, max_vec_id=48)
+
+
+def q_compression_roundtrip(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from tsf import gorilla
+
+    def fn(batches):
+        for pdf in batches:
+            oks = []
+            for t in pdf["tokens"]:
+                a = np.asarray(t, dtype=np.int64)
+                oks.append(bool(np.array_equal(
+                    gorilla.decompress_ints(gorilla.compress_ints(a)), a)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ok": oks})
+
+    return _seq(spark, sf_dir).mapInPandas(fn, "doc_id string, ok boolean")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tier-0 feature rollup over tokenized documents (sf0.001)."""
+    seq = sequences_from_documents(spark, "/root/testdata/sf0.001")
+    fs = catalogue()[STATS + ["ac_1", "ac_2", "acf_timescale", "histmode5", "rad"]]
+    return tier0(seq, fs, window=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "seq_source_stats": q_seq_source_stats,
+        "tier0_rollup": q_tier0_rollup,
+        "tier1_rollup": q_tier1_rollup,
+        "series_acf": q_series_acf,
+        "acf_features": q_acf_features,
+        "events_hourly": q_events_hourly,
+        "gapfill_locf": q_gapfill_locf,
+        "gapfill_linear": q_gapfill_linear,
+        "tpch_q1": q_tpch_q1,
+        "topk_orders": q_topk_orders,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "cosine_threshold": q_cosine_threshold,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "pairwise_pearson": q_pairwise_pearson,
+        "compression_roundtrip": q_compression_roundtrip,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracles
+
+_SEQ = sequences_duckdb_cte()
+
+_TOK20 = f"""
+seq AS ({_SEQ}),
+tok AS (SELECT doc_id, source, CAST(unnest(tokens) AS BIGINT) AS x,
+               generate_subscripts(tokens, 1) - 1 AS pos FROM seq)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "seq_source_stats": f"""
+            WITH seq AS ({_SEQ})
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tok,
+                   min(list_min(tokens)) AS min_tok,
+                   max(list_max(tokens)) AS max_tok,
+                   round(avg(n_tok), 6) AS avg_n_tok
+            FROM seq GROUP BY source
+        """,
+        "tier0_rollup": f"""
+            WITH {_TOK20},
+            w AS (SELECT doc_id, source, pos // 20 AS window_id, count(*) AS n,
+                         sum(x) AS s, sum(x*x) AS ss, min(x) AS mn, max(x) AS mx
+                  FROM tok GROUP BY 1, 2, 3)
+            SELECT doc_id, source, CAST(0 AS INT) AS tier,
+                   CAST(window_id AS BIGINT) AS window_id,
+                   CAST(window_id * 20 AS BIGINT) AS win_start,
+                   CAST(n AS BIGINT) AS cnt, CAST(s AS BIGINT) AS sum_tok,
+                   CAST(mn AS INT) AS min_tok, CAST(mx AS INT) AS max_tok,
+                   round(CAST(s AS DOUBLE) / n, 6) AS mean,
+                   CASE WHEN n > 1 THEN round(sqrt(greatest(
+                        (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1), 0)), 6) END AS std
+            FROM w
+        """,
+        "tier1_rollup": f"""
+            WITH {_TOK20},
+            dec AS (SELECT doc_id, source, pos // 10 AS d,
+                           CAST(sum(x) AS DOUBLE) / count(*) AS m
+                    FROM tok GROUP BY 1, 2, 3),
+            w AS (SELECT doc_id, source, d // 20 AS window_id, count(*) AS n,
+                         sum(m) AS s, sum(m*m) AS ss, min(m) AS mn, max(m) AS mx
+                  FROM dec GROUP BY 1, 2, 3)
+            SELECT doc_id, source, CAST(1 AS INT) AS tier,
+                   CAST(window_id AS BIGINT) AS window_id,
+                   CAST(window_id * 200 AS BIGINT) AS win_start,
+                   CAST(n AS BIGINT) AS cnt, round(s, 6) AS sum_tok,
+                   round(mn, 6) AS min_tok, round(mx, 6) AS max_tok,
+                   round(s / n, 6) AS mean,
+                   CASE WHEN n > 1 THEN round(sqrt(greatest(
+                        (ss - s * s / n) / (n - 1), 0)), 6) END AS std
+            FROM w
+        """,
+        "series_acf": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 3 AND n_tok <= 1000),
+            tok AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos FROM f),
+            st AS (SELECT doc_id, count(*) AS n, sum(x) AS s, sum(x*x) AS ss
+                   FROM tok GROUP BY 1),
+            l AS (SELECT t.doc_id,
+                         x - CAST(s AS DOUBLE) / n AS d,
+                         lead(x) OVER (PARTITION BY t.doc_id ORDER BY pos)
+                           - CAST(s AS DOUBLE) / n AS dn
+                  FROM tok t JOIN st USING (doc_id)),
+            num AS (SELECT doc_id, sum(d * dn) AS sdn, sum(d * d) AS sdd
+                    FROM l GROUP BY 1)
+            SELECT st.doc_id, CAST(n AS BIGINT) AS cnt,
+                   round(CAST(s AS DOUBLE) / n, 6) AS mean,
+                   CASE WHEN n > 1 THEN round(sqrt(greatest(
+                        (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1), 0)), 6) END AS std,
+                   round(num.sdn / nullif(num.sdd, 0), 6) AS ac_1
+            FROM st JOIN num USING (doc_id)
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
+                   count(*) AS cnt, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "gapfill_locf": """
+            WITH hourly AS (
+              SELECT user_id, CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
+                     floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT user_id, min(hour_idx) AS lo, max(hour_idx) AS hi FROM hourly GROUP BY 1),
+            grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hour_idx FROM bounds),
+            j AS (SELECT g.user_id, g.hour_idx, h.v FROM grid g
+                  LEFT JOIN hourly h USING (user_id, hour_idx))
+            SELECT user_id, hour_idx,
+                   round(last_value(v IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY hour_idx
+                      ROWS UNBOUNDED PRECEDING), 6) AS v_filled
+            FROM j
+        """,
+        "gapfill_linear": """
+            WITH hourly AS (
+              SELECT user_id, CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
+                     floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT user_id, min(hour_idx) AS lo, max(hour_idx) AS hi FROM hourly GROUP BY 1),
+            grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hour_idx FROM bounds),
+            j AS (SELECT g.user_id, g.hour_idx, h.v FROM grid g
+                  LEFT JOIN hourly h USING (user_id, hour_idx)),
+            k AS (SELECT user_id, hour_idx, v,
+                   max(CASE WHEN v IS NOT NULL THEN hour_idx END) OVER
+                     (PARTITION BY user_id ORDER BY hour_idx ROWS UNBOUNDED PRECEDING) AS pi,
+                   last_value(v IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY hour_idx ROWS UNBOUNDED PRECEDING) AS pv,
+                   min(CASE WHEN v IS NOT NULL THEN hour_idx END) OVER
+                     (PARTITION BY user_id ORDER BY hour_idx
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni,
+                   first_value(v IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY hour_idx
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+                  FROM j)
+            SELECT user_id, hour_idx,
+                   floor((CASE WHEN v IS NOT NULL THEN v
+                              WHEN pi IS NULL THEN NULL
+                              WHEN ni IS NULL THEN pv
+                              ELSE pv + (nv - pv) * (CAST(hour_idx - pi AS DOUBLE) / (ni - pi))
+                         END) * 1000000.0 + 0.5) / 1000000.0 AS v_filled,
+                   CASE WHEN v IS NOT NULL THEN 'exact'
+                        WHEN pi IS NULL THEN 'null'
+                        WHEN ni IS NULL THEN 'locf'
+                        ELSE 'linear' END AS fill_method
+            FROM k
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "topk_orders": """
+            SELECT o_orderpriority, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice, rk
+            FROM (SELECT *, CAST(row_number() OVER
+                    (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+                  FROM orders)
+            WHERE rk <= 3
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_duckdb(0.3),
+        "text_quality": textstats.text_stats_duckdb(),
+        "langid": textstats.langid_duckdb(),
+        "fingerprint": textstats.fingerprint_duckdb(_SEQ),
+        "cosine_threshold": """
+            WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            d AS (SELECT vec_id, label,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings)
+            SELECT vec_id, label,
+                   round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+            FROM d, q
+            WHERE round(list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) >= 0.15
+        """,
+        "pairwise_pearson": """
+            WITH d AS (SELECT vec_id, label,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings WHERE vec_id < 48)
+            SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round((list_dot_product(a.v, b.v)
+                          - list_sum(a.v) * list_sum(b.v) / len(a.v))
+                         / (len(a.v) - 1), 6) AS cov,
+                   round((list_dot_product(a.v, b.v)
+                          - list_sum(a.v) * list_sum(b.v) / len(a.v))
+                         / sqrt((list_dot_product(a.v, a.v) - list_sum(a.v) * list_sum(a.v) / len(a.v))
+                              * (list_dot_product(b.v, b.v) - list_sum(b.v) * list_sum(b.v) / len(b.v))), 6) AS pearson
+            FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+        """,
+        "compression_roundtrip": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, true AS ok FROM documents
+        """,
+    }

@@ -1,0 +1,120 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline: tier-0 rollup + tier cascade throughput (rolled-up points/sec)
+over a deterministic synthetic sequences table of the north-rule shape
+(doc_id, tokens array<int32>, n_tok, source) generated JVM-side (no
+driver-side data movement), plus the operator queries on the driver's
+testdata at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+  TSF_BENCH_DOCS      (default 1500)   synthetic docs
+  TSF_BENCH_TOKENS    (default 10000)  mean tokens/doc (long tail x20 on ~1%)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tsf.registry import default_rollup_features  # noqa: E402
+from tsf.rollup import next_tier, tier0  # noqa: E402
+from tsf.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("TSF_BENCH_DOCS", "1500"))
+MEAN_TOK = int(os.environ.get("TSF_BENCH_TOKENS", "10000"))
+
+
+def synth_sequences_jvm(spark, n_docs: int, mean_tok: int):
+    """Deterministic synthetic corpus generated entirely JVM-side:
+    token i of doc d = xxhash64(d, i) mod vocab. ~1% of docs are 20x
+    long-tail to exercise skew splitting."""
+    base = mean_tok // 2
+    return (spark.range(n_docs)
+            .withColumn("doc_id", F.concat(F.lit("synth-"), F.col("id")))
+            .withColumn("n_tok",
+                        (F.lit(base) + F.pmod(F.xxhash64("doc_id"), F.lit(mean_tok)))
+                        .cast("int"))
+            .withColumn("n_tok",
+                        F.when(F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(97)) == 0,
+                               F.col("n_tok") * 20).otherwise(F.col("n_tok")))
+            .withColumn("source",
+                        F.element_at(F.array(F.lit("web"), F.lit("code"), F.lit("books")),
+                                     (F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(3)) + 1).cast("int")))
+            .withColumn("tokens",
+                        F.expr("transform(sequence(1, n_tok), "
+                               "i -> cast(pmod(xxhash64(doc_id, i), 50257) as int))"))
+            .select("doc_id", "tokens", "n_tok", "source"))
+
+
+def main() -> None:
+    spark = get_spark("tsf-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- headline: tier-0 rollup + cascade on the synthetic corpus ----
+    seq = synth_sequences_jvm(spark, N_DOCS, MEAN_TOK)
+    seq = seq.persist()
+    total_tokens = seq.agg(F.sum("n_tok")).first()[0]
+    feats = default_rollup_features()
+
+    t0 = time.time()
+    tier0_df = tier0(seq, feats, num_partitions=4 * CPUS).persist()
+    n_t0 = tier0_df.count()
+    timings["tier0_rollup_synth"] = time.time() - t0
+    extras["tier0_windows"] = n_t0
+    extras["tier0_tokens"] = int(total_tokens)
+    extras["tier0_points_per_sec"] = total_tokens / timings["tier0_rollup_synth"]
+
+    t0 = time.time()
+    t1df = next_tier(tier0_df, 0, feats).persist()
+    n_t1 = t1df.count()
+    n_t2 = next_tier(t1df, 1, feats).count()
+    timings["tier_cascade_synth"] = time.time() - t0
+    extras["tier1_windows"], extras["tier2_windows"] = n_t1, n_t2
+    tier0_df.unpersist(); t1df.unpersist(); seq.unpersist()
+
+    # ---- operator queries on the driver's testdata ----
+    qs = entrymod.queries()
+    bench_qs = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
+                "events_hourly", "gapfill_locf", "gapfill_linear", "tpch_q1",
+                "topk_orders", "dedup_exact", "dedup_minhash",
+                "dedup_ngram_jaccard", "text_quality", "langid", "fingerprint",
+                "cosine_topk", "ann_lsh_topk", "pairwise_pearson",
+                "compression_roundtrip"]
+    for name in bench_qs:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = time.time() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "tsf engine bench: tier0/1/2 rollup points/sec (synthetic "
+                  f"{extras['tier0_tokens']} tokens) + operator suite at sf dir",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "extras": {k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in extras.items()},
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Compression round-trip invariants (BASELINE.json:15 token-array equality)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tsf import gorilla as G
+
+rng = np.random.default_rng(7)
+
+
+class TestIntCodec:
+    @pytest.mark.parametrize("arr", [
+        np.array([], dtype=np.int64),
+        np.array([5]),
+        np.array([5, 5]),
+        np.array([0, 0, 0, 0]),
+        np.arange(1000) * 3 + 17,                      # perfectly linear -> tiny
+        rng.integers(0, 50257, 5000),
+        rng.integers(-2**40, 2**40, 100),
+        np.array([2**62, -2**62, 0, 2**62 - 1]),
+    ])
+    def test_roundtrip(self, arr):
+        arr = np.asarray(arr, dtype=np.int64)
+        assert np.array_equal(G.decompress_ints(G.compress_ints(arr)), arr)
+
+    def test_linear_sequence_compresses_hard(self):
+        arr = np.arange(10000) * 7 + 3
+        assert len(G.compress_ints(arr)) < 40  # d2 == 0 everywhere
+
+    @given(st.lists(st.integers(min_value=0, max_value=50256), max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip_property(self, xs):
+        arr = np.asarray(xs, dtype=np.int64)
+        assert np.array_equal(G.decompress_ints(G.compress_ints(arr)), arr)
+
+
+class TestFloatCodec:
+    @pytest.mark.parametrize("arr", [
+        np.array([]),
+        np.array([3.14]),
+        np.full(100, 2.5),
+        rng.standard_normal(500),
+        np.cumsum(rng.standard_normal(1000)) * 0.01 + 100.0,
+        np.array([np.nan, np.inf, -np.inf, 0.0, -0.0, 1e-310]),
+    ])
+    def test_roundtrip_bitexact(self, arr):
+        arr = np.asarray(arr, dtype=np.float64)
+        out = G.decompress_floats(G.compress_floats(arr))
+        assert np.array_equal(arr.view(np.uint64), out.view(np.uint64))
+
+    def test_row_matrix_matches_scalar_codec(self):
+        """compress_float_rows blocks decode to the same values as
+        per-row compress_floats (wire-format compatible)."""
+        M = rng.standard_normal((40, 10)) + 50
+        counts = np.array([10] * 30 + [7, 3, 1, 0] + [10] * 6)
+        blocks = G.compress_float_rows(M, counts)
+        for i, c in enumerate(counts):
+            got = G.decompress_floats(blocks[i])
+            want = M[i, :c]
+            assert np.array_equal(got, want), i
+
+    def test_smooth_series_ratio(self):
+        arr = np.full(500, 12345.678)
+        assert len(G.compress_floats(arr)) < 30

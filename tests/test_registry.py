@@ -1,0 +1,103 @@
+"""FeatureSet algebra + super-dedup tests (mirrors reference "Features" /
+"FeatureSet" / "SuperFeatures" test items, /root/reference/test/runtests.jl)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from tsf import kernels as K
+from tsf.registry import Feature, FeatureSet, catalogue
+
+rng = np.random.default_rng(0)
+
+
+def test_identity_by_name():
+    a = Feature("f", K.k_mean, "one")
+    b = Feature("f", K.k_std, "other")  # same name, different method
+    assert a == b and hash(a) == hash(b)  # src/Features.jl:62-64 semantics
+
+
+def test_indexing_and_slicing():
+    fs = catalogue()
+    assert fs["mean"].name == "mean"
+    sub = fs[["mean", "std", "ac_1"]]
+    assert sub.names == ["mean", "std", "ac_1"]
+    assert fs[0].name == "cnt"
+    assert "mean" in fs and "nope" not in fs
+
+
+def test_set_algebra():
+    fs = catalogue()
+    a = fs[["mean", "std"]]
+    b = fs[["std", "ac_1"]]
+    assert (a + b).names == ["mean", "std", "ac_1"]       # union keeps LHS
+    assert (a | b).names == ["mean", "std", "ac_1"]
+    assert (a & b).names == ["std"]
+    assert (a - b).names == ["mean"]
+    assert (a + b) == (a | b)
+
+
+def test_keyword_filter():
+    fs = catalogue()
+    corr = fs.with_keyword("correlation")
+    assert "ac_1" in corr and "mean" not in corr
+
+
+def test_feature_callable_single_series():
+    # reference: 𝑓(1:10) == 55 for sum (src/Features.jl docstring)
+    fs = catalogue()
+    assert fs["sum_tok"](np.arange(1, 11)) == 55.0
+    assert fs["cnt"](np.arange(1, 11)) == 10.0
+
+
+def test_super_dedup_computes_intermediate_once(monkeypatch):
+    """The reference contract: distinct supers evaluated once per batch
+    (src/SuperFeatures.jl:96-110). Count acf_full invocations."""
+    calls = {"n": 0}
+    orig = K.INTERMEDIATES["acf_full"]
+
+    def counting(ctx):
+        calls["n"] += 1
+        return orig(ctx)
+
+    monkeypatch.setitem(K.INTERMEDIATES, "acf_full", counting)
+    fs = catalogue()[[f"ac_{i}" for i in range(1, 41)] + ["acf_timescale"]]
+    X = rng.normal(0, 1, (50, 100))
+    fs.evaluate(X, np.full(50, 100))
+    assert calls["n"] == 1  # 41 features, ONE ACF pass
+
+
+def test_super_dedup_speedup():
+    """Performance-as-correctness (reference test/runtests.jl:548-558):
+    40 AC features via the shared ACF must beat 40 independent ACF
+    evaluations by >= 1.5x."""
+    X = rng.normal(0, 1, (200, 100))
+    n = np.full(200, 100)
+    fs = catalogue()[[f"ac_{i}" for i in range(1, 41)]]
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        fs.evaluate(X, n)
+    fast = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        for f in fs:
+            ctx = K.WindowCtx(X, n)  # fresh ctx -> no sharing
+            f.method(ctx)
+    slow = time.perf_counter() - t0
+    assert fast < slow / 1.5, (fast, slow)
+
+
+def test_dedup_fast_equals_slow_bitexact():
+    """Reference test/runtests.jl:421-445: fast (shared) path output ==
+    slow (independent) path output, exact equality."""
+    X = rng.normal(0, 1, (30, 100))
+    n = np.full(30, 100)
+    fs = catalogue()[[f"ac_{i}" for i in range(1, 41)]]
+    fast = fs.evaluate(X, n)
+    for f in fs:
+        ctx = K.WindowCtx(X, n)
+        slow = f.method(ctx)
+        assert np.array_equal(fast[f.name], slow, equal_nan=True)

@@ -1,0 +1,76 @@
+"""Distributed rollup vs the single-machine numpy oracle — bit-exact at
+every retention tier (BASELINE.json:6), invariant to chunking/partitioning."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsf.io import synth_sequences, synth_sequences_pdf
+from tsf.oracle import oracle_cascade
+from tsf.registry import default_rollup_features
+from tsf.rollup import cascade, tier0
+
+
+@pytest.fixture(scope="module")
+def fixture_pdf():
+    return synth_sequences_pdf(n_docs=45, longtail_max=25_000)
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    return synth_sequences(spark, n_docs=45, longtail_max=25_000).persist()
+
+
+def _cmp(a: pd.DataFrame, b: pd.DataFrame, cols):
+    a = a.sort_values(["doc_id", "window_id"]).reset_index(drop=True)
+    b = b.sort_values(["doc_id", "window_id"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
+        assert eq.all(), (c, np.nonzero(~np.asarray(eq))[0][:5])
+
+
+def test_cascade_bitexact_all_tiers(spark, fixture_df, fixture_pdf):
+    feats = default_rollup_features()
+    tiers = cascade(fixture_df, tiers=3, features=feats, chunk_windows=16)
+    orc = oracle_cascade(fixture_pdf, W=100, tiers=3, features=feats)
+    for t, df in enumerate(tiers):
+        got = df.drop("values_gorilla").toPandas()
+        want = orc[orc.tier == t][got.columns]
+        _cmp(got, want, ["win_start"] + feats.names)
+
+
+def test_partitioning_invariance(spark, fixture_df):
+    """Chunk size and shuffle width must not change a single bit."""
+    a = tier0(fixture_df, chunk_windows=2, num_partitions=64,
+              blocks=False).toPandas()
+    b = tier0(fixture_df, chunk_windows=512, num_partitions=2,
+              blocks=False).toPandas()
+    _cmp(a, b, [c for c in a.columns if c not in ("doc_id",)])
+
+
+def test_empty_and_short_docs(spark, fixture_df):
+    out = tier0(fixture_df.where("n_tok <= 1"), blocks=False).toPandas()
+    # n_tok=0 docs emit nothing; n_tok=1 emits one window with cnt=1
+    assert (out.cnt == 1).all()
+    assert (out.window_id == 0).all()
+
+
+def test_longtail_skew_split(spark, fixture_df):
+    """A 25k-token doc with chunk_windows=4 (400-token chunks) must produce
+    exactly the same windows as unchunked."""
+    long_doc = fixture_df.where("n_tok >= 20000")
+    a = tier0(long_doc, chunk_windows=4, blocks=False).toPandas()
+    b = tier0(long_doc, chunk_windows=1024, blocks=False).toPandas()
+    _cmp(a, b, [c for c in a.columns if c != "doc_id"])
+    assert len(a) == -(-25_000 // 100)
+
+
+def test_output_schema_stable(spark, fixture_df):
+    feats = default_rollup_features()
+    df = tier0(fixture_df.limit(1), feats)
+    names = df.schema.fieldNames()
+    assert names[:5] == ["doc_id", "source", "tier", "window_id", "win_start"]
+    assert names[5:5 + len(feats.names)] == feats.names
+    assert names[-1] == "values_gorilla"

@@ -133,9 +133,17 @@ class FeatureSet:
         ctx = K.WindowCtx(X, n)
         return {f.name: np.asarray(f.method(ctx), dtype=np.float64) for f in self}
 
-    def evaluate_series(self, x) -> dict[str, float]:
+    def evaluate_series(self, x, width: int | None = None) -> dict[str, float]:
+        """Evaluate on one series. Note: numpy's pairwise summation tree
+        depends on the padded matrix width, so a ragged window's values can
+        differ in the last ULP between widths. The engine always uses the
+        tier's fixed window W — pass ``width=W`` to reproduce engine output
+        for a partial window exactly."""
         x = np.asarray(x, dtype=np.float64)
-        out = self.evaluate(x[None, :], np.array([x.size]))
+        w = max(width or 0, x.size)
+        xp = np.zeros((1, w))
+        xp[0, :x.size] = x
+        out = self.evaluate(xp, np.array([x.size]))
         return {k: float(v[0]) for k, v in out.items()}
 
     @property
