@@ -54,18 +54,23 @@ def test_feature_callable_single_series():
 def test_super_dedup_computes_intermediate_once(monkeypatch):
     """The reference contract: distinct supers evaluated once per batch
     (src/SuperFeatures.jl:96-110). Count acf_full invocations."""
-    calls = {"n": 0}
-    orig = K.INTERMEDIATES["acf_full"]
+    calls = {"acf": 0, "demeaned": 0}
 
-    def counting(ctx):
-        calls["n"] += 1
-        return orig(ctx)
+    def counting(name):
+        orig = K.INTERMEDIATES[name]
 
-    monkeypatch.setitem(K.INTERMEDIATES, "acf_full", counting)
+        def f(ctx):
+            calls[name] += 1
+            return orig(ctx)
+        return f
+
+    monkeypatch.setitem(K.INTERMEDIATES, "acf", counting("acf"))
+    monkeypatch.setitem(K.INTERMEDIATES, "demeaned", counting("demeaned"))
     fs = catalogue()[[f"ac_{i}" for i in range(1, 41)] + ["acf_timescale"]]
     X = rng.normal(0, 1, (50, 100))
     fs.evaluate(X, np.full(50, 100))
-    assert calls["n"] == 1  # 41 features, ONE ACF pass
+    assert calls["acf"] == 1       # 40 AC leaves, ONE ACF pass
+    assert calls["demeaned"] == 1  # shared with the timescale kernel
 
 
 def test_super_dedup_speedup():

@@ -35,13 +35,17 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Word k-gram shingle hashes per doc (distinct)."""
-    return docs.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"array_distinct(transform(sequence(0, greatest(size({_WORDS}) - {k}, 0) - 1),"
-            f" i -> xxhash64(concat_ws(' ', slice({_WORDS}, i + 1, {k})))))"
-        )).alias("shingle"))
+    """Word k-gram shingle hashes per doc (distinct).
+
+    The word array is materialized as a column FIRST: a split() inside the
+    transform lambda would be re-evaluated per shingle position (Catalyst
+    does not CSE inside higher-order-function lambdas) — O(words^2)."""
+    return (docs
+            .select("doc_id", F.expr(_WORDS).alias("ws"))
+            .select("doc_id", F.explode(F.expr(
+                f"array_distinct(transform(sequence(0, greatest(size(ws) - {k}, 0) - 1),"
+                f" i -> xxhash64(concat_ws(' ', slice(ws, i + 1, {k})))))"
+            )).alias("shingle")))
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 32) -> DataFrame:
@@ -106,10 +110,10 @@ def simhash_dups(docs: DataFrame, k: int = 3) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     """Exact word-set Jaccard over bucketed candidate pairs (bucket =
     (source, lang, n_words div 10)) — the SQL-oracle-checkable variant."""
-    d = docs.select(
-        "doc_id", "source", "lang",
-        F.expr(f"array_distinct({_WORDS})").alias("ws"),
-        F.expr(f"size({_WORDS}) div 10").alias("lb"))
+    d = (docs.select("doc_id", "source", "lang", F.expr(_WORDS).alias("w0"))
+         .select("doc_id", "source", "lang",
+                 F.expr("array_distinct(w0)").alias("ws"),
+                 F.expr("size(w0) div 10").alias("lb")))
     a, b = d.alias("a"), d.alias("b")
     inter = F.expr("size(array_intersect(a.ws, b.ws))").cast("double")
     un = F.expr("size(array_union(a.ws, b.ws))").cast("double")

@@ -57,10 +57,16 @@ class WindowCtx:
     distinct supers evaluated once via ``unique`` + ``indexin``).
     """
 
-    def __init__(self, X: np.ndarray, n: np.ndarray):
+    def __init__(self, X: np.ndarray, n: np.ndarray,
+                 req: dict[str, int] | None = None):
         assert X.ndim == 2
         self.X = np.ascontiguousarray(X, dtype=np.float64)
         self.n = np.asarray(n, dtype=np.int64)
+        #: per-intermediate lag budget (e.g. {"acf": 10, "pacf": 5}) set by
+        #: FeatureSet.evaluate from the leaves actually requested, so a
+        #: rollup asking for ac_1..10 never pays for 40 lags. Absent keys
+        #: fall back to the full reference lag range (1..40).
+        self.req = req or {}
         self._cache: dict[str, np.ndarray] = {}
 
     @property
@@ -129,18 +135,20 @@ def _z(ctx: WindowCtx) -> np.ndarray:
     return z
 
 
-def _acf_full(ctx: WindowCtx) -> np.ndarray:
-    """Biased demeaned ACF at lags 1..W-1 for every window, one pass.
+def _acf_denom(ctx: WindowCtx) -> np.ndarray:
+    d = ctx.get("demeaned")
+    return (d * d).sum(axis=1)
 
-    Direct lag-loop (40-99 iterations of vectorized O(nw*W) work) —
-    deterministic and exact-order-stable, unlike FFT round-off.
-    Lags >= n are NaN. Windows with zero variance are NaN.
-    """
+
+def _acf_lags(ctx: WindowCtx, maxlag: int) -> np.ndarray:
+    """Biased demeaned ACF at lags 1..maxlag, direct lag-loop — exact-order
+    stable (unlike FFT round-off) and identical per-row regardless of which
+    other rows share the batch. Lags >= n are NaN; zero variance -> NaN."""
     d = ctx.get("demeaned")
     nw, W = d.shape
-    denom = (d * d).sum(axis=1)
-    maxlag = W - 1
-    out = np.full((nw, max(maxlag, 1)), np.nan)
+    denom = ctx.get("acf_denom")
+    maxlag = max(1, min(maxlag, W - 1))
+    out = np.full((nw, maxlag), np.nan)
     with np.errstate(invalid="ignore", divide="ignore"):
         for k in range(1, maxlag + 1):
             num = (d[:, :-k] * d[:, k:]).sum(axis=1)
@@ -152,38 +160,36 @@ def _acf_full(ctx: WindowCtx) -> np.ndarray:
 
 
 def _acf(ctx: WindowCtx) -> np.ndarray:
-    full = ctx.get("acf_full")
-    k = min(ACF_MAX_LAG, full.shape[1])
-    out = np.full((ctx.nw, ACF_MAX_LAG), np.nan)
-    out[:, :k] = full[:, :k]
-    return out
+    K = ctx.req.get("acf", ACF_MAX_LAG)
+    return _acf_lags(ctx, K)
 
 
 def _pacf(ctx: WindowCtx) -> np.ndarray:
-    """PACF at lags 1..PACF_MAX_LAG via Levinson-Durbin, vectorized across
-    windows (see module docstring for the documented deviation from the
-    reference's :regression method)."""
-    acf = ctx.get("acf")  # (nw, ACF_MAX_LAG), lags 1..40
+    """PACF at lags 1..K via Levinson-Durbin, vectorized across windows
+    AND across the recursion's inner loop (see module docstring for the
+    documented deviation from the reference's :regression method)."""
+    K = ctx.req.get("pacf", PACF_MAX_LAG)
+    acf = _acf_lags(ctx, K) if K > ctx.req.get("acf", ACF_MAX_LAG) \
+        else ctx.get("acf")[:, :K]
     nw = ctx.nw
-    K = PACF_MAX_LAG
     out = np.full((nw, K), np.nan)
     # r[0]=1, r[k]=acf[k-1]
     r = np.concatenate([np.ones((nw, 1)), acf[:, :K]], axis=1)
-    phi_prev = np.zeros((nw, K + 1))
+    phi = np.zeros((nw, K + 1))
     err = np.ones(nw)
     with np.errstate(invalid="ignore", divide="ignore"):
         for k in range(1, K + 1):
-            acc = r[:, k].copy()
-            for j in range(1, k):
-                acc = acc - phi_prev[:, j] * r[:, k - j]
-            kappa = acc / err
-            phi = phi_prev.copy()
+            if k == 1:
+                kappa = r[:, 1] / err
+            else:
+                # acc = r_k - sum_{j=1..k-1} phi_j r_{k-j}, vectorized
+                acc = r[:, k] - (phi[:, 1:k] * r[:, k - 1:0:-1]).sum(axis=1)
+                kappa = acc / err
+            if k > 1:
+                phi[:, 1:k] = phi[:, 1:k] - kappa[:, None] * phi[:, k - 1:0:-1]
             phi[:, k] = kappa
-            for j in range(1, k):
-                phi[:, j] = phi_prev[:, j] - kappa * phi_prev[:, k - j]
             err = err * (1.0 - kappa * kappa)
             out[:, k - 1] = kappa
-            phi_prev = phi
     lag_idx = np.arange(1, K + 1)
     out[lag_idx[None, :] >= ctx.n[:, None]] = np.nan
     return out
@@ -217,6 +223,24 @@ def _analytic_amplitude(ctx: WindowCtx) -> np.ndarray:
     return np.where(ctx.get("mask"), am, np.nan)
 
 
+def _xnan(ctx: WindowCtx) -> np.ndarray:
+    """Raw window values with NaN outside the mask (shared by RAD kernels)."""
+    return np.where(ctx.get("mask"), ctx.X, np.nan)
+
+
+def _z_range(ctx: WindowCtx):
+    """(finite-mask, row-min, row-max) of the z-scored window — shared by
+    the histogram-mode kernels."""
+    z = ctx.get("z")
+    fin = np.isfinite(z)
+    any_fin = fin.any(axis=1)
+    mn = np.min(np.where(fin, z, np.inf), axis=1)
+    mx = np.max(np.where(fin, z, -np.inf), axis=1)
+    mn[~any_fin] = np.nan
+    mx[~any_fin] = np.nan
+    return fin, mn, mx
+
+
 INTERMEDIATES = {
     "mask": _mask,
     "sum": _sum,
@@ -225,7 +249,9 @@ INTERMEDIATES = {
     "std": _std,
     "demeaned": _demeaned,
     "z": _z,
-    "acf_full": _acf_full,
+    "z_range": _z_range,
+    "xnan": _xnan,
+    "acf_denom": _acf_denom,
     "acf": _acf,
     "pacf": _pacf,
     "analytic": _analytic,
@@ -276,54 +302,72 @@ def k_pacf(lag: int):
 
 def k_acf_timescale(ctx: WindowCtx) -> np.ndarray:
     """firstcrossingacf(x, 0): sign-corrected first zero crossing of the
-    ACF with linear interpolation (src/StatsBase.jl:44-64), vectorized."""
-    R = ctx.get("acf_full")  # (nw, W-1), lags 1..W-1, NaN past n-1
-    nw = ctx.nw
+    ACF with linear interpolation, computed in lag chunks with early exit
+    across the batch — the reference's own strategy (src/StatsBase.jl:44-64),
+    vectorized over the rows that have not yet crossed. Per-lag values are
+    bit-identical to a full ACF pass (each lag's sum is independent)."""
+    d = ctx.get("demeaned")
+    nw, W = d.shape
+    denom = ctx.get("acf_denom")
     out = np.full(nw, np.nan)
-    with np.errstate(invalid="ignore"):
-        r1 = np.sign(R[:, 0])
-        Rs = R * r1[:, None]
-        below = Rs < 0.0  # NaN compares False -> never a crossing
-        has = below.any(axis=1)
-        idx = below.argmax(axis=1)  # first True per row (0-based lag-1 index)
-        rows = np.nonzero(has)[0]
-        i = idx[rows]
-        b = Rs[rows, i]
-        # a = previous sign-corrected value; at i==0 the reference's chunk
-        # loop uses the previous chunk's last value — unreachable for
-        # threshold 0 since Rs[:,0] = |AC_1| >= 0; guard with NaN.
-        a = np.where(i > 0, Rs[rows, np.maximum(i - 1, 0)], np.nan)
-        out[rows] = i + (0.0 - a) / (b - a)
+    rows = np.nonzero((denom > 0.0) & (ctx.n > 1))[0]
+    sign = np.zeros(nw)
+    prev_val = np.full(nw, np.nan)  # last sign-corrected value per live row
+    # adaptive chunk: most windows cross within a few lags, so start small
+    # and grow — same early-exit idea as the reference's 100-lag chunks
+    CH, k, maxlag = 8, 1, W - 1
+    with np.errstate(invalid="ignore", divide="ignore"):
+        while k <= maxlag and rows.size:
+            k1 = min(k + CH - 1, maxlag)
+            CH = min(CH * 2, 64)
+            sub = d[rows]
+            dn = denom[rows]
+            Rs = np.empty((rows.size, k1 - k + 1))
+            for j, kk in enumerate(range(k, k1 + 1)):
+                Rs[:, j] = (sub[:, :-kk] * sub[:, kk:]).sum(axis=1) / dn
+            if k == 1:
+                sign[rows] = np.sign(Rs[:, 0])
+            Rs *= sign[rows, None]
+            lag_of_col = np.arange(k, k1 + 1)
+            Rs[lag_of_col[None, :] >= ctx.n[rows][:, None]] = np.nan
+            below = Rs < 0.0  # NaN compares False -> never a crossing
+            has = below.any(axis=1)
+            i = below.argmax(axis=1)[has]  # first True, 0-based in chunk
+            hit = rows[has]
+            b = Rs[has, i]
+            # a = previous sign-corrected value; at global lag 1 the
+            # reference's guard is unreachable (|AC_1| >= 0) -> NaN.
+            a = np.where(i > 0, Rs[has, np.maximum(i - 1, 0)], prev_val[hit])
+            out[hit] = (k - 1 + i) + (0.0 - a) / (b - a)
+            rows = rows[~has]
+            prev_val[rows] = Rs[~has, -1]
+            rows = rows[ctx.n[rows] - 1 > k1]  # exhausted all defined lags
+            k = k1 + 1
     return out
 
 
 def _histmode(ctx: WindowCtx, nbins: int) -> np.ndarray:
     z = ctx.get("z")  # NaN outside mask / for constant windows
     nw, W = z.shape
-    fin = np.isfinite(z)
-    any_fin = fin.any(axis=1)
-    mn = np.min(np.where(fin, z, np.inf), axis=1)
-    mx = np.max(np.where(fin, z, -np.inf), axis=1)
-    mn[~any_fin] = np.nan
-    mx[~any_fin] = np.nan
+    fin, mn, mx = ctx.get("z_range")
     width = (mx - mn) / nbins
-    ok = np.isfinite(mn) & np.isfinite(mx)
+    ok = np.isfinite(mn) & np.isfinite(mx) & (width > 0)
     out = np.full(nw, np.nan)
     if not ok.any():
         return out
+    # bin the finite values only: 1-D ops on the flattened finite entries
+    rows, cols = np.nonzero(fin & ok[:, None])
+    vals = z[rows, cols]
     with np.errstate(invalid="ignore", divide="ignore"):
-        bi = np.floor((z - mn[:, None]) / width[:, None]).astype(np.float64)
-    bi = np.clip(bi, 0, nbins - 1)
-    valid = np.isfinite(z) & ok[:, None] & (width[:, None] > 0)
-    flat = (np.arange(nw)[:, None] * nbins + bi)
-    flat = flat[valid].astype(np.int64)
-    counts = np.bincount(flat, minlength=nw * nbins).reshape(nw, nbins)
+        bi = np.floor((vals - mn[rows]) / width[rows]).astype(np.int64)
+    np.clip(bi, 0, nbins - 1, out=bi)
+    counts = np.bincount(rows * nbins + bi, minlength=nw * nbins).reshape(nw, nbins)
     maxc = counts.max(axis=1)
     centers = mn[:, None] + (np.arange(nbins)[None, :] + 0.5) * width[:, None]
     tie = counts == maxc[:, None]
     with np.errstate(invalid="ignore", divide="ignore"):
         mode = (centers * tie).sum(axis=1) / tie.sum(axis=1)
-    good = ok & (maxc > 0) & (width > 0)
+    good = ok & (maxc > 0)
     out[good] = mode[good]
     return out
 
@@ -349,10 +393,48 @@ def _nanstd1(A: np.ndarray) -> np.ndarray:
     return out
 
 
+def _nanmedian_rows(A: np.ndarray) -> np.ndarray:
+    """Row-wise median ignoring NaN — same values as np.nanmedian.
+
+    Fast path: rows with no NaN (the dominant full-window case) use one
+    np.partition; ragged rows fall back to a sort of just those rows."""
+    nr, W = A.shape
+    cnt = W - np.isnan(A).sum(axis=1)
+    med = np.full(nr, np.nan)
+    full = cnt == W
+    if full.any():
+        k1, k2 = (W - 1) // 2, W // 2
+        P = np.partition(A[full] if not full.all() else A, (k1, k2), axis=1)
+        med[full] = (P[:, k1] + P[:, k2]) * 0.5
+    rag = np.nonzero(~full & (cnt > 0))[0]
+    if rag.size:
+        S = np.sort(A[rag], axis=1)  # NaN sorts last
+        c = cnt[rag]
+        r = np.arange(rag.size)
+        med[rag] = (S[r, (c - 1) // 2] + S[r, c // 2]) * 0.5
+    return med
+
+
+def _masked_std1(x0: np.ndarray, x2: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """ddof=1 std of x over mask m, from pre-zero-filled x0 and x2=x0*x0.
+    Bit-identical to _nanstd1(np.where(m, x, np.nan)): both reduce the same
+    zero-padded rows with numpy pairwise summation."""
+    cnt = m.sum(axis=1).astype(np.float64)
+    mf = m.astype(np.float64)
+    s = (x0 * mf).sum(axis=1)
+    ss = (x2 * mf).sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (ss - s * s / cnt) / (cnt - 1.0)
+        var = np.maximum(var, 0.0)
+        out = np.sqrt(var)
+    out[cnt < 2] = np.nan
+    return out
+
+
 def _rad(ctx: WindowCtx, do_abs: bool) -> np.ndarray:
     """RAD(x, tau=1, doAbs) — src/StatsBase.jl:81-107, vectorized with
     NaN-masked median splits."""
-    Xn = np.where(ctx.get("mask"), ctx.X, np.nan)
+    Xn = ctx.get("xnan")
     if Xn.shape[1] < 2:
         return np.full(ctx.nw, np.nan)
     short = ctx.n < 3  # emitted as NaN below; zero-fill avoids all-NaN warnings
@@ -360,17 +442,24 @@ def _rad(ctx: WindowCtx, do_abs: bool) -> np.ndarray:
         Xn = np.where(short[:, None], 0.0, Xn)
     with np.errstate(invalid="ignore", divide="ignore"):
         if do_abs:
-            med = np.nanmedian(np.where(ctx.n[:, None] > 0, Xn, np.nan), axis=1)
+            med = _nanmedian_rows(Xn)
             Z = np.abs(Xn - med[:, None])
         else:
             Z = Xn
-        x = Z[:, :-1]
+        # delay embed at tau=1: x = z[:-1], y = z[1:], per valid length n
+        # (position n-1 belongs to y only — mask it out of x)
+        x = Z[:, :-1].copy()
+        x[np.arange(ctx.W - 1)[None, :] >= (ctx.n - 1)[:, None]] = np.nan
         y = Z[:, 1:]
-        medx = np.nanmedian(x, axis=1)
+        medx = _nanmedian_rows(x)
+        fin = np.isfinite(x)
         sub = x < medx[:, None]          # NaN -> False
-        sup = (~sub) & np.isfinite(x)
-        sub_sd = _nanstd1(np.where(sub, x, np.nan))
-        sup_sd = _nanstd1(np.where(sup, x, np.nan))
+        sup = (~sub) & fin
+        # masked ddof=1 stds from zero-filled sums — no per-mask NaN copies
+        x0 = np.where(fin, x, 0.0)
+        x2 = x0 * x0
+        sub_sd = _masked_std1(x0, x2, sub)
+        sup_sd = _masked_std1(x0, x2, sup)
         sigma_dx = _nanstd1(y - x)
         out = sigma_dx * (1.0 / sup_sd - 1.0 / sub_sd)
     out[ctx.n < 3] = np.nan

@@ -42,6 +42,10 @@ class Feature:
     #: name of the shared intermediate this leaf reads (None = raw window);
     #: informational — the WindowCtx cache enforces compute-once regardless.
     super: str | None = field(default=None, compare=False)
+    #: for lagged leaves (ac_k / pacf_k): the lag this leaf reads, so
+    #: evaluation sizes the shared ACF/PACF pass to the max lag actually
+    #: requested instead of the full reference range.
+    lag: int | None = field(default=None, compare=False)
 
     def __hash__(self) -> int:  # identity by name (src/Features.jl:62-64)
         return hash(self.name)
@@ -128,9 +132,16 @@ class FeatureSet:
         """One pass over a batch of windows -> {feature name: (nw,) float64}.
 
         Distinct supers are computed once via the shared WindowCtx cache
-        (reference src/SuperFeatures.jl:96-110).
+        (reference src/SuperFeatures.jl:96-110); lagged supers (acf/pacf)
+        are sized to the max lag any requested leaf reads.
         """
-        ctx = K.WindowCtx(X, n)
+        req: dict[str, int] = {}
+        for f in self:
+            if f.lag is not None and f.super is not None:
+                req[f.super] = max(req.get(f.super, 0), f.lag)
+        if "pacf" in req:  # Levinson-Durbin consumes the ACF up to its lag
+            req["acf"] = max(req.get("acf", 0), req["pacf"])
+        ctx = K.WindowCtx(X, n, req=req)
         return {f.name: np.asarray(f.method(ctx), dtype=np.float64) for f in self}
 
     def evaluate_series(self, x, width: int | None = None) -> dict[str, float]:
@@ -183,7 +194,7 @@ def _acf_feats(max_lag: int = K.ACF_MAX_LAG) -> list[Feature]:
     # reference: AC = SuperFeatureSet over shared ACF (src/StatsBase.jl:10-15)
     return [
         Feature(f"ac_{l}", K.k_ac(l), f"Autocorrelation at lag {l}",
-                ("correlation",), super="acf")
+                ("correlation",), super="acf", lag=l)
         for l in range(1, max_lag + 1)
     ]
 
@@ -192,7 +203,7 @@ def _pacf_feats(max_lag: int = K.PACF_MAX_LAG) -> list[Feature]:
     # reference: Partial_AC over shared PACF (src/StatsBase.jl:21-27)
     return [
         Feature(f"pacf_{l}", K.k_pacf(l), f"Partial autocorrelation at lag {l}",
-                ("correlation",), super="pacf")
+                ("correlation",), super="pacf", lag=l)
         for l in range(1, max_lag + 1)
     ]
 
@@ -207,7 +218,7 @@ def catalogue() -> FeatureSet:
     fs.append(Feature("acf_timescale", K.k_acf_timescale,
                       "First zero-crossing of the ACF, linearly interpolated "
                       "(firstcrossingacf, src/StatsBase.jl:44-64)",
-                      ("correlation", "timescale"), super="acf_full"))
+                      ("correlation", "timescale"), super="acf_denom"))
     fs.append(Feature("histmode5", K.k_histmode5,
                       "DN_HistogramMode_5 over z-scored window (catch22 family)",
                       ("distribution",), super="z"))

@@ -7,9 +7,32 @@ builder only sets master when none is configured, so ``spark-submit
 
 from __future__ import annotations
 
+import ctypes
 import os
 
 from pyspark.sql import SparkSession
+
+#: numpy kernels allocate/free ~100MB temporaries per Arrow batch; with
+#: glibc's default 128KB mmap threshold every temporary is a fresh
+#: mmap/munmap + page-fault storm (measured 3-15x kernel slowdown in this
+#: VM). Raising the thresholds keeps the arena mapped and reused.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+}
+
+
+def tune_malloc() -> None:
+    """Apply the large-allocation malloc tuning to THIS process (numpy on
+    the driver / in pytest) and export it for children (Python workers
+    forked by the executor JVM inherit the env)."""
+    os.environ.update(_MALLOC_ENV)
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except OSError:  # non-glibc platform: env vars alone must do
+        pass
 
 
 def get_spark(app_name: str = "tsf",
@@ -17,6 +40,7 @@ def get_spark(app_name: str = "tsf",
               shuffle_partitions: int | None = None,
               arrow_batch_rows: int = 512,
               extra: dict[str, str] | None = None) -> SparkSession:
+    tune_malloc()  # before the JVM (and its python workers) are launched
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # TSF_MASTER lets spark-submit target a real cluster (yarn/k8s) while
     # the default stays local[N] for the sandbox.
@@ -39,6 +63,9 @@ def get_spark(app_name: str = "tsf",
         .config("spark.driver.memory", os.environ.get("TSF_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # Python UDF workers on real executors get the malloc tuning too
+    for k, v in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
