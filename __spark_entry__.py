@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import dedup, gapfill, similarity, textstats  # noqa: E402
+from tsf import dedup, gapfill, multimodal, similarity, textstats  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
 from tsf.rollup import next_tier, tier0  # noqa: E402
@@ -118,7 +118,8 @@ def q_acf_features(spark, sf_dir):
     bit-exactness vs the numpy oracle is enforced in pytest instead."""
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["acf_timescale", "histmode5", "histmode10", "rad",
-                      "rad_raw", "pacf_1", "pacf_2", "plv_phase", "ppc_phase"]]
+                      "rad_raw", "pacf_1", "pacf_2", "plv_phase", "ppc_phase",
+                      "firstcrossing"]]
     r = tier0(seq, fs, window=1000, blocks=False)
     keep = ["doc_id"] + [F.round(_nn(n), 6).alias(n) for n in fs.names]
     return r.select(*keep)
@@ -209,6 +210,18 @@ def q_fingerprint(spark, sf_dir):
     return textstats.with_fingerprint(_seq(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def q_token_counts(spark, sf_dir):
+    return textstats.with_token_counts(_docs(spark, sf_dir))
+
+
+def q_series_pairwise_pearson(spark, sf_dir):
+    """Reference-native pairwise operator: Pearson/covariance between the
+    tier-0 mean series of same-source docs, aligned on window_id."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 30")
+    r = tier0(seq, _stats_fs(), window=10, blocks=False)
+    return similarity.series_pairwise_pearson(r, window=10, min_overlap=3)
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
@@ -233,6 +246,21 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_pairwise_pearson(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.pairwise_pearson(emb, max_vec_id=48)
+
+
+def q_media_meta(spark, sf_dir):
+    """Binary media column -> typed metadata (encode + header-decode both
+    run in Spark; the oracle recomputes the metadata arithmetically)."""
+    return multimodal.decode_media_meta(multimodal.synth_media(_docs(spark, sf_dir)))
+
+
+def q_media_features(spark, sf_dir):
+    """Decoded-content statistics over the binary column (rows-only:
+    the deterministic-fake decode has no SQL equivalent)."""
+    m = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.media_features(m).select(
+        "doc_id", "media_type", F.round(_nn("mean_val"), 6).alias("mean_val"),
+        F.round(_nn("std_val"), 6).alias("std_val"), "n_values")
 
 
 def q_compression_roundtrip(spark, sf_dir):
@@ -279,10 +307,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "token_counts": q_token_counts,
+        "series_pairwise_pearson": q_series_pairwise_pearson,
         "cosine_threshold": q_cosine_threshold,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "pairwise_pearson": q_pairwise_pearson,
+        "media_meta": q_media_meta,
+        "media_features": q_media_features,
         "compression_roundtrip": q_compression_roundtrip,
     }
 
@@ -447,6 +479,35 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": textstats.text_stats_duckdb(),
         "langid": textstats.langid_duckdb(),
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),
+        "token_counts": textstats.token_counts_duckdb(),
+        "series_pairwise_pearson": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 30),
+            tok AS (SELECT doc_id, source, CAST(unnest(tokens) AS BIGINT) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos FROM f),
+            w AS (SELECT doc_id, source, pos // 10 AS window_id,
+                         CAST(sum(x) AS BIGINT) AS s
+                  FROM tok GROUP BY 1, 2, 3 HAVING count(*) = 10),
+            g AS (SELECT a.source AS source, a.doc_id AS doc_a,
+                         b.doc_id AS doc_b, count(*) AS n_overlap,
+                         CAST(sum(a.s) AS DOUBLE) AS sa,
+                         CAST(sum(b.s) AS DOUBLE) AS sb,
+                         CAST(sum(a.s * b.s) AS DOUBLE) AS sab,
+                         CAST(sum(a.s * a.s) AS DOUBLE) AS saa,
+                         CAST(sum(b.s * b.s) AS DOUBLE) AS sbb
+                  FROM w a JOIN w b
+                    ON a.source = b.source AND a.window_id = b.window_id
+                   AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3
+                  HAVING count(*) >= 3)
+            SELECT source, doc_a, doc_b, n_overlap,
+                   round((n_overlap * sab - sa * sb)
+                         / sqrt((n_overlap * saa - sa * sa)
+                              * (n_overlap * sbb - sb * sb)), 6) AS pearson,
+                   round((sab - sa * sb / n_overlap) / (n_overlap - 1)
+                         / 100.0, 6) AS cov
+            FROM g
+        """,
         "cosine_threshold": """
             WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                        FROM embeddings WHERE vec_id = 0),
@@ -459,6 +520,18 @@ def oracle_sql() -> dict[str, str]:
             FROM d, q
             WHERE round(list_dot_product(v, qv)
                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) >= 0.15
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            d AS (SELECT vec_id, label,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings)
+            SELECT vec_id, label,
+                   round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+            FROM d, q
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "pairwise_pearson": """
             WITH d AS (SELECT vec_id, label,
@@ -474,6 +547,7 @@ def oracle_sql() -> dict[str, str]:
                               * (list_dot_product(b.v, b.v) - list_sum(b.v) * list_sum(b.v) / len(b.v))), 6) AS pearson
             FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
         """,
+        "media_meta": multimodal.media_meta_duckdb(),
         "compression_roundtrip": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, true AS ok FROM documents
         """,

@@ -64,3 +64,23 @@ class TestFloatCodec:
     def test_smooth_series_ratio(self):
         arr = np.full(500, 12345.678)
         assert len(G.compress_floats(arr)) < 30
+
+
+def test_batch_decompress_matches_single():
+    import numpy as np
+    from tsf import gorilla
+    rng = np.random.default_rng(7)
+    blocks, want = [], []
+    for n in [0, 1, 2, 3, 10, 10, 10, 64, 7]:
+        x = rng.normal(size=n)
+        if n >= 3:
+            x[0] = np.nan  # NaN payload must round-trip bit-exactly
+        if n == 7:
+            x[:] = 3.5     # constant block -> width 0 path
+        blocks.append(gorilla.compress_floats(x))
+        want.append(x)
+    got = gorilla.decompress_float_rows(blocks)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.dtype == np.float64 and g.shape == w.shape
+        assert np.array_equal(g.view(np.uint64), np.asarray(w).view(np.uint64))

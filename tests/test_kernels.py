@@ -224,3 +224,25 @@ class TestDecadeMeans:
         assert np.array_equal(c[0], [10, 10, 10])
         assert m[1][0] == 5.0 and c[1][0] == 7
         assert c[1][1] == 0
+
+
+class TestFirstCrossing:
+    def test_sine_zero_crossing_interpolated(self):
+        t = np.arange(100) * 0.1 + 0.05
+        x = np.sin(t)
+        got = K.k_firstcrossing(ctx_of(x))[0]
+        # sin crosses 0 at t=pi -> 1-based interpolated index
+        # (pi - 0.05)/0.1 + 1 ~= 31.92 (reference is 1-based Julia)
+        assert 31.5 < got < 32.3
+
+    def test_sign_correction_negative_start(self):
+        t = np.arange(100) * 0.1 + 0.05
+        got = K.k_firstcrossing(ctx_of(-np.sin(t)))[0]
+        assert 31.5 < got < 32.3  # same crossing, sign-corrected
+
+    def test_no_crossing_nan(self):
+        assert np.isnan(K.k_firstcrossing(ctx_of(np.ones(50)))[0])
+
+    def test_zero_start_nan(self):
+        x = np.zeros(10); x[5:] = 1.0
+        assert np.isnan(K.k_firstcrossing(ctx_of(x))[0])

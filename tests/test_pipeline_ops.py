@@ -1,0 +1,63 @@
+"""Training-pipeline operators added beyond the reference: token counts,
+series-pairwise Pearson, dedup candidates sanity."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tsf import dedup, similarity, textstats
+from tsf.io import sequences_from_documents
+from tsf.registry import catalogue
+from tsf.rollup import tier0
+
+
+def test_token_counts_basic(spark):
+    df = spark.createDataFrame(
+        [("a", "hello world, 42 times!"), ("b", ""), ("c", "one-two  three")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r for r in textstats.with_token_counts(df).collect()}
+    assert out["a"]["n_words"] == 4
+    # hello | world | , | 42 | times | !  -> 6 BPE-ish tokens
+    assert out["a"]["n_bpe_tokens"] == 6
+    assert out["b"]["n_words"] == 0 and out["b"]["n_bpe_tokens"] == 0
+    # one | - | two | three
+    assert out["c"]["n_bpe_tokens"] == 4
+
+
+def test_series_pairwise_pearson_matches_numpy(spark, sf001):
+    seq = sequences_from_documents(spark, sf001).where("n_tok >= 30")
+    fs = catalogue()[["cnt", "sum_tok", "min_tok", "max_tok", "mean", "std"]]
+    r = tier0(seq, fs, window=10, blocks=False)
+    pairs = similarity.series_pairwise_pearson(r, window=10, min_overlap=3).toPandas()
+    assert len(pairs) > 0
+    # verify one pair against numpy on the aligned full-window mean series
+    row = pairs.iloc[0]
+    pdf = (r.where(F.col("doc_id").isin([row["doc_a"], row["doc_b"]])
+                   & (F.col("cnt") == 10))
+           .select("doc_id", "window_id", "mean").toPandas())
+    piv = pdf.pivot(index="window_id", columns="doc_id", values="mean").dropna()
+    a = piv[row["doc_a"]].to_numpy()
+    b = piv[row["doc_b"]].to_numpy()
+    assert len(a) == row["n_overlap"]
+    want_corr = np.corrcoef(a, b)[0, 1]
+    want_cov = np.cov(a, b, ddof=1)[0, 1]
+    assert abs(row["pearson"] - want_corr) < 1e-6
+    assert abs(row["cov"] - want_cov) < 1e-6
+
+
+def test_pairwise_symmetric_dedup(spark, sf001):
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    pairs = dedup.minhash_pairs(docs, threshold=0.3).toPandas()
+    # no (a, b) with a >= b, no duplicates
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+    assert not pairs.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_minhash_finds_exact_duplicates(spark):
+    rows = [("d1", "the quick brown fox jumps over the lazy dog " * 3, "web", "en"),
+            ("d2", "the quick brown fox jumps over the lazy dog " * 3, "web", "en"),
+            ("d3", "completely different text about spark engines and rollups "
+                   "with many unique words appearing once each", "web", "en")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string, lang string")
+    pairs = dedup.minhash_pairs(docs, threshold=0.8).toPandas()
+    assert ("d1", "d2") in set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert all({a, b} != {"d1", "d3"} for a, b in zip(pairs["doc_a"], pairs["doc_b"]))

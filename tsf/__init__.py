@@ -18,9 +18,15 @@ Spark engine over tables of pre-tokenized sequences
 - ``tsf.gapfill``    window-grid densify + LOCF + linear interpolation.
 - ``tsf.ledger``     per-tier rollup ledger (partition_id, watermark,
                      checksum, metrics) and exact resume-from-checkpoint.
+- ``tsf.streaming``  Structured Streaming arrival path: incremental
+                     tier-0 (availableNow / foreachBatch + ledger),
+                     watermarked event-time windows.
 - ``tsf.dedup`` / ``tsf.similarity`` / ``tsf.textstats``  training-data
                      pipeline operators (exact + MinHash/SimHash dedup,
-                     ANN cosine search, language-ID / quality scoring).
+                     ANN cosine search, series-pairwise Pearson,
+                     language-ID / quality scoring / token counting).
+- ``tsf.multimodal`` binary media columns: typed metadata, stub decode,
+                     batch feature extraction, frame-sampling plumbing.
 """
 
 from tsf.registry import Feature, FeatureSet  # noqa: F401

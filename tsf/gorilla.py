@@ -211,6 +211,57 @@ def compress_float_rows(M: np.ndarray, counts: np.ndarray) -> list[bytes]:
     return out
 
 
+def decompress_float_rows(blocks: list[bytes]) -> list[np.ndarray]:
+    """Batch-decompress many float blocks (inverse of
+    :func:`compress_float_rows`, accepts any :func:`compress_floats`
+    output).
+
+    Per-block Python is one header parse; all bit-unpacking happens in a
+    handful of numpy ops per (count, trail, width) group — the tier
+    cascade decodes ~10 tiny blocks per parent window, so a per-block
+    ``decompress_floats`` call would dominate the stage (measured ~30x
+    slower at 1.5M blocks).
+    """
+    m = len(blocks)
+    out: list = [None] * m
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    u0s = np.empty(m, dtype=np.uint64)
+    for i, b in enumerate(blocks):
+        magic, n = struct.unpack_from("<BI", b, 0)
+        assert magic == _MAGIC_FLOAT, "not a float block"
+        if n == 0:
+            out[i] = np.empty(0, dtype=np.float64)
+            continue
+        (u0s[i],) = struct.unpack_from("<Q", b, 5)
+        if n == 1:
+            out[i] = u0s[i:i + 1].view(np.float64).copy()
+            continue
+        trail, width = struct.unpack_from("<BB", b, 13)
+        groups.setdefault((n, trail, width), []).append(i)
+    for (n, trail, width), idx in groups.items():
+        rows = np.asarray(idx)
+        u = np.empty((len(idx), n), dtype=np.uint64)
+        u[:, 0] = u0s[rows]
+        if width == 0:
+            u[:, 1:] = u[:, :1]
+        else:
+            nbytes = -(-(n - 1) * width // 8)
+            payload = np.frombuffer(
+                b"".join(blocks[i][15:15 + nbytes] for i in idx),
+                dtype=np.uint8).reshape(len(idx), nbytes)
+            bits = np.unpackbits(payload, axis=1)[:, :(n - 1) * width]
+            arr = bits.reshape(len(idx), n - 1, width).astype(np.uint64)
+            shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+            xored = (arr << shifts[None, None, :]).sum(axis=2, dtype=np.uint64)
+            xored <<= np.uint64(trail)
+            np.bitwise_xor.accumulate(xored, axis=1, out=xored)
+            u[:, 1:] = u[:, :1] ^ xored
+        f = u.view(np.float64)
+        for j, i in enumerate(idx):
+            out[i] = f[j]
+    return out
+
+
 # --- batch helpers for pandas UDF columns (one block per row) --------------
 
 def compress_int_series(series) -> list[bytes]:

@@ -346,6 +346,27 @@ def k_acf_timescale(ctx: WindowCtx) -> np.ndarray:
     return out
 
 
+def k_firstcrossing(ctx: WindowCtx) -> np.ndarray:
+    """firstcrossing(x, 0): sign-corrected (by the first element) first
+    threshold crossing of the raw window with linear interpolation between
+    the bracketing samples (src/StatsBase.jl:29-42), vectorized. 1-based
+    position like the reference's array indexing; NaN when no crossing."""
+    Xn = ctx.get("xnan")
+    nw, W = Xn.shape
+    out = np.full(nw, np.nan)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sign = np.sign(Xn[:, 0])
+        Rs = Xn * sign[:, None]
+        below = Rs < 0.0  # NaN compares False
+        has = below.any(axis=1)
+        rows = np.nonzero(has)[0]
+        i = below.argmax(axis=1)[rows]
+        b = Rs[rows, i]
+        a = np.where(i > 0, Rs[rows, np.maximum(i - 1, 0)], np.nan)
+        out[rows] = i + (0.0 - a) / (b - a)
+    return out
+
+
 def _histmode(ctx: WindowCtx, nbins: int) -> np.ndarray:
     z = ctx.get("z")  # NaN outside mask / for constant windows
     nw, W = z.shape

@@ -1,0 +1,197 @@
+"""Multimodal columns: image/audio as opaque ``binary`` with typed metadata.
+
+Large-scale training pipelines carry media as binary blobs next to typed
+metadata; the engine treats them exactly like token arrays: Arrow-batched
+``mapInPandas`` kernels, never per-row Python UDF registration.
+
+The container has no image/audio codecs (PIL/libav are absent), so the
+actual *decode* is stubbed behind an import-try: when a codec is present
+``decode_image`` uses it, otherwise a clearly-marked DETERMINISTIC FAKE
+tiles the payload bytes into the (h, w, c) shape declared by the header.
+Everything Spark-side — schema, batch shape, partitioning, UDF signature —
+is real and tested either way.
+
+Synthetic media format (deterministic from the documents table, so the
+decode path has a DuckDB-expressible oracle):
+
+  image:  b"TSFI" | u32 width | u32 height | u16 channels | payload
+  audio:  b"TSFA" | u32 sample_rate | u32 n_samples | u16 1 | payload
+
+with width = len(text)*7 % 1024 + 1, height = len(text)*13 % 768 + 1,
+channels = 3, sample_rate = 16000, n_samples = len(text)*31 % 8000 + 1,
+payload = first 64 bytes of utf-8 text; images for even octet lengths,
+audio for odd.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:  # pragma: no cover - codec not present in this container
+    from PIL import Image  # noqa: F401
+    _HAS_CODEC = True
+except ImportError:
+    _HAS_CODEC = False
+
+MAGIC_IMAGE = b"TSFI"
+MAGIC_AUDIO = b"TSFA"
+_HEADER = struct.Struct("<4sIIH")
+
+META_SCHEMA = ("doc_id string, media_type string, byte_len int, "
+               "width int, height int, channels int, "
+               "sample_rate int, n_samples int")
+
+FEATURE_SCHEMA = ("doc_id string, media_type string, "
+                  "mean_val double, std_val double, n_values bigint")
+
+
+def _encode_one(doc_id: str, text: str) -> tuple[bytes, str]:
+    raw = text.encode("utf-8")
+    payload = raw[:64]
+    n = len(raw)
+    if n % 2 == 0:
+        header = _HEADER.pack(MAGIC_IMAGE, n * 7 % 1024 + 1, n * 13 % 768 + 1, 3)
+        return header + payload, "image"
+    header = _HEADER.pack(MAGIC_AUDIO, 16000, n * 31 % 8000 + 1, 1)
+    return header + payload, "audio"
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, media binary, media_type) via one Arrow pass."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            enc = [_encode_one(d, t) for d, t in zip(pdf["doc_id"].astype(str),
+                                                     pdf["text"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype(str),
+                "media": [e[0] for e in enc],
+                "media_type": [e[1] for e in enc]})
+    return docs.mapInPandas(fn, "doc_id string, media binary, media_type string")
+
+
+def parse_header(blob: bytes) -> dict:
+    """Parse the typed header of one media blob (driver/worker shared)."""
+    magic, a, b, c = _HEADER.unpack_from(blob)
+    meta = {"byte_len": len(blob)}
+    if magic == MAGIC_IMAGE:
+        meta.update(media_type="image", width=a, height=b, channels=c,
+                    sample_rate=None, n_samples=None)
+    elif magic == MAGIC_AUDIO:
+        meta.update(media_type="audio", width=None, height=None, channels=None,
+                    sample_rate=a, n_samples=b)
+    else:
+        raise ValueError(f"unknown media magic {magic!r}")
+    return meta
+
+
+def decode_media_meta(media: DataFrame) -> DataFrame:
+    """Typed metadata extraction from the binary column (Arrow batches)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_header(bytes(b)) for b in pdf["media"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].astype(str).to_numpy())
+            yield out[["doc_id", "media_type", "byte_len", "width", "height",
+                       "channels", "sample_rate", "n_samples"]]
+    return media.mapInPandas(fn, META_SCHEMA)
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Decode one image blob to (height, width, channels) uint8.
+
+    STUB: with no codec in the container, a deterministic fake tiles the
+    payload bytes to the declared shape — the real codec slots in behind
+    the same signature (NotImplementedError marks the boundary if neither
+    path applies)."""
+    meta = parse_header(blob)
+    if meta["media_type"] != "image":
+        raise ValueError("not an image blob")
+    h, w, c = meta["height"], meta["width"], meta["channels"]
+    payload = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size)
+    if _HAS_CODEC:  # pragma: no cover
+        raise NotImplementedError("real codec decode not wired in this sandbox")
+    if payload.size == 0:
+        payload = np.zeros(1, dtype=np.uint8)
+    reps = -(-h * w * c // payload.size)
+    return np.tile(payload, reps)[:h * w * c].reshape(h, w, c)
+
+
+def decode_audio(blob: bytes) -> np.ndarray:
+    """Decode one audio blob to (n_samples,) float32 in [-1, 1) — same
+    deterministic-fake contract as :func:`decode_image`."""
+    meta = parse_header(blob)
+    if meta["media_type"] != "audio":
+        raise ValueError("not an audio blob")
+    n = meta["n_samples"]
+    payload = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size)
+    if payload.size == 0:
+        payload = np.zeros(1, dtype=np.uint8)
+    reps = -(-n // payload.size)
+    return (np.tile(payload, reps)[:n].astype(np.float32) - 128.0) / 128.0
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Per-blob decoded-content statistics (mean/std over pixels or
+    samples) — the downstream plumbing a real feature extractor would use:
+    decode inside the Arrow batch, vectorized numpy reduction, typed
+    output schema."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"].astype(str), pdf["media"]):
+                blob = bytes(b)
+                mt = parse_header(blob)["media_type"]
+                v = (decode_image(blob).astype(np.float64).ravel()
+                     if mt == "image" else decode_audio(blob).astype(np.float64))
+                rows.append((d, mt, float(v.mean()),
+                             float(v.std(ddof=1)) if v.size > 1 else float("nan"),
+                             int(v.size)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type",
+                                              "mean_val", "std_val", "n_values"])
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """Video-style frame sampling plumbing: treat each image row's height
+    as the frame axis and emit every ``every``-th row as its own blob-less
+    record (doc_id, frame_id, frame array<int>) — shows the explode shape
+    a video pipeline uses, with deterministic content."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, frames = [], [], []
+            for d, b in zip(pdf["doc_id"].astype(str), pdf["media"]):
+                blob = bytes(b)
+                if parse_header(blob)["media_type"] != "image":
+                    continue
+                img = decode_image(blob)
+                for fi in range(0, img.shape[0], every):
+                    ids.append(d)
+                    fids.append(fi)
+                    frames.append(img[fi].ravel().astype(np.int32))
+            yield pd.DataFrame({"doc_id": ids, "frame_id": fids, "frame": frames})
+    return media.mapInPandas(fn, "doc_id string, frame_id int, frame array<int>")
+
+
+def media_meta_duckdb() -> str:
+    """DuckDB oracle: recompute the typed metadata arithmetically from the
+    source table — if the Spark encode->binary->decode path corrupts
+    anything, the join of values diverges."""
+    return """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           CAST(14 + least(octet_length(encode(text)), 64) AS INT) AS byte_len,
+           CAST(CASE WHEN octet_length(encode(text)) % 2 = 0
+                THEN octet_length(encode(text)) * 7 % 1024 + 1 END AS INT) AS width,
+           CAST(CASE WHEN octet_length(encode(text)) % 2 = 0
+                THEN octet_length(encode(text)) * 13 % 768 + 1 END AS INT) AS height,
+           CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 END AS INT) AS channels,
+           CAST(CASE WHEN octet_length(encode(text)) % 2 = 1 THEN 16000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN octet_length(encode(text)) % 2 = 1
+                THEN octet_length(encode(text)) * 31 % 8000 + 1 END AS INT) AS n_samples
+    FROM documents
+    """

@@ -59,13 +59,25 @@ def get_spark(app_name: str = "tsf",
         # blow up the Python worker (512 rows x ~100KB chunk ~= 50MB).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 32MB file splits (not the 128MB default): the tier-0 UDF stage
+        # expands parquet tokens ~4x into float64 window matrices, and
+        # coarse splits leave a one-task straggler wave on small clusters
+        # (measured: 9 tasks over 8 slots = 42% idle in the tail wave).
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.driver.memory", os.environ.get("TSF_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     # Python UDF workers on real executors get the malloc tuning too
     for k, v in _MALLOC_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)
+    # In local mode every task pairs a JVM Arrow-serialization thread with
+    # a Python worker process, so local[32] runs ~64 busy threads on 32
+    # cores — measured 2-4x slowdown + erratic latency on UDF stages.
+    # task.cpus=2 co-schedules the pair (a real cluster instead sizes
+    # executors at 1 python worker per core with their own memory bus).
+    if master.startswith("local") and cores >= 16 and "spark.task.cpus" not in (extra or {}):
+        builder = builder.config(
+            "spark.task.cpus", os.environ.get("TSF_TASK_CPUS", "2"))
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

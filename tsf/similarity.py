@@ -98,3 +98,43 @@ def pairwise_pearson(emb: DataFrame, max_vec_id: int | None = None) -> DataFrame
                     F.col("b.vec_id").alias("vec_b"),
                     F.round(cov, 6).alias("cov"),
                     F.round(corr, 6).alias("pearson")))
+
+
+def series_pairwise_pearson(rollup: DataFrame, window: int,
+                            min_overlap: int = 3) -> DataFrame:
+    """Reference-native pairwise operator (PairwiseFeatures.jl:39-41):
+    Pearson + sample covariance between SERIES — the tier-0 window-mean
+    series of two docs in the same source, aligned on window_id, over
+    FULL windows only. Pure relational plan: self-equi-join on
+    (source, window_id) then an aggregate over exact int64 window sums —
+    the shuffle key makes every pair's overlap a co-located group (no
+    N^2 blowup beyond same-source pairs), and integer sufficient
+    statistics make the result bit-reproducible across engines and
+    partitionings (float co-moment aggregation is order-dependent in its
+    last ULPs, which flips 6-dp rounding)."""
+    s = (rollup.where(F.col("cnt") == window)
+         .select("doc_id", "source", "window_id",
+                 F.col("sum_tok").cast("bigint").alias("s")))
+    a, b = s.alias("a"), s.alias("b")
+    n = F.col("n_overlap").cast("double")
+    sa, sb = F.col("sum_a").cast("double"), F.col("sum_b").cast("double")
+    sab = F.col("sum_ab").cast("double")
+    saa, sbb = F.col("sum_aa").cast("double"), F.col("sum_bb").cast("double")
+    cov = (sab - sa * sb / n) / (n - 1) / F.lit(float(window * window))
+    pearson = ((n * sab - sa * sb)
+               / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)))
+    return (a.join(b, (F.col("a.source") == F.col("b.source"))
+                   & (F.col("a.window_id") == F.col("b.window_id"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.source").alias("source"),
+                     F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_overlap"),
+                 F.sum("a.s").alias("sum_a"), F.sum("b.s").alias("sum_b"),
+                 F.sum(F.col("a.s") * F.col("b.s")).alias("sum_ab"),
+                 F.sum(F.col("a.s") * F.col("a.s")).alias("sum_aa"),
+                 F.sum(F.col("b.s") * F.col("b.s")).alias("sum_bb"))
+            .where(F.col("n_overlap") >= min_overlap)
+            .select("source", "doc_a", "doc_b", "n_overlap",
+                    F.round(pearson, 6).alias("pearson"),
+                    F.round(cov, 6).alias("cov")))

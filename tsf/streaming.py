@@ -1,0 +1,119 @@
+"""Structured Streaming ingestion for the rollup engine.
+
+The north rule's "watermark" is the batch-checkpoint ledger
+(:mod:`tsf.ledger`) — Structured Streaming is the *arrival* path: new
+sequence files land in a directory (or an Iceberg/Kafka source on a real
+deployment) and each micro-batch is rolled up incrementally with
+exactly-once file-source semantics (the streaming checkpoint tracks which
+input files were consumed; re-running with the same checkpoint processes
+only unseen files).
+
+Two shapes:
+
+- :func:`stream_tier0` — declarative: readStream -> the SAME stateless
+  tier-0 ``mapInPandas`` used in batch -> writeStream(parquet). The
+  per-(doc, window) kernels need no cross-batch state, so the streaming
+  plan IS the batch plan (Spark's unified model).
+- :func:`stream_tier0_with_ledger` — ``foreachBatch``: each micro-batch is
+  written through the rollup ledger, giving the same per-partition lineage
+  rows as a batch run (batch_id recorded as the attempt).
+
+Event-time windowed aggregation with late data (watermarked counts per
+source) is provided by :func:`stream_source_counts` to cover the
+watermark/window streaming surface over the events-style shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from tsf.registry import FeatureSet, default_rollup_features
+from tsf.rollup import make_tier0_fn, rollup_schema
+from tsf.windows import DEFAULT_CHUNK_WINDOWS, DEFAULT_WINDOW, chunk_sequences
+
+SEQ_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def read_sequence_stream(spark: SparkSession, input_dir: str,
+                         max_files_per_trigger: int | None = None) -> DataFrame:
+    r = spark.readStream.schema(SEQ_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(input_dir)
+
+
+def tier0_stream_df(stream: DataFrame,
+                    features: FeatureSet | None = None,
+                    window: int = DEFAULT_WINDOW,
+                    chunk_windows: int = DEFAULT_CHUNK_WINDOWS,
+                    blocks: bool = True) -> DataFrame:
+    """The tier-0 transform on a streaming DataFrame — identical plan to
+    batch :func:`tsf.rollup.tier0` (stateless mapInPandas)."""
+    features = features or default_rollup_features()
+    chunked = chunk_sequences(stream, window, chunk_windows)
+    return chunked.mapInPandas(make_tier0_fn(features, window, blocks),
+                               rollup_schema(features, blocks))
+
+
+def stream_tier0(spark: SparkSession, input_dir: str, output_dir: str,
+                 checkpoint_dir: str,
+                 features: FeatureSet | None = None,
+                 window: int = DEFAULT_WINDOW,
+                 available_now: bool = True) -> StreamingQuery:
+    """Incremental tier-0 rollup of newly-arrived sequence files.
+
+    ``available_now=True`` drains everything currently unprocessed and
+    stops — the incremental-batch trigger the ledger protocol pairs with;
+    pass False for a continuous micro-batch query.
+    """
+    out = tier0_stream_df(read_sequence_stream(spark, input_dir), features, window)
+    w = (out.writeStream.format("parquet")
+         .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append"))
+    w = w.trigger(availableNow=True) if available_now else w.trigger(processingTime="10 seconds")
+    return w.start()
+
+
+def stream_tier0_with_ledger(spark: SparkSession, input_dir: str,
+                             data_path: str, ledger_path: str,
+                             checkpoint_dir: str,
+                             n_buckets: int = 64,
+                             features: FeatureSet | None = None,
+                             window: int = DEFAULT_WINDOW) -> StreamingQuery:
+    """foreachBatch variant: every micro-batch commits through the rollup
+    ledger, so streaming ingestion leaves the same lineage/metrics trail
+    as batch runs and crash recovery composes (streaming checkpoint for
+    input progress + ledger for per-bucket output commits)."""
+    from tsf import ledger as L
+
+    feats = features or default_rollup_features()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seq = L.with_partition_id(batch_df, n_buckets)
+        rolled = tier0_stream_df(seq.drop("partition_id"), feats, window) \
+            .join(F.broadcast(seq.select("doc_id", "partition_id").distinct()),
+                  "doc_id")
+        L.run_tier_with_ledger(spark, rolled, 0, data_path, ledger_path)
+
+    return (read_sequence_stream(spark, input_dir)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def stream_source_counts(events: DataFrame, watermark: str = "10 minutes",
+                         window_len: str = "1 hour") -> DataFrame:
+    """Watermarked event-time tumbling-window aggregate over a streaming
+    events-shaped frame (ts timestamp, source/event_type string, value) —
+    late rows beyond the watermark are dropped by the state store."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window_len).alias("win"), "event_type")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "event_type", "cnt", "sum_value"))

@@ -124,3 +124,32 @@ def fingerprint_duckdb(seq_cte: str) -> str:
                 (a, x) -> (a * 31 + x) % {FP_MOD}) AS BIGINT) AS fingerprint
     FROM seq
     """
+
+
+#: GPT-2-ish pre-tokenizer regex, simplified to the dialect subset Spark's
+#: regexp_extract_all and DuckDB's regexp_extract_all share: letter runs,
+#: digit runs, single non-alnum-non-space marks.
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def with_token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace word count + BPE-ish regex token count + chars/token."""
+    n_words = F.expr(f"size({_WORDS})")
+    n_bpe = F.expr(f"size(regexp_extract_all(text, '{BPE_RE}', 0))")
+    return docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        _r6(F.length("text") / F.greatest(n_bpe, F.lit(1))).alias("chars_per_token"))
+
+
+def token_counts_duckdb() -> str:
+    w = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+    return f"""
+    SELECT doc_id,
+           CAST(len({w}) AS INT) AS n_words,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens,
+           floor(length(text) * 1.0 / greatest(len(regexp_extract_all(text, '{BPE_RE}')), 1)
+                 * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
+    FROM documents
+    """
