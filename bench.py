@@ -10,7 +10,7 @@ testdata at $SPARK_GRAFT_SF_DIR.
 Env knobs:
   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    (default 32)
-  TSF_BENCH_DOCS      (default 1500)   synthetic docs
+  TSF_BENCH_DOCS      (default 6000)   synthetic docs
   TSF_BENCH_TOKENS    (default 10000)  mean tokens/doc (long tail x20 on ~1%)
 """
 
@@ -33,7 +33,7 @@ from tsf.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("TSF_BENCH_DOCS", "1500"))
+N_DOCS = int(os.environ.get("TSF_BENCH_DOCS", "6000"))
 MEAN_TOK = int(os.environ.get("TSF_BENCH_TOKENS", "10000"))
 
 
@@ -90,7 +90,9 @@ def main() -> None:
     feats = default_rollup_features()
 
     t0 = time.time()
-    tier0_df = tier0(seq, feats, num_partitions=4 * CPUS).persist()
+    # natural file-split partitioning (32MB splits; no token shuffle) —
+    # skew chunking already spreads long docs across many rows
+    tier0_df = tier0(seq, feats).persist()
     n_t0 = tier0_df.count()
     timings["tier0_rollup_synth"] = time.time() - t0
     extras["tier0_windows"] = n_t0
@@ -112,7 +114,8 @@ def main() -> None:
                 "topk_orders", "dedup_exact", "dedup_minhash",
                 "dedup_ngram_jaccard", "text_quality", "langid", "fingerprint",
                 "cosine_topk", "ann_lsh_topk", "pairwise_pearson",
-                "compression_roundtrip"]
+                "series_pairwise_pearson", "token_counts", "media_meta",
+                "media_features", "compression_roundtrip"]
     for name in bench_qs:
         t0 = time.time()
         qs[name](spark, SF_DIR).count()

@@ -101,17 +101,20 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, META_SCHEMA)
 
 
-def decode_image(blob: bytes) -> np.ndarray:
+def decode_image(blob: bytes, max_pixels: int | None = None) -> np.ndarray:
     """Decode one image blob to (height, width, channels) uint8.
 
     STUB: with no codec in the container, a deterministic fake tiles the
     payload bytes to the declared shape — the real codec slots in behind
     the same signature (NotImplementedError marks the boundary if neither
-    path applies)."""
+    path applies). ``max_pixels`` bounds the materialized values (rows
+    from the top of the image) for feature extraction on large frames."""
     meta = parse_header(blob)
     if meta["media_type"] != "image":
         raise ValueError("not an image blob")
     h, w, c = meta["height"], meta["width"], meta["channels"]
+    if max_pixels is not None:
+        h = max(1, min(h, max_pixels // max(w * c, 1)))
     payload = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size)
     if _HAS_CODEC:  # pragma: no cover
         raise NotImplementedError("real codec decode not wired in this sandbox")
@@ -135,22 +138,31 @@ def decode_audio(blob: bytes) -> np.ndarray:
     return (np.tile(payload, reps)[:n].astype(np.float32) - 128.0) / 128.0
 
 
-def media_features(media: DataFrame) -> DataFrame:
+def media_features(media: DataFrame, max_values: int = 65536) -> DataFrame:
     """Per-blob decoded-content statistics (mean/std over pixels or
     samples) — the downstream plumbing a real feature extractor would use:
     decode inside the Arrow batch, vectorized numpy reduction, typed
-    output schema."""
+    output schema. Stats are computed over a bounded prefix of at most
+    ``max_values`` decoded values (real pipelines likewise featurize a
+    resized thumbnail, not the megapixel original); ``n_values`` reports
+    the full logical size."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for d, b in zip(pdf["doc_id"].astype(str), pdf["media"]):
                 blob = bytes(b)
-                mt = parse_header(blob)["media_type"]
-                v = (decode_image(blob).astype(np.float64).ravel()
-                     if mt == "image" else decode_audio(blob).astype(np.float64))
+                meta = parse_header(blob)
+                mt = meta["media_type"]
+                if mt == "image":
+                    full = meta["height"] * meta["width"] * meta["channels"]
+                    v = decode_image(blob, max_pixels=max_values) \
+                        .astype(np.float64).ravel()[:max_values]
+                else:
+                    full = meta["n_samples"]
+                    v = decode_audio(blob).astype(np.float64)[:max_values]
                 rows.append((d, mt, float(v.mean()),
                              float(v.std(ddof=1)) if v.size > 1 else float("nan"),
-                             int(v.size)))
+                             int(full)))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type",
                                               "mean_val", "std_val", "n_values"])
     return media.mapInPandas(fn, FEATURE_SCHEMA)
