@@ -492,9 +492,9 @@ def oracle_sql() -> dict[str, str]:
                          b.doc_id AS doc_b, count(*) AS n_overlap,
                          CAST(sum(a.s) AS DOUBLE) AS sa,
                          CAST(sum(b.s) AS DOUBLE) AS sb,
-                         CAST(sum(a.s * b.s) AS DOUBLE) AS sab,
-                         CAST(sum(a.s * a.s) AS DOUBLE) AS saa,
-                         CAST(sum(b.s * b.s) AS DOUBLE) AS sbb
+                         CAST(sum(CAST(a.s AS HUGEINT) * b.s) AS DOUBLE) AS sab,
+                         CAST(sum(CAST(a.s AS HUGEINT) * a.s) AS DOUBLE) AS saa,
+                         CAST(sum(CAST(b.s AS HUGEINT) * b.s) AS DOUBLE) AS sbb
                   FROM w a JOIN w b
                     ON a.source = b.source AND a.window_id = b.window_id
                    AND a.doc_id < b.doc_id

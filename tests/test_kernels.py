@@ -56,11 +56,77 @@ class TestACF:
         assert np.isnan(acf[4:]).all()
 
 
+def pacf_regression_ref(x, max_lag):
+    """Independent scalar reimplementation of StatsBase pacf
+    ``method=:regression`` (/root/reference/src/StatsBase.jl:17-19 via
+    ext/StatsBaseExt.jl:6): per-lag OLS of x_t on [1, x_{t-1}..x_{t-l}]
+    with an EXPLICIT design matrix + lstsq — a construction path fully
+    independent of the engine's prefix-sum normal equations."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    out = np.full(max_lag, np.nan)
+    for l in range(1, max_lag + 1):
+        if n < 2 * l + 1:
+            continue
+        X = np.ones((n - l, l + 1))
+        for j in range(1, l + 1):
+            X[:, j] = x[l - j:n - j]
+        if np.linalg.matrix_rank(X.T @ X) < l + 1:
+            continue
+        coef, *_ = np.linalg.lstsq(X, x[l:], rcond=None)
+        out[l - 1] = coef[-1]
+    return out
+
+
 class TestPACF:
-    def test_lag1_equals_acf1(self):
-        x = rng.normal(0, 1, 300)
-        ctx = ctx_of(x)
-        assert ctx.get("pacf")[0, 0] == ctx.get("acf")[0, 0]
+    def test_matches_independent_ols(self):
+        # engine (prefix-sum normal equations, closed forms at lags 1-2)
+        # vs explicit-design lstsq, across fixture families
+        cases = [
+            rng.integers(0, 2000, 300).astype(np.float64),
+            rng.normal(0, 1, 500),
+            rng.integers(0, 50, 25).astype(np.float64),
+        ]
+        for x in cases:
+            ctx = K.WindowCtx(x[None, :], np.array([x.size]),
+                              req={"pacf": 10})
+            got = ctx.get("pacf")[0]
+            want = pacf_regression_ref(x, 10)
+            both = np.isfinite(got) & np.isfinite(want)
+            assert both.sum() >= 8
+            np.testing.assert_allclose(got[both], want[both],
+                                       rtol=1e-9, atol=1e-10)
+
+    def test_lag1_is_ols_slope_not_acf(self):
+        # :regression pacf_1 is the OLS slope of x_t on x_{t-1} with
+        # intercept over t=1..n-1 — NOT the biased ACF at lag 1
+        x = rng.integers(0, 100, 50).astype(np.float64)
+        a, b = x[:-1], x[1:]
+        m = a.size
+        slope = (m * (a * b).sum() - a.sum() * b.sum()) \
+            / (m * (a * a).sum() - a.sum() ** 2)
+        got = ctx_of(x).get("pacf")[0, 0]
+        assert got == pytest.approx(slope, rel=1e-12)
+
+    def test_ragged_batch_matches_single(self):
+        xs = [rng.normal(0, 1, n) for n in (7, 40, 100)]
+        W = 100
+        M = np.zeros((3, W))
+        n = np.zeros(3, dtype=np.int64)
+        for i, x in enumerate(xs):
+            M[i, :x.size] = x
+            n[i] = x.size
+        batch = K.WindowCtx(M, n, req={"pacf": 8}).get("pacf")
+        for i, x in enumerate(xs):
+            want = pacf_regression_ref(x, 8)
+            both = np.isfinite(batch[i]) & np.isfinite(want)
+            np.testing.assert_allclose(batch[i][both], want[both], rtol=1e-9)
+            # under-determined lags (n < 2l+1) are NaN, never garbage
+            lags = np.arange(1, 9)
+            assert np.isnan(batch[i][n[i] < 2 * lags + 1]).all()
+
+    def test_constant_window_nan(self):
+        assert np.isnan(ctx_of(np.full(60, 3.0)).get("pacf")[0]).all()
 
     def test_ar1_cutoff(self):
         # AR(1): PACF(1) ~ phi, PACF(k>1) ~ 0
@@ -75,7 +141,94 @@ class TestPACF:
         assert np.abs(pacf[1:10]).max() < 0.03
 
 
+def firstcrossingacf_ref(x, threshold=0.0):
+    """Direct scalar translation of the reference's chunked scan
+    (src/StatsBase.jl:44-64), INCLUDING the chunk-boundary rule
+    (a = lastr of the CURRENT chunk when idx == 1)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    if n < 2:
+        return np.nan
+    L = min(100, n - 1)
+    d = x - x.mean()
+    denom = (d * d).sum()
+    if denom == 0:
+        return np.nan
+
+    def r_at(k):
+        return (d[:-k] * d[k:]).sum() / denom
+
+    r1 = np.sign(r_at(1))
+    th = threshold * r1
+    i = 1
+    lags = np.arange(1, L + 1)
+    while i * L < n:
+        r = np.array([r_at(int(k)) for k in lags]) * r1
+        lastr = r[-1]
+        below = r < th
+        if below.any():
+            idx = int(below.argmax()) + 1  # 1-based within chunk
+            b = r[idx - 1]
+            a = lastr if idx == 1 else r[idx - 2]
+            gidx = idx + (i - 1) * L
+            return gidx - 1 + (th - a) / (b - a)
+        lags = lags + L
+        i += 1
+    return np.nan
+
+
 class TestTimescale:
+    def test_matches_reference_scalar_scan(self):
+        # slow-decay AR(1)s whose crossings land past lag 100 (multi-chunk)
+        for seed, phi in [(0, 0.95), (1, 0.99), (2, 0.995), (3, 0.98)]:
+            r = np.random.default_rng(seed)
+            n = 2000
+            eps = r.normal(0, 1, n)
+            x = np.empty(n)
+            x[0] = 0.0
+            for t in range(1, n):
+                x[t] = phi * x[t - 1] + eps[t]
+            got = K.k_acf_timescale(ctx_of(x))[0]
+            want = firstcrossingacf_ref(x)
+            assert got == want or (np.isnan(got) and np.isnan(want)), \
+                (seed, got, want)
+
+    def test_chunk_boundary_quirk(self):
+        # cos(2*pi*t/402): ACF ~ cos(2*pi*k/402), first negative at lag
+        # 101 = the FIRST lag of the reference's second 100-lag chunk, so
+        # `a` must be the SAME chunk's last value (r[200]), not r[100]
+        t = np.arange(1000)
+        x = np.cos(2 * np.pi * t / 402.0)
+        got = K.k_acf_timescale(ctx_of(x))[0]
+        want = firstcrossingacf_ref(x)
+        assert np.isfinite(want)
+        assert got == want
+        # and the quirk is actually exercised: interpolating with r[100]
+        # (the sensible bracketing value) gives a DIFFERENT answer
+        d = x - x.mean()
+        dn = (d * d).sum()
+        r100 = (d[:-100] * d[100:]).sum() / dn
+        r101 = (d[:-101] * d[101:]).sum() / dn
+        sensible = 100 + (0.0 - r100) / (r101 - r100)
+        assert got != pytest.approx(sensible, abs=1e-6)
+
+    def test_tail_chunk_not_examined(self):
+        # n=150 -> lagchunks=100, chunk 2 needs 2*100 < 150 == false, so
+        # lags 101..149 are never scanned: a series whose ACF first
+        # crosses past lag 100 yields NaN (reference returns nothing).
+        # x = e0 + e1 - e148 - e149: r(1) = +1/2, r(k) = 0 for 2<=k<=146,
+        # first negative at r(147) = -1/4 — inside the unexamined tail.
+        n = 150
+        x = np.zeros(n)
+        x[0] = x[1] = 1.0
+        x[-1] = x[-2] = -1.0
+        d = x - x.mean()
+        r147 = (d[:-147] * d[147:]).sum() / (d * d).sum()
+        assert r147 < 0  # a full scan WOULD find a crossing
+        got = K.k_acf_timescale(ctx_of(x))[0]
+        want = firstcrossingacf_ref(x)
+        assert np.isnan(want) and np.isnan(got)
+
     def test_sine_known_crossing(self):
         # reference test/runtests.jl:447-453: sin(0.01:0.01:10) -> 161<tau<163
         x = np.sin(np.arange(0.01, 10.005, 0.01))
@@ -160,6 +313,59 @@ class TestRAD:
         want = rad_scalar(x, False)
         assert np.isclose(got, want, rtol=1e-12)
 
+    def test_rad_tau_matches_scalar(self):
+        # RAD(x, :τ, true) — src/StatsBase.jl:87-89: τ = round(Int,
+        # firstcrossingacf(z)) of the centered-abs series, banker's rounding
+        def rad_tau_scalar(z):
+            z = np.asarray(z, dtype=np.float64)
+            z = np.abs(z - np.median(z))
+            c = firstcrossingacf_ref(z)
+            if not np.isfinite(c):
+                return np.nan
+            tau = int(np.rint(c))
+            y, x = z[tau:], z[:-tau]
+            med = np.median(x)
+            sub = x < med
+            s_sup = np.std(x[~sub], ddof=1)
+            s_sub = np.std(x[sub], ddof=1)
+            return np.std(y - x, ddof=1) * (1 / s_sup - 1 / s_sub)
+
+        for seed in range(4):
+            r = np.random.default_rng(seed)
+            n = 600
+            eps = r.normal(0, 1, n)
+            x = np.empty(n)
+            x[0] = 0.0
+            for t in range(1, n):
+                x[t] = 0.9 * x[t - 1] + eps[t]
+            got = K.k_rad_tau(ctx_of(x))[0]
+            want = rad_tau_scalar(x)
+            if np.isnan(want):
+                assert np.isnan(got)
+            else:
+                assert np.isclose(got, want, rtol=1e-10), (seed, got, want)
+
+    def test_rad_tau_no_crossing_nan(self):
+        assert np.isnan(K.k_rad_tau(ctx_of(np.full(50, 2.0)))[0])
+
+
+class TestAmplitude:
+    def test_pure_tone_envelope(self):
+        # analytic amplitude of a unit tone is ~1 (away from edge effects)
+        t = np.arange(2000)
+        x = np.sin(2 * np.pi * t / 40)
+        mean_amp = K.k_amp_mean(ctx_of(x))[0]
+        std_amp = K.k_amp_std(ctx_of(x))[0]
+        assert abs(mean_amp - 1.0) < 0.02
+        assert std_amp < 0.1
+
+    def test_amplitude_scales_linearly(self):
+        t = np.arange(1000)
+        x = np.sin(2 * np.pi * t / 50)
+        a1 = K.k_amp_mean(ctx_of(x))[0]
+        a3 = K.k_amp_mean(ctx_of(3.0 * x))[0]
+        assert np.isclose(a3, 3.0 * a1, rtol=1e-9)
+
 
 class TestPhase:
     def test_plv_of_pure_tone_high(self):
@@ -243,6 +449,7 @@ class TestFirstCrossing:
     def test_no_crossing_nan(self):
         assert np.isnan(K.k_firstcrossing(ctx_of(np.ones(50)))[0])
 
-    def test_zero_start_nan(self):
+    def test_zero_start_returns_one(self):
+        # reference src/StatsBase.jl:34: first(r) == threshold -> 1
         x = np.zeros(10); x[5:] = 1.0
-        assert np.isnan(K.k_firstcrossing(ctx_of(x))[0])
+        assert K.k_firstcrossing(ctx_of(x))[0] == 1.0

@@ -106,3 +106,44 @@ def test_dedup_fast_equals_slow_bitexact():
         ctx = K.WindowCtx(X, n)
         slow = f.method(ctx)
         assert np.array_equal(fast[f.name], slow, equal_nan=True)
+
+
+def test_user_registered_super_feature():
+    """Public SuperFeature API (reference src/SuperFeatures.jl:31-49):
+    register a custom shared transform once, hang two leaves off it, and
+    verify (a) values, (b) merge-naming, (c) the super runs ONCE per batch."""
+    from tsf.registry import FeatureSet, register_intermediate, super_feature
+
+    calls = {"n": 0}
+
+    def my_super(ctx):
+        calls["n"] += 1
+        # first difference, NaN-padded to window width
+        d = np.diff(ctx.X, axis=1)
+        out = np.full_like(ctx.X, np.nan)
+        out[:, :-1] = d
+        out[np.arange(ctx.X.shape[1])[None, :] >= (ctx.n[:, None] - 1)] = np.nan
+        return out
+
+    f_mean = super_feature(lambda s: np.nanmean(s, axis=1),
+                           "mean", "absdiff_t", my_super, merge=True)
+    f_max = super_feature(lambda s: np.nanmax(s, axis=1),
+                          "max", "absdiff_t", merge=True)
+    assert f_mean.name == "mean_absdiff_t"  # SuperFeatures.jl:34 naming
+    assert f_max.name == "max_absdiff_t"
+
+    X = rng.normal(0, 1, (10, 50))
+    n = np.full(10, 50)
+    out = FeatureSet([f_mean, f_max]).evaluate(X, n)
+    assert calls["n"] == 1  # CSE: one super pass for both leaves
+    want_mean = np.diff(X, axis=1).mean(axis=1)
+    np.testing.assert_allclose(out["mean_absdiff_t"], want_mean, rtol=1e-12)
+
+    # double registration with a DIFFERENT fn is refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        register_intermediate("absdiff_t", lambda ctx: ctx.X)
+    # unknown super without a fn is refused
+    with _pytest.raises(KeyError):
+        super_feature(lambda s: s[:, 0], "x", "nope_super")
+    del K.INTERMEDIATES["absdiff_t"]  # leave the global registry clean

@@ -81,7 +81,7 @@ def test_stream_with_ledger(spark, tmp_path, seq_batches):
     ledger = spark.read.parquet(led).toPandas()
     assert len(ledger) > 0
     assert (ledger["tier"] == 0).all()
-    written = spark.read.parquet(data).drop("tier_p", "partition_id").toPandas()
+    written = spark.read.parquet(data).drop("tier_p", "partition_id", "batch_id").toPandas()
     want = tier0(spark.read.parquet(d), _fs()).toPandas()
     _assert_same(written, want)
 
@@ -103,3 +103,38 @@ def test_stream_watermarked_window_counts(spark, sf001, tmp_path):
             .groupBy("event_type").count().toPandas()
             .set_index("event_type")["count"])
     assert got.sort_index().equals(want.sort_index().astype(got.dtype))
+
+
+def test_stream_ledger_multiple_batches_no_data_loss(spark, tmp_path, seq_batches):
+    """Regression: a later micro-batch whose docs hash into an
+    already-written bucket must NOT replace that bucket's earlier rows
+    (round-1 defect: dynamic overwrite on (tier, partition_id) destroyed
+    prior batches; ledger claimed buckets whose data was gone)."""
+    d, s1, s2 = seq_batches
+    data = str(tmp_path / "data")
+    led = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt3")
+
+    s1.write.mode("append").parquet(d)
+    q = streaming.stream_tier0_with_ledger(spark, d, data, led, ckpt,
+                                           n_buckets=8, features=_fs())
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(data).count()
+
+    s2.write.mode("append").parquet(d)
+    q = streaming.stream_tier0_with_ledger(spark, d, data, led, ckpt,
+                                           n_buckets=8, features=_fs())
+    q.awaitTermination(180)
+
+    # union on disk equals a batch run over BOTH arrival sets
+    written = spark.read.parquet(data).drop(
+        "tier_p", "partition_id", "batch_id").toPandas()
+    want = tier0(spark.read.parquet(d), _fs()).toPandas()
+    assert len(written) > n1
+    _assert_same(written, want)
+
+    # ledger has per-(bucket, batch) lineage rows, all with real batch ids
+    ledger = spark.read.parquet(led).toPandas()
+    assert (ledger["batch_id"] >= 0).all()
+    assert ledger.groupby("batch_id").size().shape[0] >= 2
+    assert not ledger.duplicated(["tier", "partition_id", "batch_id"]).any()

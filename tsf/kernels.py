@@ -6,12 +6,11 @@ reimplementation, no code copied):
 - ACF: biased, demeaned autocorrelation, StatsBase convention
   (``/root/reference/src/StatsBase.jl:6-8``): ``r(k) = sum_{t<=n-k}
   (x_t - mu)(x_{t+k} - mu) / sum_t (x_t - mu)^2``, lags 1..40.
-- PACF: partial autocorrelation (``/root/reference/src/StatsBase.jl:17-19``).
-  Deviation (documented): the reference delegates to StatsBase
-  ``method=:regression`` (per-lag OLS); we use the Levinson-Durbin
-  recursion on the biased ACF, which is vectorizable across windows.
-  Our pytest oracle (`tsf.oracle`) implements the identical recursion, so
-  the engine's bit-exactness contract is preserved.
+- PACF: partial autocorrelation via the reference's StatsBase
+  ``method=:regression`` per-lag OLS (``/root/reference/src/StatsBase.jl:
+  17-19``, bound in ``ext/StatsBaseExt.jl:6``), vectorized across windows
+  with prefix-sum normal equations (see ``_pacf``). Under-determined or
+  singular systems return NaN where the reference raises.
 - firstcrossing / firstcrossingacf: sign-corrected first threshold
   crossing of the ACF with linear interpolation between bracketing lags
   (``/root/reference/src/StatsBase.jl:29-64``). The reference's chunked
@@ -143,14 +142,19 @@ def _acf_denom(ctx: WindowCtx) -> np.ndarray:
 def _acf_lags(ctx: WindowCtx, maxlag: int) -> np.ndarray:
     """Biased demeaned ACF at lags 1..maxlag, direct lag-loop — exact-order
     stable (unlike FFT round-off) and identical per-row regardless of which
-    other rows share the batch. Lags >= n are NaN; zero variance -> NaN."""
+    other rows share the batch. Lags >= n are NaN; zero variance -> NaN.
+
+    Always returns ``maxlag`` columns: lags past the matrix width are
+    NaN-padded (matching the reference's NaN for lag >= n), so requesting
+    e.g. ac_40 on a 20-wide window yields NaN instead of an IndexError."""
     d = ctx.get("demeaned")
     nw, W = d.shape
     denom = ctx.get("acf_denom")
-    maxlag = max(1, min(maxlag, W - 1))
+    maxlag = max(1, maxlag)
+    eff = min(maxlag, W - 1)  # computable lags; the rest stay NaN
     out = np.full((nw, maxlag), np.nan)
     with np.errstate(invalid="ignore", divide="ignore"):
-        for k in range(1, maxlag + 1):
+        for k in range(1, eff + 1):
             num = (d[:, :-k] * d[:, k:]).sum(axis=1)
             out[:, k - 1] = num / denom
     lag_idx = np.arange(1, maxlag + 1)
@@ -165,33 +169,94 @@ def _acf(ctx: WindowCtx) -> np.ndarray:
 
 
 def _pacf(ctx: WindowCtx) -> np.ndarray:
-    """PACF at lags 1..K via Levinson-Durbin, vectorized across windows
-    AND across the recursion's inner loop (see module docstring for the
-    documented deviation from the reference's :regression method)."""
-    K = ctx.req.get("pacf", PACF_MAX_LAG)
-    acf = _acf_lags(ctx, K) if K > ctx.req.get("acf", ACF_MAX_LAG) \
-        else ctx.get("acf")[:, :K]
-    nw = ctx.nw
+    """PACF at lags 1..K via the reference's ``:regression`` method
+    (``/root/reference/src/StatsBase.jl:17-19`` binds StatsBase
+    ``pacf(x, lags; method = :regression)`` through
+    ``ext/StatsBaseExt.jl:6``): for each lag ``l``, OLS-fit
+    ``x_t ~ [1, x_{t-1}, ..., x_{t-l}]`` over ``t = l..n-1`` (0-based) and
+    take the coefficient on ``x_{t-l}``. No demeaning — the intercept
+    column absorbs the mean, exactly as StatsBase's design matrix of ones.
+
+    Vectorized across windows: every normal-equation entry is a
+    range-restricted lag co-sum ``sum_{t=l}^{n-1} x_{t-i} x_{t-j}`` read
+    as a difference of two prefix-sum table entries (O(K*W) tables, O(K^3)
+    gathers — no per-window Python). Lags 1 and 2 use explicit closed
+    forms whose float operation order mirrors the DuckDB oracle SQL
+    bit-for-bit on integer inputs; lags >= 3 use a batched PD solve.
+
+    NaN when the system is under-determined (n < 2l+1) or singular
+    (constant window) — the reference errors (Cholesky PosDefException)
+    in those cases; NaN is the engine's documented total-function stance.
+    """
+    K = max(1, ctx.req.get("pacf", PACF_MAX_LAG))
+    X, n = ctx.X, ctx.n
+    nw, W = X.shape
     out = np.full((nw, K), np.nan)
-    # r[0]=1, r[k]=acf[k-1]
-    r = np.concatenate([np.ones((nw, 1)), acf[:, :K]], axis=1)
-    phi = np.zeros((nw, K + 1))
-    err = np.ones(nw)
+    K_eff = min(K, (W - 1) // 2)  # n >= 2l+1 is impossible past this
+    if K_eff < 1:
+        return out
+    rows = np.arange(nw)
+    # prefix tables over the zero-padded matrix (pads only ever contribute
+    # zeros past each row's n, and gathers never index past n)
+    P1 = np.zeros((nw, W + 1))
+    np.cumsum(X, axis=1, out=P1[:, 1:])
+    Pd = np.zeros((nw, K_eff + 1, W + 1))
+    for d in range(K_eff + 1):
+        np.cumsum(X[:, :W - d] * X[:, d:], axis=1, out=Pd[:, d, 1:W - d + 1])
+
+    def sv(j: int, l: int) -> np.ndarray:
+        # sum_{t=l}^{n-1} x_{t-j}
+        hi = np.clip(n - j, 0, W)
+        lo = np.clip(l - j, 0, W)
+        return P1[rows, hi] - P1[rows, lo]
+
+    def qq(i: int, j: int, l: int) -> np.ndarray:
+        # sum_{t=l}^{n-1} x_{t-i} x_{t-j}
+        d, M = abs(i - j), max(i, j)
+        hi = np.clip(n - M, 0, W)
+        lo = np.clip(l - M, 0, W)
+        return Pd[rows, d, hi] - Pd[rows, d, lo]
+
     with np.errstate(invalid="ignore", divide="ignore"):
-        for k in range(1, K + 1):
-            if k == 1:
-                kappa = r[:, 1] / err
-            else:
-                # acc = r_k - sum_{j=1..k-1} phi_j r_{k-j}, vectorized
-                acc = r[:, k] - (phi[:, 1:k] * r[:, k - 1:0:-1]).sum(axis=1)
-                kappa = acc / err
-            if k > 1:
-                phi[:, 1:k] = phi[:, 1:k] - kappa[:, None] * phi[:, k - 1:0:-1]
-            phi[:, k] = kappa
-            err = err * (1.0 - kappa * kappa)
-            out[:, k - 1] = kappa
-    lag_idx = np.arange(1, K + 1)
-    out[lag_idx[None, :] >= ctx.n[:, None]] = np.nan
+        # ---- lag 1: OLS slope closed form (mirrors the SQL oracle) ----
+        m = (n - 1).astype(np.float64)
+        sa, sb = sv(1, 1), sv(0, 1)
+        num = m * qq(0, 1, 1) - sa * sb
+        den = m * qq(1, 1, 1) - sa * sa
+        ok = (n >= 3) & (den != 0.0)
+        out[:, 0] = np.where(ok, num / den, np.nan)
+        if K_eff >= 2:
+            # ---- lag 2: Cramer closed form on m-scaled centered sums ----
+            m = (n - 2).astype(np.float64)
+            sy, sa, sv2 = sv(0, 2), sv(1, 2), sv(2, 2)
+            caa = m * qq(1, 1, 2) - sa * sa
+            cvv = m * qq(2, 2, 2) - sv2 * sv2
+            cav = m * qq(1, 2, 2) - sa * sv2
+            cay = m * qq(0, 1, 2) - sa * sy
+            cvy = m * qq(0, 2, 2) - sv2 * sy
+            den = caa * cvv - cav * cav
+            num = caa * cvy - cav * cay
+            ok = (n >= 5) & (den != 0.0)
+            out[:, 1] = np.where(ok, num / den, np.nan)
+        # ---- lags >= 3: batched normal-equations solve ----
+        for l in range(3, K_eff + 1):
+            p = l + 1
+            A = np.empty((nw, p, p))
+            b = np.empty((nw, p))
+            A[:, 0, 0] = (n - l).astype(np.float64)
+            b[:, 0] = sv(0, l)
+            for j in range(1, p):
+                A[:, 0, j] = A[:, j, 0] = sv(j, l)
+                b[:, j] = qq(0, j, l)
+                for i in range(1, j + 1):
+                    A[:, i, j] = A[:, j, i] = qq(i, j, l)
+            ok = n >= 2 * l + 1
+            sign, _ = np.linalg.slogdet(np.where(ok[:, None, None], A, np.eye(p)))
+            ok &= sign > 0  # Gram is PSD; sign>0 <=> PD <=> unique OLS
+            coef = np.linalg.solve(
+                np.where(ok[:, None, None], A, np.eye(p)),
+                np.where(ok[:, None], b, 0.0))
+            out[:, l - 1] = np.where(ok, coef[:, l], np.nan)
     return out
 
 
@@ -300,50 +365,91 @@ def k_pacf(lag: int):
     return f
 
 
-def k_acf_timescale(ctx: WindowCtx) -> np.ndarray:
-    """firstcrossingacf(x, 0): sign-corrected first zero crossing of the
-    ACF with linear interpolation, computed in lag chunks with early exit
-    across the batch — the reference's own strategy (src/StatsBase.jl:44-64),
-    vectorized over the rows that have not yet crossed. Per-lag values are
-    bit-identical to a full ACF pass (each lag's sum is independent)."""
-    d = ctx.get("demeaned")
-    nw, W = d.shape
-    denom = ctx.get("acf_denom")
+def _first_crossing_acf(X: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """firstcrossingacf(x, 0) per row of the zero-padded matrix ``X`` with
+    true lengths ``n`` — reference-faithful (src/StatsBase.jl:44-64):
+
+    - lag chunks of ``L = min(100, n-1)``; lags are only examined while
+      ``chunk_index * L < n``, so the trailing partial chunk is never
+      scanned (a crossing there returns NaN, as the reference returns
+      ``nothing``);
+    - sign correction by the sign of AC_1 (anticorrelated series search
+      for the first upward crossing);
+    - linear interpolation between the bracketing lags, INCLUDING the
+      reference's chunk-boundary rule: when the first sub-threshold lag is
+      the FIRST lag of a chunk, ``a`` is that same chunk's LAST ACF value
+      (``a = idx == 1 ? lastr : r[idx-1]`` with ``lastr = r[end]`` of the
+      current chunk — reproduced exactly, quirk and all).
+
+    The scan itself uses small adaptive lag chunks with batch early exit
+    (an optimization only: each lag's sum is independent, so values are
+    bit-identical to the reference's 100-lag recomputes)."""
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    n = np.asarray(n, dtype=np.int64)
+    nw, W = X.shape
     out = np.full(nw, np.nan)
-    rows = np.nonzero((denom > 0.0) & (ctx.n > 1))[0]
+    if W < 2:
+        return out
+    mask = np.arange(W)[None, :] < n[:, None]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mu = np.where(n > 0, (X * mask).sum(axis=1) / n, 0.0)
+    d = np.where(mask, X - mu[:, None], 0.0)
+    denom = (d * d).sum(axis=1)
+    L = np.maximum(np.minimum(100, n - 1), 1)  # reference lagchunks
+    cap = L * ((n - 1) // L)                   # last lag ever examined
+    rows = np.nonzero((denom > 0.0) & (n > 1))[0]
     sign = np.zeros(nw)
     prev_val = np.full(nw, np.nan)  # last sign-corrected value per live row
-    # adaptive chunk: most windows cross within a few lags, so start small
-    # and grow — same early-exit idea as the reference's 100-lag chunks
-    CH, k, maxlag = 8, 1, W - 1
+    CH, k = 8, 1
     with np.errstate(invalid="ignore", divide="ignore"):
-        while k <= maxlag and rows.size:
-            k1 = min(k + CH - 1, maxlag)
+        while rows.size and k <= int(cap[rows].max()):
+            k1 = k + CH - 1
             CH = min(CH * 2, 64)
             sub = d[rows]
             dn = denom[rows]
             Rs = np.empty((rows.size, k1 - k + 1))
             for j, kk in enumerate(range(k, k1 + 1)):
-                Rs[:, j] = (sub[:, :-kk] * sub[:, kk:]).sum(axis=1) / dn
+                if kk >= W:
+                    Rs[:, j] = np.nan
+                else:
+                    Rs[:, j] = (sub[:, :-kk] * sub[:, kk:]).sum(axis=1) / dn
             if k == 1:
                 sign[rows] = np.sign(Rs[:, 0])
             Rs *= sign[rows, None]
             lag_of_col = np.arange(k, k1 + 1)
-            Rs[lag_of_col[None, :] >= ctx.n[rows][:, None]] = np.nan
+            Rs[lag_of_col[None, :] > cap[rows][:, None]] = np.nan
             below = Rs < 0.0  # NaN compares False -> never a crossing
             has = below.any(axis=1)
             i = below.argmax(axis=1)[has]  # first True, 0-based in chunk
             hit = rows[has]
             b = Rs[has, i]
-            # a = previous sign-corrected value; at global lag 1 the
-            # reference's guard is unreachable (|AC_1| >= 0) -> NaN.
+            # a = previous sign-corrected value (tracked across adaptive
+            # chunks); at global lag 1 the guard is unreachable (|AC_1|>=0)
             a = np.where(i > 0, Rs[has, np.maximum(i - 1, 0)], prev_val[hit])
-            out[hit] = (k - 1 + i) + (0.0 - a) / (b - a)
+            g = k + i  # global crossing lag per hit row
+            # reference chunk-boundary quirk: crossing at the first lag of
+            # a 100-lag chunk reads `a` from that chunk's LAST lag. Only
+            # L=100 rows can hit this (single-chunk rows have cap <= L),
+            # and an adaptive chunk (<=64 lags) contains at most one such
+            # boundary, so the boundary lag is shared by all bnd rows.
+            bnd = (g > 1) & ((g - 1) % L[hit] == 0)
+            if bnd.any():
+                c = int(g[bnd][0] + 99)  # chunk end = g + L - 1, L == 100
+                br = hit[bnd]
+                a = a.copy()
+                a[bnd] = ((d[br, :W - c] * d[br, c:]).sum(axis=1)
+                          / denom[br]) * sign[br]
+            out[hit] = (g - 1) + (0.0 - a) / (b - a)
             rows = rows[~has]
             prev_val[rows] = Rs[~has, -1]
-            rows = rows[ctx.n[rows] - 1 > k1]  # exhausted all defined lags
+            rows = rows[cap[rows] > k1]  # exhausted all examined lags
             k = k1 + 1
     return out
+
+
+def k_acf_timescale(ctx: WindowCtx) -> np.ndarray:
+    """firstcrossingacf(x, 0) of the raw window (src/StatsBase.jl:44-64)."""
+    return _first_crossing_acf(ctx.X, ctx.n)
 
 
 def k_firstcrossing(ctx: WindowCtx) -> np.ndarray:
@@ -364,6 +470,9 @@ def k_firstcrossing(ctx: WindowCtx) -> np.ndarray:
         b = Rs[rows, i]
         a = np.where(i > 0, Rs[rows, np.maximum(i - 1, 0)], np.nan)
         out[rows] = i + (0.0 - a) / (b - a)
+    # first(r) == threshold -> 1 (reference src/StatsBase.jl:34: the
+    # `elseif first(r) == threshold` branch returns position 1 outright)
+    out[Xn[:, 0] == 0.0] = 1.0
     return out
 
 
@@ -452,12 +561,19 @@ def _masked_std1(x0: np.ndarray, x2: np.ndarray, m: np.ndarray) -> np.ndarray:
     return out
 
 
-def _rad(ctx: WindowCtx, do_abs: bool) -> np.ndarray:
-    """RAD(x, tau=1, doAbs) — src/StatsBase.jl:81-107, vectorized with
-    NaN-masked median splits."""
+def _rad(ctx: WindowCtx, do_abs: bool, tau: str | int = 1) -> np.ndarray:
+    """RAD(x, tau, doAbs) — src/StatsBase.jl:81-107, vectorized with
+    NaN-masked median splits.
+
+    ``tau`` is an integer delay, or ``"acf"`` for the reference's ``:τ``
+    mode (src/StatsBase.jl:87-89): the embedding delay becomes the
+    banker's-rounded first ACF zero crossing of the (already centered/abs)
+    series; rows with no crossing are NaN (the reference's
+    ``round(Int, nothing)`` raises)."""
     Xn = ctx.get("xnan")
-    if Xn.shape[1] < 2:
-        return np.full(ctx.nw, np.nan)
+    nw, W = Xn.shape
+    if W < 2:
+        return np.full(nw, np.nan)
     short = ctx.n < 3  # emitted as NaN below; zero-fill avoids all-NaN warnings
     if short.any():
         Xn = np.where(short[:, None], 0.0, Xn)
@@ -467,11 +583,23 @@ def _rad(ctx: WindowCtx, do_abs: bool) -> np.ndarray:
             Z = np.abs(Xn - med[:, None])
         else:
             Z = Xn
-        # delay embed at tau=1: x = z[:-1], y = z[1:], per valid length n
-        # (position n-1 belongs to y only — mask it out of x)
-        x = Z[:, :-1].copy()
-        x[np.arange(ctx.W - 1)[None, :] >= (ctx.n - 1)[:, None]] = np.nan
-        y = Z[:, 1:]
+        if tau == "acf":
+            cr = _first_crossing_acf(np.where(np.isfinite(Z), Z, 0.0), ctx.n)
+            t = np.rint(cr)  # banker's rounding == Julia round(Int, .)
+            bad_tau = ~np.isfinite(t) | (t < 1)
+            t = np.where(bad_tau, 1, t).astype(np.int64)
+        else:
+            t = np.full(nw, int(tau), dtype=np.int64)
+            bad_tau = np.zeros(nw, dtype=bool)
+        t = np.minimum(t, W - 1)
+        # delay embed at per-row tau: x_i = z_i (i < n - tau), y_i = z_{i+tau}
+        idx = np.arange(W)[None, :]
+        valid = idx < (ctx.n - t)[:, None]
+        x = np.where(valid, Z, np.nan)
+        y = np.where(valid,
+                     np.take_along_axis(Z, np.minimum(idx + t[:, None], W - 1),
+                                        axis=1),
+                     np.nan)
         medx = _nanmedian_rows(x)
         fin = np.isfinite(x)
         sub = x < medx[:, None]          # NaN -> False
@@ -484,6 +612,7 @@ def _rad(ctx: WindowCtx, do_abs: bool) -> np.ndarray:
         sigma_dx = _nanstd1(y - x)
         out = sigma_dx * (1.0 / sup_sd - 1.0 / sub_sd)
     out[ctx.n < 3] = np.nan
+    out[bad_tau] = np.nan
     return out
 
 
@@ -493,6 +622,28 @@ def k_rad(ctx: WindowCtx) -> np.ndarray:
 
 def k_rad_raw(ctx: WindowCtx) -> np.ndarray:
     return _rad(ctx, False)
+
+
+def k_rad_tau(ctx: WindowCtx) -> np.ndarray:
+    """RAD(x, :τ, true): delay = rounded first ACF zero crossing of the
+    centered-abs series (src/StatsBase.jl:87-89)."""
+    return _rad(ctx, True, tau="acf")
+
+
+def k_amp_mean(ctx: WindowCtx) -> np.ndarray:
+    """Mean of the analytic amplitude (scalar leaf over the reference's
+    Analytic_Amplitude vector feature, ext/DSPExt.jl:13-15)."""
+    am = ctx.get("analytic_amplitude")
+    cnt = np.isfinite(am).sum(axis=1).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.nansum(am, axis=1) / cnt
+    out[cnt == 0] = np.nan
+    return out
+
+
+def k_amp_std(ctx: WindowCtx) -> np.ndarray:
+    """ddof=1 SD of the analytic amplitude."""
+    return _nanstd1(ctx.get("analytic_amplitude"))
 
 
 def k_plv_phase(ctx: WindowCtx) -> np.ndarray:

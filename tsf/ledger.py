@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 LEDGER_SCHEMA = ("tier int, partition_id int, watermark bigint, checksum string, "
                  "rows_out bigint, wall_ms bigint, points_per_sec double, "
-                 "attempt int, committed_at timestamp")
+                 "attempt int, committed_at timestamp, batch_id bigint")
 
 
 def with_partition_id(seq: DataFrame, n_buckets: int) -> DataFrame:
@@ -45,12 +45,18 @@ def checksum_expr(cols: list[str]):
     return F.sum(F.xxhash64(*cols).cast("decimal(30,0)")).cast("string")
 
 
-def load_done(spark: SparkSession, ledger_path: str, tier: int) -> DataFrame | None:
+def load_done(spark: SparkSession, ledger_path: str, tier: int,
+              batch_id: int | None = None) -> DataFrame | None:
     try:
         led = spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path)
     except Exception:
         return None
-    return led.where(F.col("tier") == tier).select("partition_id").distinct()
+    led = led.where(F.col("tier") == tier)
+    if batch_id is not None:
+        # streaming: done-ness is per (bucket, micro-batch) — a bucket
+        # committed by an EARLIER batch is still due in this one
+        led = led.where(F.col("batch_id") == batch_id)
+    return led.select("partition_id").distinct()
 
 
 def run_tier_with_ledger(spark: SparkSession,
@@ -58,31 +64,46 @@ def run_tier_with_ledger(spark: SparkSession,
                          tier: int,
                          data_path: str,
                          ledger_path: str,
-                         checksum_cols: list[str] | None = None) -> int:
+                         checksum_cols: list[str] | None = None,
+                         batch_id: int | None = None) -> int:
     """Write `rollup_df` (must carry partition_id) bucket-by-bucket with
     ledger commits. Returns number of buckets processed this run.
 
     `rollup_df` must already be filtered to not-done buckets by the caller
     (see :func:`resumable_rollup` for the full loop).
+
+    Batch mode (``batch_id=None``): dynamic partition overwrite on
+    (tier, partition_id) — a re-run of a bucket that died mid-write
+    replaces its incomplete output.
+
+    Streaming mode (``batch_id`` set, from ``foreachBatch``): the
+    micro-batch id joins the partition spec, so each batch owns its own
+    physical partitions — a REPLAYED batch (at-least-once foreachBatch)
+    overwrites only itself (idempotent), while later batches whose docs
+    hash into already-written buckets APPEND new partitions instead of
+    destroying earlier batches' data. Ledger rows are keyed by
+    (tier, partition_id, batch_id).
     """
     t0 = time.time()
     csum_cols = checksum_cols or ["doc_id", "window_id", "cnt", "sum_tok", "mean"]
-    df = rollup_df.withColumn("tier_p", F.lit(tier))
+    bid = -1 if batch_id is None else int(batch_id)
+    df = (rollup_df.withColumn("tier_p", F.lit(tier))
+          .withColumn("batch_id", F.lit(bid).cast("bigint")))
     (df.write.mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
-       .partitionBy("tier_p", "partition_id")
+       .partitionBy("tier_p", "batch_id", "partition_id")
        .parquet(data_path))
     wall_ms = int((time.time() - t0) * 1000)
     # ledger rows from the committed data (reading back = lineage of what
     # is actually on disk, not what we intended to write)
     written = (spark.read.parquet(data_path)
-               .where(F.col("tier_p") == tier))
+               .where((F.col("tier_p") == tier) & (F.col("batch_id") == bid)))
     stats = (written.groupBy("partition_id")
              .agg(F.max("window_id").alias("watermark"),
                   checksum_expr(csum_cols).alias("checksum"),
                   F.count("*").alias("rows_out"),
                   F.sum("cnt").alias("points")))
-    done = load_done(spark, ledger_path, tier)
+    done = load_done(spark, ledger_path, tier, batch_id)
     if done is not None:
         stats = stats.join(F.broadcast(done), "partition_id", "left_anti")
     ledger_rows = stats.select(
@@ -95,7 +116,8 @@ def run_tier_with_ledger(spark: SparkSession,
         (F.col("points") / F.greatest(F.lit(1), F.lit(wall_ms)) * 1000.0
          ).cast("double").alias("points_per_sec"),
         F.lit(1).alias("attempt"),
-        F.current_timestamp().alias("committed_at"))
+        F.current_timestamp().alias("committed_at"),
+        F.lit(bid).cast("bigint").alias("batch_id"))
     n = ledger_rows.count()
     ledger_rows.write.mode("append").parquet(ledger_path)
     return n

@@ -25,6 +25,7 @@ audio for odd.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Iterator
 
@@ -37,6 +38,12 @@ try:  # pragma: no cover - codec not present in this container
     _HAS_CODEC = True
 except ImportError:
     _HAS_CODEC = False
+
+#: the deterministic-fake decode is the DEFAULT even when an imaging
+#: library happens to be importable — merely installing PIL must not
+#: break media_features/frame_sample. Wiring a real codec is an explicit
+#: opt-in (TSF_REAL_DECODE=1) and still requires _HAS_CODEC.
+_REAL_DECODE = _HAS_CODEC and os.environ.get("TSF_REAL_DECODE") == "1"
 
 MAGIC_IMAGE = b"TSFI"
 MAGIC_AUDIO = b"TSFA"
@@ -116,7 +123,7 @@ def decode_image(blob: bytes, max_pixels: int | None = None) -> np.ndarray:
     if max_pixels is not None:
         h = max(1, min(h, max_pixels // max(w * c, 1)))
     payload = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size)
-    if _HAS_CODEC:  # pragma: no cover
+    if _REAL_DECODE:  # pragma: no cover — explicit opt-in once a codec is wired
         raise NotImplementedError("real codec decode not wired in this sandbox")
     if payload.size == 0:
         payload = np.zeros(1, dtype=np.uint8)

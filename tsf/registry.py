@@ -149,8 +149,6 @@ class FeatureSet:
         for f in self:
             if f.lag is not None and f.super is not None:
                 req[f.super] = max(req.get(f.super, 0), f.lag)
-        if "pacf" in req:  # Levinson-Durbin consumes the ACF up to its lag
-            req["acf"] = max(req.get("acf", 0), req["pacf"])
         nw = X.shape[0]
         if nw <= self.TILE_ROWS:
             ctx = K.WindowCtx(X, n, req=req)
@@ -185,6 +183,49 @@ class FeatureSet:
             if f.super is not None and f.super not in seen:
                 seen.append(f.super)
         return seen
+
+
+def register_intermediate(name: str, fn: Callable[[K.WindowCtx], np.ndarray],
+                          overwrite: bool = False) -> None:
+    """Register a shared transform ("super") under ``name``.
+
+    ``fn`` receives the batch :class:`~tsf.kernels.WindowCtx` (raw window
+    matrix ``ctx.X``, lengths ``ctx.n``, and any other cached
+    intermediate via ``ctx.get``) and returns an array whose leading dim
+    is the window count. Every leaf that names this super shares ONE
+    evaluation per batch — the reference's ``unique``/``indexin`` CSE
+    (src/SuperFeatures.jl:96-110)."""
+    if name in K.INTERMEDIATES and K.INTERMEDIATES[name] is not fn \
+            and not overwrite:
+        raise ValueError(f"intermediate {name!r} already registered")
+    K.INTERMEDIATES[name] = fn
+
+
+def super_feature(leaf_fn: Callable[[np.ndarray], np.ndarray],
+                  name: str,
+                  super_name: str,
+                  super_fn: Callable[[K.WindowCtx], np.ndarray] | None = None,
+                  *, merge: bool = False, description: str = "",
+                  keywords: tuple[str, ...] = ()) -> Feature:
+    """User-facing SuperFeature construction (reference
+    ``src/SuperFeatures.jl:31-49``): ``leaf_fn`` consumes the shared
+    transform's output; ``merge=True`` reproduces the reference's merged
+    naming ``Symbol(name, "_", super)`` (src/SuperFeatures.jl:34-36).
+
+    ``super_fn`` may be omitted when the super is already registered
+    (built-in intermediates like ``"z"``, ``"acf"``, ``"analytic_phase"``,
+    or a prior :func:`register_intermediate`)."""
+    if super_fn is not None:
+        register_intermediate(super_name, super_fn)
+    elif super_name not in K.INTERMEDIATES:
+        raise KeyError(f"unknown super {super_name!r}; pass super_fn")
+    if merge:
+        name = f"{name}_{super_name}"
+
+    def method(ctx: K.WindowCtx) -> np.ndarray:
+        return np.asarray(leaf_fn(ctx.get(super_name)), dtype=np.float64)
+
+    return Feature(name, method, description, keywords, super=super_name)
 
 
 def _lift(x) -> "FeatureSet":
@@ -255,6 +296,16 @@ def catalogue() -> FeatureSet:
     fs.append(Feature("rad_raw", K.k_rad_raw,
                       "CR_RAD_raw, uncentered (src/StatsBase.jl:112-114)",
                       ("criticality",)))
+    fs.append(Feature("rad_tau", K.k_rad_tau,
+                      "RAD(x, :τ, true): delay = rounded first ACF zero "
+                      "crossing (src/StatsBase.jl:87-89)", ("criticality",)))
+    fs.append(Feature("analytic_amp_mean", K.k_amp_mean,
+                      "Mean analytic amplitude (Analytic_Amplitude leaf, "
+                      "ext/DSPExt.jl:13-15)", ("amplitude",),
+                      super="analytic_amplitude"))
+    fs.append(Feature("analytic_amp_std", K.k_amp_std,
+                      "SD (ddof=1) of the analytic amplitude",
+                      ("amplitude",), super="analytic_amplitude"))
     fs.append(Feature("plv_phase", K.k_plv_phase,
                       "Phase-locking value of the analytic phase "
                       "(ext/DSPExt.jl:36-40)", ("phase",), super="analytic_phase"))

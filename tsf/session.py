@@ -75,7 +75,11 @@ def get_spark(app_name: str = "tsf",
     # cores — measured 2-4x slowdown + erratic latency on UDF stages.
     # task.cpus=2 co-schedules the pair (a real cluster instead sizes
     # executors at 1 python worker per core with their own memory bus).
-    if master.startswith("local") and cores >= 16 and "spark.task.cpus" not in (extra or {}):
+    # local[N] only — NOT local-cluster[...]: in a scaling pair one side
+    # crossing the cores>=16 line would halve its task slots and corrupt
+    # the N-vs-4N efficiency comparison (bench/scaling.py pins
+    # TSF_TASK_CPUS itself for both sizes).
+    if master.startswith("local[") and cores >= 16 and "spark.task.cpus" not in (extra or {}):
         builder = builder.config(
             "spark.task.cpus", os.environ.get("TSF_TASK_CPUS", "2"))
     for k, v in (extra or {}).items():

@@ -131,9 +131,17 @@ def series_pairwise_pearson(rollup: DataFrame, window: int,
                      F.col("b.doc_id").alias("doc_b"))
             .agg(F.count("*").alias("n_overlap"),
                  F.sum("a.s").alias("sum_a"), F.sum("b.s").alias("sum_b"),
-                 F.sum(F.col("a.s") * F.col("b.s")).alias("sum_ab"),
-                 F.sum(F.col("a.s") * F.col("a.s")).alias("sum_aa"),
-                 F.sum(F.col("b.s") * F.col("b.s")).alias("sum_bb"))
+                 # products of int64 window sums can exceed int64 (window *
+                 # token_max ~ 3e9 already wraps); decimal(19,0) operands
+                 # make the product decimal(38,0) — exact for ANY two
+                 # bigints, no silent wraparound (DuckDB oracle mirrors
+                 # with HUGEINT). Cast to double only at the final formula.
+                 F.sum(F.col("a.s").cast("decimal(19,0)")
+                       * F.col("b.s").cast("decimal(19,0)")).alias("sum_ab"),
+                 F.sum(F.col("a.s").cast("decimal(19,0)")
+                       * F.col("a.s").cast("decimal(19,0)")).alias("sum_aa"),
+                 F.sum(F.col("b.s").cast("decimal(19,0)")
+                       * F.col("b.s").cast("decimal(19,0)")).alias("sum_bb"))
             .where(F.col("n_overlap") >= min_overlap)
             .select("source", "doc_a", "doc_b", "n_overlap",
                     F.round(pearson, 6).alias("pearson"),

@@ -97,7 +97,10 @@ def stream_tier0_with_ledger(spark: SparkSession, input_dir: str,
         rolled = tier0_stream_df(seq.drop("partition_id"), feats, window) \
             .join(F.broadcast(seq.select("doc_id", "partition_id").distinct()),
                   "doc_id")
-        L.run_tier_with_ledger(spark, rolled, 0, data_path, ledger_path)
+        # batch_id in the ledger key + partition spec: a replayed batch is
+        # idempotent, a later batch never clobbers earlier buckets
+        L.run_tier_with_ledger(spark, rolled, 0, data_path, ledger_path,
+                               batch_id=batch_id)
 
     return (read_sequence_stream(spark, input_dir)
             .writeStream.foreachBatch(process)
