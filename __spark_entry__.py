@@ -114,12 +114,26 @@ def q_series_acf(spark, sf_dir):
 
 
 def q_acf_features(spark, sf_dir):
-    """UDF-kernel features with no SQL equivalent (rows-only check):
-    bit-exactness vs the numpy oracle is enforced in pytest instead."""
+    """SQL-expressible UDF-kernel features, oracle-checked: higher-lag
+    autocorrelations (lead() co-sums), regression PACF at lags 1-2
+    (closed-form normal equations over exact integer sums), and the
+    histogram-mode statistics (exact-sum z-scores + equal-width binning)."""
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
-    fs = catalogue()[["acf_timescale", "histmode5", "histmode10", "rad",
-                      "rad_raw", "pacf_1", "pacf_2", "plv_phase", "ppc_phase",
-                      "firstcrossing"]]
+    fs = catalogue()[["ac_2", "ac_3", "ac_4", "ac_5", "pacf_1", "pacf_2",
+                      "histmode5", "histmode10"]]
+    r = tier0(seq, fs, window=1000, blocks=False)
+    keep = ["doc_id"] + [F.round(_nn(n), 6).alias(n) for n in fs.names]
+    return r.select(*keep)
+
+
+def q_kernel_features(spark, sf_dir):
+    """UDF-kernel features with no practical SQL equivalent (rows-only
+    driver check): bit-exactness vs the numpy oracle + independent scalar
+    reimplementations is enforced in pytest instead."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
+    fs = catalogue()[["acf_timescale", "firstcrossing", "rad", "rad_raw",
+                      "rad_tau", "plv_phase", "ppc_phase",
+                      "analytic_amp_mean", "analytic_amp_std"]]
     r = tier0(seq, fs, window=1000, blocks=False)
     keep = ["doc_id"] + [F.round(_nn(n), 6).alias(n) for n in fs.names]
     return r.select(*keep)
@@ -193,7 +207,18 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_dups(_docs(spark, sf_dir))
+    """Near-dup pairs with Hamming(simhash) <= 3 via lossless banded
+    candidates (rows-only: xxhash64 is not replayable in DuckDB; the
+    sketch ARITHMETIC is oracle-checked by simhash_check below, and the
+    near-dup semantics by pytest with planted near-duplicates)."""
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_simhash_check(spark, sf_dir):
+    """Full per-doc simhash sketches with SQL-replayable LCG shingle
+    hashes — value-checks shingling, bit majority, and sketch assembly
+    end-to-end against the DuckDB oracle."""
+    return dedup.simhash_check(_docs(spark, sf_dir))
 
 
 def q_text_quality(spark, sf_dir):
@@ -295,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier1_rollup": q_tier1_rollup,
         "series_acf": q_series_acf,
         "acf_features": q_acf_features,
+        "kernel_features": q_kernel_features,
         "events_hourly": q_events_hourly,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_linear": q_gapfill_linear,
@@ -304,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "simhash_check": q_simhash_check,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -397,6 +424,101 @@ def oracle_sql() -> dict[str, str]:
                    round(num.sdn / nullif(num.sdd, 0), 6) AS ac_1
             FROM st JOIN num USING (doc_id)
         """,
+        "acf_features": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 3 AND n_tok <= 1000),
+            tok AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos FROM f),
+            st AS (SELECT doc_id, count(*) AS n, sum(x) AS s, sum(x*x) AS ss
+                   FROM tok GROUP BY 1),
+            lz AS (SELECT t.doc_id, n, x,
+                          x - CAST(s AS DOUBLE) / n AS d,
+                          lead(x, 2) OVER w - CAST(s AS DOUBLE) / n AS e2,
+                          lead(x, 3) OVER w - CAST(s AS DOUBLE) / n AS e3,
+                          lead(x, 4) OVER w - CAST(s AS DOUBLE) / n AS e4,
+                          lead(x, 5) OVER w - CAST(s AS DOUBLE) / n AS e5,
+                          lag(x, 1) OVER w AS a1, lag(x, 2) OVER w AS a2
+                   FROM tok t JOIN st USING (doc_id)
+                   WINDOW w AS (PARTITION BY t.doc_id ORDER BY pos)),
+            acs AS (SELECT doc_id, sum(d*d) AS sdd, sum(d*e2) AS c2,
+                           sum(d*e3) AS c3, sum(d*e4) AS c4, sum(d*e5) AS c5
+                    FROM lz GROUP BY 1),
+            -- pacf_1: OLS slope of x_t on [1, x_(t-1)] (regression method)
+            p1 AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS m,
+                          CAST(sum(a1) AS DOUBLE) AS sa,
+                          CAST(sum(x) AS DOUBLE) AS sb,
+                          CAST(sum(a1*x) AS DOUBLE) AS sab,
+                          CAST(sum(a1*a1) AS DOUBLE) AS saa
+                   FROM lz WHERE a1 IS NOT NULL GROUP BY 1),
+            -- pacf_2: coefficient on x_(t-2) of x_t ~ [1, x_(t-1), x_(t-2)]
+            p2 AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS m,
+                          CAST(sum(x) AS DOUBLE) AS sy,
+                          CAST(sum(a1) AS DOUBLE) AS sa,
+                          CAST(sum(a2) AS DOUBLE) AS sv,
+                          CAST(sum(a1*a1) AS DOUBLE) AS saa,
+                          CAST(sum(a2*a2) AS DOUBLE) AS svv,
+                          CAST(sum(a1*a2) AS DOUBLE) AS sav,
+                          CAST(sum(a1*x) AS DOUBLE) AS say,
+                          CAST(sum(a2*x) AS DOUBLE) AS svy
+                   FROM lz WHERE a2 IS NOT NULL GROUP BY 1),
+            -- histogram modes over exact-sum z-scores
+            zs AS (SELECT t.doc_id,
+                          (x - CAST(s AS DOUBLE) / n)
+                          / sqrt(greatest((CAST(ss AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                                 / (n - 1), 0)) AS z
+                   FROM tok t JOIN st USING (doc_id)
+                   WHERE n >= 2 AND CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n > 0),
+            zr AS (SELECT doc_id, min(z) AS mn, max(z) AS mx
+                   FROM zs GROUP BY 1),
+            zb AS (SELECT z.doc_id, z.z, r.mn,
+                          (r.mx - r.mn) / 5 AS w5, (r.mx - r.mn) / 10 AS w10
+                   FROM zs z JOIN zr r USING (doc_id) WHERE r.mx > r.mn),
+            b5 AS (SELECT doc_id, least(floor((z - mn) / w5), 4) AS b,
+                          count(*) AS cnt, min(mn) AS mn, min(w5) AS w
+                   FROM zb GROUP BY doc_id, least(floor((z - mn) / w5), 4)),
+            m5 AS (SELECT doc_id, avg(mn + (CAST(b AS DOUBLE) + 0.5) * w) AS hm
+                   FROM (SELECT *, max(cnt) OVER (PARTITION BY doc_id) AS mc
+                         FROM b5) WHERE cnt = mc GROUP BY doc_id),
+            b10 AS (SELECT doc_id, least(floor((z - mn) / w10), 9) AS b,
+                           count(*) AS cnt, min(mn) AS mn, min(w10) AS w
+                    FROM zb GROUP BY doc_id, least(floor((z - mn) / w10), 9)),
+            m10 AS (SELECT doc_id, avg(mn + (CAST(b AS DOUBLE) + 0.5) * w) AS hm
+                    FROM (SELECT *, max(cnt) OVER (PARTITION BY doc_id) AS mc
+                          FROM b10) WHERE cnt = mc GROUP BY doc_id)
+            SELECT st.doc_id,
+                   round(acs.c2 / nullif(acs.sdd, 0), 6) AS ac_2,
+                   round(acs.c3 / nullif(acs.sdd, 0), 6) AS ac_3,
+                   round(acs.c4 / nullif(acs.sdd, 0), 6) AS ac_4,
+                   round(acs.c5 / nullif(acs.sdd, 0), 6) AS ac_5,
+                   CASE WHEN p1.m >= 2 AND p1.m * p1.saa - p1.sa * p1.sa != 0
+                        THEN round((p1.m * p1.sab - p1.sa * p1.sb)
+                                   / (p1.m * p1.saa - p1.sa * p1.sa), 6)
+                   END AS pacf_1,
+                   CASE WHEN p2.m >= 3
+                         AND (p2.m * p2.saa - p2.sa * p2.sa)
+                             * (p2.m * p2.svv - p2.sv * p2.sv)
+                           - (p2.m * p2.sav - p2.sa * p2.sv)
+                             * (p2.m * p2.sav - p2.sa * p2.sv) != 0
+                        THEN round(((p2.m * p2.saa - p2.sa * p2.sa)
+                                    * (p2.m * p2.svy - p2.sv * p2.sy)
+                                  - (p2.m * p2.sav - p2.sa * p2.sv)
+                                    * (p2.m * p2.say - p2.sa * p2.sy))
+                                 / ((p2.m * p2.saa - p2.sa * p2.sa)
+                                    * (p2.m * p2.svv - p2.sv * p2.sv)
+                                  - (p2.m * p2.sav - p2.sa * p2.sv)
+                                    * (p2.m * p2.sav - p2.sa * p2.sv)), 6)
+                   END AS pacf_2,
+                   round(m5.hm, 6) AS histmode5,
+                   round(m10.hm, 6) AS histmode10
+            FROM st
+            LEFT JOIN acs USING (doc_id)
+            LEFT JOIN p1 USING (doc_id)
+            LEFT JOIN p2 USING (doc_id)
+            LEFT JOIN m5 USING (doc_id)
+            LEFT JOIN m10 USING (doc_id)
+        """,
         "events_hourly": """
             SELECT event_type,
                    CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
@@ -476,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_duckdb(0.3),
+        "simhash_check": dedup.simhash_check_duckdb(),
         "text_quality": textstats.text_stats_duckdb(),
         "langid": textstats.langid_duckdb(),
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),

@@ -39,13 +39,30 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
     The word array is materialized as a column FIRST: a split() inside the
     transform lambda would be re-evaluated per shingle position (Catalyst
-    does not CSE inside higher-order-function lambdas) — O(words^2)."""
+    does not CSE inside higher-order-function lambdas) — O(words^2).
+    Docs with <= k words yield no shingles (Spark's sequence() would emit
+    a DESCENDING range for them, so the short case is gated explicitly)."""
     return (docs
             .select("doc_id", F.expr(_WORDS).alias("ws"))
             .select("doc_id", F.explode(F.expr(
-                f"array_distinct(transform(sequence(0, greatest(size(ws) - {k}, 0) - 1),"
+                f"case when size(ws) > {k} then "
+                f"array_distinct(transform(sequence(0, size(ws) - {k} - 1),"
                 f" i -> xxhash64(concat_ws(' ', slice(ws, i + 1, {k})))))"
+                f" else array() end"
             )).alias("shingle")))
+
+
+def shingle_strings(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingle STRINGS per doc (pre-hash form, used
+    by the SQL-replayable simhash_check variant)."""
+    return (docs
+            .select("doc_id", F.expr(_WORDS).alias("ws"))
+            .select("doc_id", F.explode(F.expr(
+                f"case when size(ws) > {k} then "
+                f"array_distinct(transform(sequence(0, size(ws) - {k} - 1),"
+                f" i -> concat_ws(' ', slice(ws, i + 1, {k}))))"
+                f" else array() end"
+            )).alias("shingle_str")))
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 32) -> DataFrame:
@@ -84,63 +101,223 @@ def minhash_pairs(docs: DataFrame, k: int = 3, num_hashes: int = 32,
     return pairs.where(F.col("est_jaccard") >= threshold)
 
 
-def simhash(docs: DataFrame, k: int = 3) -> DataFrame:
-    """64-bit SimHash per doc from shingle hashes (bit-majority), computed
-    entirely with JVM array expressions."""
-    sh = shingles(docs, k).groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("hs"))
-    # for each bit j: sum over hashes of (bit set ? 1 : -1) > 0
-    bit = ("aggregate(hs, cast(0 as bigint), (acc, h) -> acc + "
-           "(case when (h >> {j}) % 2 != 0 then 1 else -1 end))")
-    bits = [F.expr(f"case when ({bit.format(j=j)}) > 0 then 1L else 0L end")
-            for j in range(64)]
-    expr = bits[0]
+def _assemble_simhash(bit_sum_cols: list[str]):
+    """(b0..b63 signed bit sums) -> 64-bit sketch as signed bigint.
+
+    Ascending-j addition keeps every partial sum < 2^63 and the final
+    j=63 term is ADDED as a negative literal, so the expression is safe
+    under ANSI overflow checking."""
+    expr = (F.col(bit_sum_cols[0]) > 0).cast("long")
     for j in range(1, 64):
-        expr = expr + (bits[j] * F.lit(2 ** j if j < 63 else -(2 ** 63)))
-    return sh.select("doc_id", expr.alias("simhash"))
+        bit = (F.col(bit_sum_cols[j]) > 0).cast("long")
+        expr = expr + bit * F.lit(2 ** j if j < 63 else -(2 ** 63))
+    return expr
+
+
+def simhash(docs: DataFrame, k: int = 3) -> DataFrame:
+    """64-bit SimHash per doc from xxhash64 shingle hashes (bit-majority).
+
+    ONE groupBy pass with 64 conditional-sum aggregates (map-side partial
+    aggregation; bounded 64*8B state per doc) — no collect_list of the
+    shingle set (unbounded memory in doc length) and no per-bit re-scan
+    of the hash array."""
+    sh = shingles(docs, k)
+    sums = [F.sum(F.expr(
+        f"case when (shingle >> {j}) & 1 = 1 then 1 else -1 end"))
+        .alias(f"b{j}") for j in range(64)]
+    g = sh.groupBy("doc_id").agg(*sums)
+    return g.select("doc_id",
+                    _assemble_simhash([f"b{j}" for j in range(64)])
+                    .alias("simhash"))
 
 
 def simhash_dups(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Hamming-0 duplicate groups (equal sketch)."""
     s = simhash(docs, k)
     return (s.groupBy("simhash").agg(F.min("doc_id").alias("keep_doc_id"),
                                      F.count("*").alias("n_copies"))
             .where(F.col("n_copies") > 1))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
-    """Exact word-set Jaccard over bucketed candidate pairs (bucket =
-    (source, lang, n_words div 10)) — the SQL-oracle-checkable variant."""
-    d = (docs.select("doc_id", "source", "lang", F.expr(_WORDS).alias("w0"))
-         .select("doc_id", "source", "lang",
-                 F.expr("array_distinct(w0)").alias("ws"),
-                 F.expr("size(w0) div 10").alias("lb")))
-    a, b = d.alias("a"), d.alias("b")
-    inter = F.expr("size(array_intersect(a.ws, b.ws))").cast("double")
-    un = F.expr("size(array_union(a.ws, b.ws))").cast("double")
-    return (a.join(b, (F.col("a.source") == F.col("b.source"))
-                   & (F.col("a.lang") == F.col("b.lang"))
-                   & (F.col("a.lb") == F.col("b.lb"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+def simhash_near_dups(docs: DataFrame, k: int = 3,
+                      max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-duplicate pairs with Hamming(simhash) <= max_hamming.
+
+    Candidates come from a banded equi-join: the 64-bit sketch splits
+    into ``bands`` equal bit-slices; any pair within ``max_hamming``
+    (< bands) must agree on >= 1 whole band (pigeonhole — the filter is
+    lossless for max_hamming <= bands - 1). The cross product is per
+    (band, band-bits) bucket — never global — and the exact popcount
+    filter runs only on candidates."""
+    assert max_hamming < bands, "pigeonhole requires max_hamming < bands"
+    assert 64 % bands == 0, "bands must divide 64 (every bit banded)"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    s = simhash(docs, k)
+    banded = s.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.expr(f"(simhash >> {b * width}) & {mask}").alias("bb"))
+            for b in range(bands)])).alias("s")
+    ).select("doc_id", "simhash", F.col("s.band").alias("band"),
+             F.col("s.bb").alias("bb"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, ["band", "bb"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
-                    F.round(inter / un, 6).alias("jaccard"))
+                    F.expr("bit_count(a.simhash ^ b.simhash)")
+                    .alias("hamming"))
+            .dropDuplicates(["doc_a", "doc_b"])
+            .where(F.col("hamming") <= max_hamming))
+
+
+# -- SQL-replayable simhash (oracle-grade arithmetic check) -----------------
+
+#: two independent 32-bit LCG folds over the shingle's character codes —
+#: chosen because the identical fold is expressible in DuckDB (HUGEINT
+#: modular arithmetic) AND in ANSI-mode Spark (products stay < 2^63), so
+#: the ENTIRE simhash pipeline (shingling -> hash -> bit majority ->
+#: sketch assembly) is value-checked end-to-end by the driver. Production
+#: simhash uses xxhash64 (JVM codegen) with the same assembly code path.
+_LCG = ((7, 1103515245, 12345), (13, 214013, 2531011))
+
+
+def _lcg_fold_spark(col: str, seed: int, mult: int, add: int) -> str:
+    return (f"aggregate(sequence(1, length({col})), cast({seed} as bigint), "
+            f"(h, i) -> (h * {mult} + ascii(substring({col}, i, 1)) + {add})"
+            f" % 4294967296)")
+
+
+def simhash_check(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, simhash) with LCG shingle hashes — DuckDB-replayable."""
+    (s1, m1, a1), (s2, m2, a2) = _LCG
+    sh = shingle_strings(docs, k).select(
+        "doc_id",
+        F.expr(_lcg_fold_spark("shingle_str", s1, m1, a1)).alias("h1"),
+        F.expr(_lcg_fold_spark("shingle_str", s2, m2, a2)).alias("h2"))
+    sums = [F.sum(F.expr(
+        f"case when ({'h1' if j < 32 else 'h2'} >> {j % 32}) & 1 = 1 "
+        f"then 1 else -1 end")).alias(f"b{j}") for j in range(64)]
+    g = sh.groupBy("doc_id").agg(*sums)
+    return g.select("doc_id",
+                    _assemble_simhash([f"b{j}" for j in range(64)])
+                    .alias("simhash"))
+
+
+def simhash_check_duckdb(k: int = 3) -> str:
+    """DuckDB replay of :func:`simhash_check` — identical fold, bit
+    majority, and sketch assembly arithmetic."""
+    assert k == 3
+    (s1, m1, a1), (s2, m2, a2) = _LCG
+
+    def fold(seed, mult, add):
+        return (f"list_reduce(list_concat([CAST({seed} AS HUGEINT)], "
+                f"list_transform(range(1, length(s) + 1), "
+                f"i -> CAST(ascii(substring(s, i, 1)) AS HUGEINT))), "
+                f"(h, c) -> (h * {mult} + c + {add}) % 4294967296)")
+
+    bit_sums = ",\n".join(
+        f"sum(CASE WHEN ({'h1' if j < 32 else 'h2'} // {1 << (j % 32)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{j}" for j in range(64))
+    assemble = " + ".join(
+        [f"(CASE WHEN b0 > 0 THEN 1 ELSE 0 END)"] +
+        [f"(CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(1, 63)] +
+        ["(CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END)"])
+    return f"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                                  x -> length(x) > 0) AS ws
+               FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(ws) - {k}, 0) + 1),
+                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+           FROM w),
+    hs AS (SELECT doc_id,
+                  {fold(s1, m1, a1)} AS h1,
+                  {fold(s2, m2, a2)} AS h2
+           FROM sh),
+    bits AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY 1)
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits
+    """
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
+                        k: int = 3) -> DataFrame:
+    """EXACT all-pairs n-gram (word k-gram shingle) Jaccard >= threshold
+    via prefix filtering (AllPairs/PPJoin family) — identical output to a
+    naive all-pairs join (the DuckDB oracle IS the naive join), but
+    scale-safe:
+
+    - candidates come from an equi-join on each doc's PREFIX shingles —
+      its ``|ss| - ceil(t*|ss|) + 1`` globally-rarest shingles
+      (rare-first order by document frequency). Any pair with J >= t must
+      share a prefix shingle (pigeonhole on the required overlap), so the
+      filter is LOSSLESS; ubiquitous shingles (the big join buckets)
+      never enter prefixes.
+    - a length filter (J >= t forces t*|a| <= |b| <= |a|/t) prunes the
+      candidate equi-join further.
+    - the quadratic array_intersect verify runs on candidates only.
+
+    Replaces the round-1 (source, lang, length-band) word-set bucket join
+    whose within-bucket cross product was quadratic in the biggest bucket
+    (and whose word-set granularity saturated on small vocabularies)."""
+    eps = 1e-9  # float-safe ceil: never overshoot (overshoot = lossy prefix)
+    # hashed shingles end-to-end: 8-byte join/shuffle keys and arrays
+    # instead of ~30-byte strings (set sizes are hash-collision-exact,
+    # which the string-based DuckDB oracle confirms on every fixture)
+    d = (docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+         .select("doc_id", F.expr(
+             f"case when size(ws) > {k} then "
+             f"array_distinct(transform(sequence(0, size(ws) - {k} - 1),"
+             f" i -> xxhash64(concat_ws(' ', slice(ws, i + 1, {k})))))"
+             f" else array() end").alias("ss"))
+         .withColumn("sz", F.size("ss")))
+    w = d.select("doc_id", "sz", F.explode("ss").alias("sh"))
+    # document frequency per shingle: small (vocab-sized) -> broadcast
+    dfreq = w.groupBy("sh").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+    order = Window.partitionBy("doc_id").orderBy("df", "sh")
+    pre = (w.join(F.broadcast(dfreq), "sh")
+           .withColumn("rn", F.row_number().over(order))
+           .where(F.col("rn") <= F.col("sz")
+                  - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(eps)) + 1)
+           .select("doc_id", "sz", "sh"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (a.join(b, "sh")
+            .where((F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(eps))
+                   & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(eps)))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    verify = (cand
+              .join(d.select(F.col("doc_id").alias("doc_a"),
+                             F.col("ss").alias("sa")), "doc_a")
+              .join(d.select(F.col("doc_id").alias("doc_b"),
+                             F.col("ss").alias("sb")), "doc_b"))
+    # sorted-array intersect sizes on int64 arrays (hash order irrelevant)
+    inter = F.expr("size(array_intersect(sa, sb))").cast("double")
+    un = F.expr("size(array_union(sa, sb))").cast("double")
+    return (verify.select("doc_a", "doc_b",
+                          F.round(inter / un, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 
-def ngram_jaccard_duckdb(threshold: float = 0.3) -> str:
-    w = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+def ngram_jaccard_duckdb(threshold: float = 0.3, k: int = 3) -> str:
+    """Naive ALL-PAIRS oracle — no prefix filter: equality with the engine
+    proves the prefix filter is lossless on the fixture."""
+    assert k == 3
+    w = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+    jac = ("len(list_intersect(a.ss, b.ss)) * 1.0 / nullif(len(a.ss) "
+           "+ len(b.ss) - len(list_intersect(a.ss, b.ss)), 0)")
     return f"""
-    WITH d AS (
-      SELECT doc_id, source, lang, list_distinct({w}) AS ws,
-             len({w}) // 10 AS lb
-      FROM documents
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.ws, b.ws)) * 1.0
-                 / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
-    FROM d a JOIN d b
-      ON a.source = b.source AND a.lang = b.lang AND a.lb = b.lb
-     AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
-                / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= {threshold}
+    WITH d0 AS (SELECT doc_id, {w} AS ws FROM documents),
+    d AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(ws) - {k}, 0) + 1),
+            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS ss FROM d0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round({jac}, 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE round({jac}, 6) >= {threshold}
     """
