@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import dedup, gapfill, multimodal, similarity, textstats  # noqa: E402
+from tsf import dedup, gapfill, multimodal, pairwise, similarity, textstats  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
 from tsf.rollup import next_tier, tier0  # noqa: E402
@@ -247,6 +247,15 @@ def q_series_pairwise_pearson(spark, sf_dir):
     return similarity.series_pairwise_pearson(r, window=10, min_overlap=3)
 
 
+def q_pairwise_phase_sync(spark, sf_dir):
+    """Two-series SuperPairwise PLV/PPC of the analytic phase difference
+    (reference ext/DSPExt.jl:26-31,41-44 + PairwiseFeatures.jl:48-60) —
+    rows-only: the Hilbert transform has no SQL equivalent; pytest proves
+    equality with the O(N^2) pair-sum definition."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 50")
+    return pairwise.pairwise_phase_sync(seq, window=50)
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
@@ -264,6 +273,9 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k over multiprobe LSH buckets (2 tables x 8 bits, 4 probes)
+    — the DuckDB oracle replays bucketing, margin-ranked probing, and
+    cosine ordering, so the whole ANN path is value-checked."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
 
@@ -336,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
         "series_pairwise_pearson": q_series_pairwise_pearson,
+        "pairwise_phase_sync": q_pairwise_phase_sync,
         "cosine_threshold": q_cosine_threshold,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -656,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d, q
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
+        "ann_lsh_topk": similarity.lsh_topk_duckdb(dim=64),
         "pairwise_pearson": """
             WITH d AS (SELECT vec_id, label,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

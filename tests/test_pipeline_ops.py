@@ -129,3 +129,85 @@ def test_simhash_banding_is_lossless_within_bound(spark):
     want = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
             if bin(s[a] ^ s[b]).count("1") <= 3}
     assert found == want
+
+
+def _planted_emb(spark, n_base=400, n_planted=10, dim=64, seed=11):
+    """Random base vectors + near neighbors of the query at cos ~ 0.97
+    (the angle regime sign-LSH serves; uniformly random vectors have
+    nearest neighbors at cos ~ 0.3 where no sublinear LSH can work)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    q = rng.standard_normal(dim)
+    u = q / np.linalg.norm(q)
+    planted = u[None, :] + 0.25 * rng.standard_normal((n_planted, dim)) / np.sqrt(dim)
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(base)]
+    rows += [(n_base + i, [float(x) for x in v], 1)
+             for i, v in enumerate(planted)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return emb, [float(x) for x in q]
+
+
+def test_ann_lsh_recall_on_planted_neighbors(spark):
+    emb, q = _planted_emb(spark)
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(emb, q, k=10).collect()]
+    ann = [r["vec_id"] for r in
+           similarity.lsh_topk(emb, q, k=10, nbits=8, tables=3,
+                               multiprobe=6).collect()]
+    recall = len(set(exact) & set(ann)) / 10
+    assert recall >= 0.9, (recall, exact, ann)
+    # and it is genuinely sublinear: candidates are a small fraction
+    n_cand = similarity.lsh_candidates(emb, q, nbits=8, tables=3,
+                                       multiprobe=6).count()
+    assert n_cand < 0.5 * 410, n_cand
+
+
+def test_ann_multiprobe_knob_controls_probes(spark):
+    """Round-1 defect: the multiprobe parameter was dead (any value
+    selected all bit flips). Now the candidate set must grow with it."""
+    emb, q = _planted_emb(spark)
+    c0 = similarity.lsh_candidates(emb, q, multiprobe=0).count()
+    c4 = similarity.lsh_candidates(emb, q, multiprobe=4).count()
+    c8 = similarity.lsh_candidates(emb, q, multiprobe=8).count()
+    assert c0 < c4 <= c8, (c0, c4, c8)
+
+
+def test_pairwise_phase_sync_matches_o_n2_reference(spark):
+    """Two-series PPC/PLV == the reference's O(N^2) pair-sum definition
+    (ext/DSPExt.jl:16-32,41-44: feature of the phase-DIFFERENCE series),
+    with the analytic phase computed once per series (SuperPairwise)."""
+    from tsf import kernels as K
+    from tsf import pairwise
+
+    rng2 = np.random.default_rng(5)
+    W = 64
+    t = np.arange(W)
+    xs = {
+        "a": np.round(np.sin(2 * np.pi * t / 16) * 1000 + 2000),
+        "b": np.round(np.sin(2 * np.pi * t / 16 + 0.7) * 900 + 2000),
+        "c": np.round(rng2.uniform(0, 4000, W)),
+    }
+    rows = [(k, [int(v) for v in x], W, "s") for k, x in xs.items()]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in pairwise.pairwise_phase_sync(seq, window=W).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    def phase(x):
+        ctx = K.WindowCtx(np.asarray(x, float)[None, :], np.array([W]))
+        return ctx.get("analytic_phase")[0]
+
+    for (da, db), r in got.items():
+        delta = phase(xs[db]) - phase(xs[da])
+        # O(N^2) PPC pair sum (Vinck eq. 14) + direct PLV
+        acc = 0.0
+        for i in range(W - 1):
+            acc += np.cos(delta[i] - delta[i + 1:]).sum()
+        ppc = 2.0 / (W * (W - 1)) * acc
+        plv = np.abs(np.exp(1j * delta).mean())
+        assert np.isclose(r["ppc"], ppc, atol=1e-6), (da, db)
+        assert np.isclose(r["plv"], plv, atol=1e-6), (da, db)
+    # locked sines are strongly synchronous; noise pairs are not
+    assert got[("a", "b")]["ppc"] > 0.9
+    assert got[("a", "c")]["ppc"] < got[("a", "b")]["ppc"] - 0.3

@@ -51,7 +51,8 @@ def random_hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((nbits, dim))
 
 
-def lsh_buckets(emb: DataFrame, planes: np.ndarray) -> DataFrame:
+def lsh_buckets(emb: DataFrame, planes: np.ndarray,
+                col: str = "bucket") -> DataFrame:
     """Sign-bit bucket id per vector via JVM dot products (no Python)."""
     nbits = planes.shape[0]
     bucket = F.lit(0).cast("long")
@@ -60,19 +61,116 @@ def lsh_buckets(emb: DataFrame, planes: np.ndarray) -> DataFrame:
                                     for v in planes[i]) + ")"
         bit = (F.expr(_dot(EMB_DOUBLE, plane)) > 0).cast("long")
         bucket = bucket + bit * F.lit(2 ** i)
-    return emb.withColumn("bucket", bucket)
+    return emb.withColumn(col, bucket)
+
+
+def _query_probes(query: list[float], planes: np.ndarray,
+                  multiprobe: int) -> list[int]:
+    """Base bucket + single-bit flips of the ``multiprobe`` lowest-|margin|
+    hyperplanes (classic margin-ranked multiprobe: the bits most likely to
+    be on the wrong side of a near neighbor are the ones probed)."""
+    q = np.asarray(query, dtype=np.float64)
+    margins = planes @ q
+    nbits = planes.shape[0]
+    qb = int(sum((int(margins[i] > 0)) << i for i in range(nbits)))
+    flips = np.argsort(np.abs(margins), kind="stable")[:max(0, multiprobe)]
+    return [qb] + [qb ^ (1 << int(i)) for i in flips]
 
 
 def lsh_topk(emb: DataFrame, query: list[float], k: int = 10,
-             nbits: int = 8, seed: int = 7, multiprobe: int = 1) -> DataFrame:
-    """ANN top-k: scan only the query's bucket (+ 1-bit-flip probes)."""
-    planes = random_hyperplanes(len(query), nbits, seed)
-    q = np.asarray(query, dtype=np.float64)
-    qb = int(sum((planes[i] @ q > 0) << i for i in range(nbits)))
-    probes = [qb] + [qb ^ (1 << i) for i in range(nbits)][: max(0, multiprobe * nbits)]
-    bucketed = lsh_buckets(emb, planes).where(F.col("bucket").isin(probes))
-    return (cosine_scores(bucketed, query)
+             nbits: int = 8, tables: int = 2, multiprobe: int = 4,
+             seed: int = 7) -> DataFrame:
+    """ANN top-k: exact cosine over the UNION of probed LSH buckets across
+    ``tables`` independent hash tables (band-OR amplification), each
+    probing its base bucket + ``multiprobe`` margin-ranked 1-bit flips.
+
+    Scan fraction ~= tables * (multiprobe+1) / 2^nbits of the buckets
+    (~8% on the synthetic corpus at the defaults); on clustered data the
+    same parameters hit recall@10 >= 0.9 for cos >= 0.95 neighbors
+    (asserted in pytest with planted near neighbors — the sign-LSH
+    contract is angle-based, so recall on uniformly RANDOM vectors, whose
+    nearest neighbors sit at cos ~ 0.3, is necessarily low; use
+    cosine_topk for exhaustive search in that regime).
+
+    At 100 TB: write the table bucketed by the table-0 bucket column so
+    probing prunes partitions instead of filtering a full scan."""
+    cand = lsh_candidates(emb, query, nbits, tables, multiprobe, seed)
+    return (cosine_scores(cand, query)
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+
+def lsh_candidates(emb: DataFrame, query: list[float], nbits: int = 8,
+                   tables: int = 2, multiprobe: int = 4,
+                   seed: int = 7) -> DataFrame:
+    """The probed candidate subset (union over tables) — exposed so recall
+    and scan-fraction are measurable."""
+    d = emb
+    conds = []
+    for t in range(tables):
+        planes = random_hyperplanes(len(query), nbits, seed + t)
+        col = f"bucket_{t}"
+        d = lsh_buckets(d, planes, col)
+        probes = _query_probes(query, planes, multiprobe)
+        conds.append(F.col(col).isin(probes))
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep | c
+    return d.where(keep)
+
+
+def lsh_topk_duckdb(dim: int, k: int = 10, nbits: int = 8, tables: int = 2,
+                    multiprobe: int = 4, seed: int = 7) -> str:
+    """Self-contained DuckDB replay of :func:`lsh_topk` (query = vec 0):
+    identical plane literals, bucket bits, margin-ranked probe membership,
+    and cosine ordering — the driver value-checks the WHOLE ANN path.
+
+    Probe membership is derived in SQL (not pasted as literals): candidate
+    x is probed in table t iff xor(bucket_t(x), bucket_t(q)) is 0 or a
+    single bit whose |margin| rank (ties by index) is < multiprobe."""
+    def arr(v):
+        return "[" + ",".join(f"CAST({float(x)} AS DOUBLE)" for x in v) + "]"
+
+    table_cte, table_cond = [], []
+    for t in range(tables):
+        planes = random_hyperplanes(dim, nbits, seed + t)
+        dots_q = [f"list_dot_product(qv, {arr(planes[j])})" for j in range(nbits)]
+        dots_x = [f"list_dot_product(v, {arr(planes[j])})" for j in range(nbits)]
+        qb = " + ".join(f"(CASE WHEN {dq} > 0 THEN {1 << j} ELSE 0 END)"
+                        for j, dq in enumerate(dots_q))
+        margins = ", ".join(f"abs({dq}) AS m{j}" for j, dq in enumerate(dots_q))
+        # rank of bit j among margins (strictly smaller, ties by index)
+        ranks = ", ".join(
+            "(" + " + ".join(
+                f"(CASE WHEN m{i} < m{j} OR (m{i} = m{j} AND {i} < {j}) "
+                f"THEN 1 ELSE 0 END)"
+                for i in range(nbits) if i != j) + f") AS r{j}"
+            for j in range(nbits))
+        table_cte.append(
+            f"q{t} AS (SELECT {qb} AS qb, {margins} FROM q),\n"
+            f"qr{t} AS (SELECT qb, {ranks} FROM q{t})")
+        xb = " + ".join(f"(CASE WHEN {dx} > 0 THEN {1 << j} ELSE 0 END)"
+                        for j, dx in enumerate(dots_x))
+        flips = " OR ".join(
+            f"(xor({xb}, qr{t}.qb) = {1 << j} AND qr{t}.r{j} < {multiprobe})"
+            for j in range(nbits))
+        table_cond.append(f"(xor({xb}, qr{t}.qb) = 0 OR {flips})")
+    ctes = ",\n".join(table_cte)
+    froms = " ".join(f"CROSS JOIN qr{t}" for t in range(tables))
+    cond = " OR ".join(table_cond)
+    return f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    {ctes},
+    d AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+    SELECT vec_id, label,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+    FROM d CROSS JOIN q {froms}
+    WHERE {cond}
+    ORDER BY cos DESC, vec_id ASC LIMIT {k}
+    """
 
 
 def pairwise_pearson(emb: DataFrame, max_vec_id: int | None = None) -> DataFrame:
