@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from tsf import dedup, gapfill, multimodal, pairwise, similarity, textstats  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
-from tsf.rollup import next_tier, tier0  # noqa: E402
+from tsf.rollup import next_tier, tier0, tier0_vectors  # noqa: E402
 
 STATS = ["cnt", "sum_tok", "min_tok", "max_tok", "mean", "std"]
 
@@ -139,21 +139,46 @@ def q_kernel_features(spark, sf_dir):
     return r.select(*keep)
 
 
+def q_window_z(spark, sf_dir):
+    """Vector-valued feature surface (reference Vector->Vector features):
+    per-window z-score vectors, exploded to scalar rows so the DuckDB
+    oracle can replay the exact arithmetic per token position."""
+    seq = _seq(spark, sf_dir)
+    v = tier0_vectors(seq, names=("z",), window=20)
+    return (v.select("doc_id", "window_id",
+                     F.posexplode("values").alias("p", "z"))
+            .select("doc_id",
+                    (F.col("window_id") * 20 + F.col("p")).alias("pos"),
+                    F.round(_nn("z"), 6).alias("z")))
+
+
 def q_events_hourly(spark, sf_dir):
+    """Hourly continuous aggregate. The float sum uses EXACT integer
+    sufficient statistics (values quantized to 1e-4 per row, summed as
+    bigint): float64 sum() over shuffled partials is order-dependent in
+    its last ULPs, which can flip a rounding boundary at scale — integer
+    sums are order-free and bit-identical across engines/partitionings."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sq = F.sum(F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5))
+               .cast("bigint"))
     return (ev.groupBy("event_type",
                        (F.unix_timestamp(F.date_trunc("hour", "ts"))
                         / 3600).cast("bigint").alias("hour_idx"))
             .agg(F.count("*").alias("cnt"),
-                 F.round(F.sum("value"), 4).alias("sum_value")))
+                 (sq.cast("double") / F.lit(1e4)).alias("sum_value")))
 
 
 def _events_hourly_value(spark, sf_dir):
+    """Per-(user, hour) mean over 1e-6-quantized values via exact bigint
+    sums — order-free, so the gapfill base is deterministic at any SF."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sv = F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+               .cast("bigint"))
+    v = F.floor(sv.cast("double") / F.count("*") + F.lit(0.5)) / F.lit(1e6)
     return (ev.groupBy("user_id",
                        (F.unix_timestamp(F.date_trunc("hour", "ts"))
                         / 3600).cast("bigint").alias("hour_idx"))
-            .agg(_r6f(F.avg("value")).alias("v")))
+            .agg(v.alias("v")))
 
 
 def q_gapfill_locf(spark, sf_dir):
@@ -333,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_acf": q_series_acf,
         "acf_features": q_acf_features,
         "kernel_features": q_kernel_features,
+        "window_z": q_window_z,
         "events_hourly": q_events_hourly,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_linear": q_gapfill_linear,
@@ -532,16 +558,36 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN m5 USING (doc_id)
             LEFT JOIN m10 USING (doc_id)
         """,
+        "window_z": f"""
+            WITH {_TOK20},
+            st AS (SELECT doc_id, pos // 20 AS window_id, count(*) AS n,
+                          sum(x) AS s, sum(x*x) AS ss
+                   FROM tok GROUP BY 1, 2)
+            SELECT t.doc_id, t.pos,
+                   CASE WHEN n > 1
+                         AND CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n > 0
+                        THEN round((x - CAST(s AS DOUBLE) / n)
+                                   / sqrt(greatest((CAST(ss AS DOUBLE)
+                                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                                          / (n - 1), 0)), 6)
+                   END AS z
+            FROM tok t JOIN st ON t.doc_id = st.doc_id
+                              AND t.pos // 20 = st.window_id
+        """,
         "events_hourly": """
             SELECT event_type,
                    CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
-                   count(*) AS cnt, round(sum(value), 4) AS sum_value
+                   count(*) AS cnt,
+                   CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "gapfill_locf": """
             WITH hourly AS (
               SELECT user_id, CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
-                     floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+                     floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                           / count(*) + 0.5) / 1000000.0 AS v
               FROM events GROUP BY 1, 2),
             bounds AS (SELECT user_id, min(hour_idx) AS lo, max(hour_idx) AS hi FROM hourly GROUP BY 1),
             grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hour_idx FROM bounds),
@@ -556,7 +602,8 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_linear": """
             WITH hourly AS (
               SELECT user_id, CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
-                     floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+                     floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                           / count(*) + 0.5) / 1000000.0 AS v
               FROM events GROUP BY 1, 2),
             bounds AS (SELECT user_id, min(hour_idx) AS lo, max(hour_idx) AS hi FROM hourly GROUP BY 1),
             grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hour_idx FROM bounds),

@@ -89,6 +89,14 @@ def main() -> None:
     total_tokens = seq.agg(F.sum("n_tok")).first()[0]
     feats = default_rollup_features()
 
+    # cold pass (JIT + python-worker pool + page-cache warm-up), then the
+    # steady-state measurement — the scaling harness (bench/scaling.py)
+    # also measures after a warm-up rep, so the two throughput numbers are
+    # comparable round-over-round (round-1 reported cold-only and looked
+    # ~3x slower than the scaling run on 4x fewer cores)
+    t0 = time.time()
+    tier0(seq, feats).count()
+    extras["tier0_cold_sec"] = round(time.time() - t0, 3)
     t0 = time.time()
     # natural file-split partitioning (32MB splits; no token shuffle) —
     # skew chunking already spreads long docs across many rows
@@ -110,12 +118,14 @@ def main() -> None:
     # ---- operator queries on the driver's testdata ----
     qs = entrymod.queries()
     bench_qs = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
-                "events_hourly", "gapfill_locf", "gapfill_linear", "tpch_q1",
-                "topk_orders", "dedup_exact", "dedup_minhash",
-                "dedup_ngram_jaccard", "text_quality", "langid", "fingerprint",
+                "kernel_features", "events_hourly", "gapfill_locf",
+                "gapfill_linear", "tpch_q1", "topk_orders", "dedup_exact",
+                "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+                "simhash_check", "text_quality", "langid", "fingerprint",
                 "cosine_topk", "ann_lsh_topk", "pairwise_pearson",
-                "series_pairwise_pearson", "token_counts", "media_meta",
-                "media_features", "compression_roundtrip"]
+                "series_pairwise_pearson", "pairwise_phase_sync",
+                "token_counts", "media_meta", "media_features",
+                "compression_roundtrip"]
     for name in bench_qs:
         t0 = time.time()
         qs[name](spark, SF_DIR).count()

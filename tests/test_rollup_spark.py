@@ -74,3 +74,29 @@ def test_output_schema_stable(spark, fixture_df):
     assert names[:5] == ["doc_id", "source", "tier", "window_id", "win_start"]
     assert names[5:5 + len(feats.names)] == feats.names
     assert names[-1] == "values_gorilla"
+
+
+def test_tier0_vectors_surface(spark):
+    """Vector-valued feature output (reference Vector->Vector surface):
+    values match the batch kernels row-for-row; unknown names refused."""
+    import numpy as np
+    import pytest
+    from tsf import kernels as K
+    from tsf.io import synth_sequences
+    from tsf.rollup import tier0_vectors
+
+    seq = synth_sequences(spark, 12, seed=3, longtail_max=2000)
+    out = tier0_vectors(seq, names=("z", "acf", "analytic_amplitude"),
+                        window=50).toPandas()
+    assert set(out["name"]) == {"z", "acf", "analytic_amplitude"}
+    pdf = seq.toPandas().set_index("doc_id")
+    take = out[(out["name"] == "acf") & (out["window_id"] == 0)].head(5)
+    for _, row in take.iterrows():
+        toks = np.asarray(pdf.loc[row["doc_id"], "tokens"], dtype=np.float64)[:50]
+        M = np.zeros((1, 50)); M[0, :toks.size] = toks
+        ctx = K.WindowCtx(M, np.array([toks.size]))
+        want = ctx.get("acf")[0][:len(row["values"])]
+        got = np.asarray(row["values"], dtype=np.float64)
+        assert np.allclose(got, want, rtol=1e-12, equal_nan=True)
+    with pytest.raises(KeyError):
+        tier0_vectors(seq, names=("nope",))

@@ -88,16 +88,25 @@ def minhash_pairs(docs: DataFrame, k: int = 3, num_hashes: int = 32,
                  F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
                               for r in range(rows)]).alias("bh"))
         for b in range(bands)])).alias("bb")
-    banded = sig.select("doc_id", "sig", band_cols).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # bands only — the 256B signature array does NOT ride through the
+    # exploded band join (it would double the shuffle payload x bands);
+    # signatures re-join once per DISTINCT candidate pair below
+    banded = sig.select("doc_id", band_cols).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (a.join(b, ["band", "bh"])
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     (F.expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"
-                             " v -> v))") / F.lit(num_hashes)).alias("est_jaccard"))
-             .dropDuplicates(["doc_a", "doc_b"]))
+    cand = (a.join(b, ["band", "bh"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    pairs = (cand
+             .join(sig.select(F.col("doc_id").alias("doc_a"),
+                              F.col("sig").alias("sig_a")), "doc_a")
+             .join(sig.select(F.col("doc_id").alias("doc_b"),
+                              F.col("sig").alias("sig_b")), "doc_b")
+             .select("doc_a", "doc_b",
+                     (F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+                             " v -> v))") / F.lit(num_hashes)).alias("est_jaccard")))
     return pairs.where(F.col("est_jaccard") >= threshold)
 
 

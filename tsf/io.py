@@ -92,11 +92,29 @@ def synth_sequences(spark: SparkSession, n_docs: int = 200, seed: int = 42,
 
 
 def write_rollup(df: DataFrame, path: str, mode: str = "overwrite",
-                 partition_cols: tuple[str, ...] = ("source",)) -> None:
-    """Parquet sink partitioned for partition pruning on (source,...).
+                 partition_cols: tuple[str, ...] = ("source",),
+                 table: str | None = None,
+                 doc_buckets: int = 64) -> None:
+    """Rollup sink (the engine's single writer seam).
 
-    On a real deployment this is an Iceberg table bucketed by
-    (source, bucket(doc_id)); parquet directory layout is the sandbox
-    stand-in (no Iceberg jars here), behind this single writer.
+    - ``table=None`` (sandbox default): parquet directory partitioned by
+      ``partition_cols`` for partition pruning on (source, ...).
+    - ``table='catalog.db.name'``: Iceberg DataFrameWriterV2 path with the
+      north rule's partition spec — ``(source, bucket(doc_buckets,
+      doc_id))`` so rollup/ledger joins on doc_id are co-located and each
+      write is an atomic Iceberg SNAPSHOT (time-travel = the retention
+      story's audit trail). Requires the session to be built with an
+      Iceberg catalog (`spark.sql.catalog.<name>` + runtime jars on a real
+      deployment; this sandbox has no jars, so the path is exercised only
+      as far as plan construction in tests).
     """
+    if table is not None:
+        writer = df.writeTo(table).partitionedBy(
+            F.col(partition_cols[0]) if partition_cols else F.col("source"),
+            F.bucket(doc_buckets, F.col("doc_id")))
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from tsf import gorilla
+from tsf import kernels as K
 from tsf.kernels import decade_means
 from tsf.registry import FeatureSet, default_rollup_features
 from tsf.windows import DEFAULT_CHUNK_WINDOWS, DEFAULT_WINDOW, TIER_FACTOR, chunk_sequences
@@ -124,6 +125,65 @@ def tier0(seq: DataFrame,
         chunked = chunked.repartition(num_partitions, "doc_id", "chunk_id")
     return chunked.mapInPandas(make_tier0_fn(features, window, blocks),
                                rollup_schema(features, blocks))
+
+
+VECTOR_SCHEMA = ("doc_id string, source string, window_id bigint, "
+                 "name string, values array<double>")
+
+#: vector-valued features exposable via tier0_vectors — the reference's
+#: Vector->Vector feature surface (z_score at src/TimeseriesFeatures.jl:
+#: 25-27; Analytic_Signal/Phase/Amplitude at ext/DSPExt.jl:6-14; ACF/PACF
+#: at src/StatsBase.jl:7-27). "analytic_signal" is emitted as two rows
+#: (re/im) since Spark has no complex type.
+VECTOR_FEATURES = ("z", "analytic_phase", "analytic_amplitude", "acf",
+                   "pacf", "analytic_signal_re", "analytic_signal_im")
+
+
+def make_vector_fn(W: int, names: tuple[str, ...]):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = pdf["chunk_toks"].tolist()
+            M, n, row_of_win, local_w = _assemble_windows(arrs, W)
+            if M.shape[0] == 0:
+                continue
+            ctx = K.WindowCtx(M, n)
+            off = pdf["chunk_off"].to_numpy().astype(np.int64)
+            window_id = off[row_of_win] // W + local_w
+            doc = pdf["doc_id"].to_numpy()[row_of_win]
+            src = pdf["source"].to_numpy()[row_of_win]
+            for name in names:
+                if name == "analytic_signal_re":
+                    V = ctx.get("analytic").real
+                elif name == "analytic_signal_im":
+                    V = ctx.get("analytic").imag
+                else:
+                    V = ctx.get(name)
+                # trim each row's vector to its true length (lag features
+                # are full-length with NaN past the defined lags)
+                lim = n if V.shape[1] == W else np.minimum(n, V.shape[1])
+                yield pd.DataFrame({
+                    "doc_id": doc, "source": src, "window_id": window_id,
+                    "name": name,
+                    "values": [V[i, :lim[i]] for i in range(V.shape[0])],
+                })
+    return fn
+
+
+def tier0_vectors(seq: DataFrame,
+                  names: tuple[str, ...] = ("z", "analytic_amplitude"),
+                  window: int = DEFAULT_WINDOW,
+                  chunk_windows: int = DEFAULT_CHUNK_WINDOWS) -> DataFrame:
+    """Vector-valued feature output surface: one row per (doc, window,
+    feature) carrying the full transform vector — the reference's
+    Vector->Vector features as first-class engine output."""
+    bad = set(names) - set(VECTOR_FEATURES)
+    if bad:
+        raise KeyError(f"unknown vector features: {sorted(bad)}")
+    chunked = chunk_sequences(seq, window, chunk_windows)
+    return chunked.mapInPandas(make_vector_fn(window, tuple(names)),
+                               VECTOR_SCHEMA)
 
 
 def make_tierN_fn(features: FeatureSet, W: int, tier: int, blocks: bool):
