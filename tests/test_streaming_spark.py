@@ -138,3 +138,58 @@ def test_stream_ledger_multiple_batches_no_data_loss(spark, tmp_path, seq_batche
     assert (ledger["batch_id"] >= 0).all()
     assert ledger.groupby("batch_id").size().shape[0] >= 2
     assert not ledger.duplicated(["tier", "partition_id", "batch_id"]).any()
+
+
+def test_stateful_chunked_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState custom operator: documents arrive in chunk
+    pieces across micro-batches; every completed window's feature row is
+    emitted exactly once and equals the batch tier0 output (trailing
+    partial windows stay pending by design — more tokens may arrive)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from tsf.registry import catalogue
+
+    W = 20
+    rng = np.random.default_rng(9)
+    docs = {f"d{i}": rng.integers(0, 1000, W * rng.integers(2, 6)).tolist()
+            for i in range(12)}
+    # split each doc into uneven chunks and spread them over two batches
+    rows_b1, rows_b2 = [], []
+    for doc_id, toks in docs.items():
+        cut1 = int(rng.integers(7, len(toks) - 7))
+        cut2 = int(rng.integers(cut1 + 3, len(toks) - 1))
+        rows_b1.append((doc_id, "s", 0, toks[:cut1]))
+        # second piece arrives in batch 1 too (same-batch ordering)
+        rows_b1.append((doc_id, "s", cut1, toks[cut1:cut2]))
+        rows_b2.append((doc_id, "s", cut2, toks[cut2:]))
+    schema = "doc_id string, source string, chunk_off long, chunk_toks array<int>"
+    d = str(tmp_path / "chunks")
+    spark.createDataFrame(rows_b1, schema).write.mode("append").parquet(d)
+
+    feats = catalogue()[["cnt", "sum_tok", "mean", "std", "ac_1"]]
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (streaming.stream_tier0_stateful(stream, feats, window=W)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    drain()
+    got1 = spark.read.parquet(out_dir).toPandas()
+    assert len(got1) > 0
+    spark.createDataFrame(rows_b2, schema).write.mode("append").parquet(d)
+    drain()
+    got = spark.read.parquet(out_dir).toPandas()
+
+    # batch reference over the fully assembled sequences (full windows only)
+    full = spark.createDataFrame(
+        [(k, v, len(v), "s") for k, v in docs.items()],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    want = tier0(full, feats, window=W, blocks=False).toPandas()
+    want = want[want["cnt"] == W]
+    _assert_same(got, want)
+    # exactly-once: no duplicate (doc, window) rows across batches
+    assert not got.duplicated(["doc_id", "window_id"]).any()

@@ -195,6 +195,16 @@ def _pacf(ctx: WindowCtx) -> np.ndarray:
     K_eff = min(K, (W - 1) // 2)  # n >= 2l+1 is impossible past this
     if K_eff < 1:
         return out
+    # prefix tables cost nw*(K+1)*(W+1)*8 bytes; block rows so wide-window
+    # high-lag requests (e.g. K=40, W=1000) stay ~<=256MB per block —
+    # per-row independence makes blocking bit-invisible
+    block = max(1, (1 << 28) // ((K_eff + 1) * (W + 1) * 8))
+    if nw > block:
+        for lo in range(0, nw, block):
+            hi = min(lo + block, nw)
+            sub = WindowCtx(X[lo:hi], n[lo:hi], req=dict(ctx.req))
+            out[lo:hi] = _pacf(sub)
+        return out
     rows = np.arange(nw)
     # prefix tables over the zero-padded matrix (pads only ever contribute
     # zeros past each row's n, and gathers never index past n)

@@ -70,7 +70,7 @@ def run_tier_with_ledger(spark: SparkSession,
     ledger commits. Returns number of buckets processed this run.
 
     `rollup_df` must already be filtered to not-done buckets by the caller
-    (see :func:`resumable_rollup` for the full loop).
+    (see ``jobs/rollup_job.py`` for the full resume loop).
 
     Batch mode (``batch_id=None``): dynamic partition overwrite on
     (tier, partition_id) — a re-run of a bucket that died mid-write

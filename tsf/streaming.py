@@ -120,3 +120,94 @@ def stream_source_counts(events: DataFrame, watermark: str = "10 minutes",
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
                     "event_type", "cnt", "sum_value"))
+
+
+# ------------------------------------------------------- stateful assembly
+
+CHUNK_SCHEMA = ("doc_id string, source string, chunk_off bigint, "
+                "chunk_toks array<int>")
+
+#: per-doc state: contiguous frontier + the carried partial-window tail
+STATE_SCHEMA = "next_off bigint, carry array<int>, source string"
+
+
+def make_stateful_tier0_fn(features: FeatureSet, W: int):
+    """GroupState function for :func:`stream_tier0_stateful`.
+
+    Documents arrive in (chunk_off, chunk_toks) pieces spread over many
+    micro-batches. Per doc, the state holds the contiguous frontier
+    (next_off) and the < W carried tokens behind it; each batch appends
+    any newly-contiguous chunks, emits every COMPLETED window's feature
+    row exactly once, and keeps the new tail. Out-of-order chunks within
+    a batch are sorted; a chunk beyond the frontier waits in the source
+    until the gap closes (file sources deliver in arrival order, so in
+    practice this is a same-batch sort).
+
+    This is the engine's custom stateful operator
+    (``applyInPandasWithState``): the kernels themselves stay the shared
+    batch kernels — state only manages window ASSEMBLY, so stateful
+    streaming output is bit-identical to a batch run over the assembled
+    sequences (enforced in pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    from tsf.rollup import _assemble_windows, _emit
+
+    def fn(key, pdf_iter, state):
+        (doc_id,) = key
+        if state.exists:
+            next_off, carry, source = state.get
+            carry = list(carry)
+        else:
+            next_off, carry, source = 0, [], None
+        chunks = []
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                chunks.append((int(row["chunk_off"]), list(row["chunk_toks"])))
+                source = row["source"]
+        chunks.sort(key=lambda c: c[0])
+        carry_base = next_off - len(carry)
+        toks = carry
+        for off, ch in chunks:
+            want = carry_base + len(toks)
+            if off > want:      # gap: hold the frontier, drop what we
+                break           # cannot yet place (it will be re-sent)
+            if off + len(ch) <= want:
+                continue        # duplicate/overlap: already consumed
+            toks = toks + ch[want - off:]
+        n_full = len(toks) // W
+        emit_toks = toks[:n_full * W]
+        tail = [int(x) for x in toks[n_full * W:]]
+        state.update((int(carry_base + len(toks)), tail, source))
+        if n_full == 0:
+            return
+        M, n, row_of_win, local_w = _assemble_windows([np.asarray(emit_toks)], W)
+        window_id = carry_base // W + local_w
+        meta = {
+            "doc_id": np.repeat(doc_id, M.shape[0]),
+            "source": np.repeat(source, M.shape[0]),
+            "tier": np.zeros(M.shape[0], dtype=np.int32),
+            "window_id": window_id,
+            "win_start": window_id * W,
+        }
+        yield _emit(meta, features, M, n, blocks=False)
+
+    return fn
+
+
+def stream_tier0_stateful(chunk_stream: DataFrame,
+                          features: FeatureSet | None = None,
+                          window: int = DEFAULT_WINDOW) -> DataFrame:
+    """Incremental tier-0 over a CHUNKED token stream: feature rows for
+    each window are emitted exactly once, as soon as the window's tokens
+    have all arrived — across micro-batches, via per-doc GroupState."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    features = features or default_rollup_features()
+    return (chunk_stream.groupBy("doc_id")
+            .applyInPandasWithState(
+                make_stateful_tier0_fn(features, window),
+                outputStructType=rollup_schema(features, blocks=False),
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
