@@ -305,6 +305,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact cosine over LSH-bucket
+    candidates); the oracle replays the bucket membership, so the whole
+    pipeline is value-checked."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dups(emb, threshold=0.35)
+
+
 def q_pairwise_pearson(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.pairwise_pearson(emb, max_vec_id=48)
@@ -378,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_threshold": q_cosine_threshold,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "pairwise_pearson": q_pairwise_pearson,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
@@ -717,6 +726,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "ann_lsh_topk": similarity.lsh_topk_duckdb(dim=64),
+        "embedding_near_dups": similarity.embedding_near_dups_duckdb(
+            dim=64, threshold=0.35),
         "pairwise_pearson": """
             WITH d AS (SELECT vec_id, label,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -211,3 +211,22 @@ def test_pairwise_phase_sync_matches_o_n2_reference(spark):
     # locked sines are strongly synchronous; noise pairs are not
     assert got[("a", "b")]["ppc"] > 0.9
     assert got[("a", "c")]["ppc"] < got[("a", "b")]["ppc"] - 0.3
+
+
+def test_embedding_near_dups_finds_planted_exact_dups(spark):
+    """Identical embeddings land in identical buckets in EVERY hash table
+    (sign-LSH is deterministic), so exact duplicates are always found;
+    random vectors at cos ~ 0.3 don't cross the 0.9 threshold."""
+    rng2 = np.random.default_rng(21)
+    base = rng2.standard_normal((100, 64))
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(base)]
+    rows.append((100, rows[5][1], 1))          # exact dup of vec 5
+    near = np.asarray(rows[7][1]) + 0.02 * rng2.standard_normal(64)
+    rows.append((101, [float(x) for x in near], 1))  # near dup of vec 7
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = similarity.embedding_near_dups(emb, threshold=0.9).toPandas()
+    pairs = set(map(tuple, got[["vec_a", "vec_b"]].to_numpy()))
+    assert (5, 100) in pairs
+    assert (7, 101) in pairs or len(pairs) >= 2  # near dup usually caught
+    assert all(c >= 0.9 for c in got["cos"])

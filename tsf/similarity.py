@@ -173,6 +173,81 @@ def lsh_topk_duckdb(dim: int, k: int = 10, nbits: int = 8, tables: int = 2,
     """
 
 
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
+                        nbits: int = 8, tables: int = 2,
+                        seed: int = 7) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: exact cosine >= threshold
+    among pairs sharing an LSH bucket in ANY of ``tables`` hash tables.
+
+    The bucket equi-join keeps the cross product per (table, bucket) —
+    never global — and the exact cosine filter runs on candidates only.
+    Sign-LSH candidates are approximate-recall by nature (recall rises
+    with `tables`, falls with `nbits`); the DuckDB oracle replays the
+    SAME bucket membership, so the driver value-checks the full pipeline
+    rather than pretending the sketch is lossless."""
+    d = emb.select("vec_id", F.expr(EMB_DOUBLE).alias("v"),
+                   F.size("embedding").alias("_dim"))
+    dim = d.select(F.max("_dim")).first()[0]
+    d = d.drop("_dim")
+    for t in range(tables):
+        planes = random_hyperplanes(dim, nbits, seed + t)
+        bucket = F.lit(0).cast("long")
+        for j in range(nbits):
+            plane = "array(" + ",".join(f"cast({float(x)} as double)"
+                                        for x in planes[j]) + ")"
+            bucket = bucket + (F.expr(_dot("v", plane)) > 0).cast("long") \
+                * F.lit(2 ** j)
+        d = d.withColumn(f"b{t}", bucket)
+    banded = d.select("vec_id", "v", F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bk"))
+        for t in range(tables)])).alias("s")) \
+        .select("vec_id", "v", F.col("s.t").alias("t"), F.col("s.bk").alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    sxy = F.expr(_dot("a.v", "b.v"))
+    sxx = F.expr(_dot("a.v", "a.v"))
+    syy = F.expr(_dot("b.v", "b.v"))
+    cos = sxy / (F.sqrt(sxx) * F.sqrt(syy))
+    return (a.join(b, ["t", "bk"])
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(cos, 6).alias("cos"))
+            .dropDuplicates(["vec_a", "vec_b"])
+            .where(F.col("cos") >= threshold))
+
+
+def embedding_near_dups_duckdb(dim: int, threshold: float = 0.9,
+                               nbits: int = 8, tables: int = 2,
+                               seed: int = 7) -> str:
+    """DuckDB replay of :func:`embedding_near_dups` (same planes, same
+    bucket membership, same cosine arithmetic)."""
+    def arr(v):
+        return "[" + ",".join(f"CAST({float(x)} AS DOUBLE)" for x in v) + "]"
+
+    bks = []
+    for t in range(tables):
+        planes = random_hyperplanes(dim, nbits, seed + t)
+        bks.append(" + ".join(
+            f"(CASE WHEN list_dot_product(v, {arr(planes[j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)" for j in range(nbits)))
+    bcols = ", ".join(f"({b}) AS b{t}" for t, b in enumerate(bks))
+    share = " OR ".join(f"a.b{t} = b.b{t}" for t in range(tables))
+    return f"""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    bk AS (SELECT vec_id, v, {bcols} FROM d)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({share})
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+    """
+
+
 def pairwise_pearson(emb: DataFrame, max_vec_id: int | None = None) -> DataFrame:
     """Pearson correlation + sample covariance for every vector pair within
     a label group (reference pairwise product semantics, N x N upper
