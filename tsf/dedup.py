@@ -82,7 +82,9 @@ def minhash_pairs(docs: DataFrame, k: int = 3, num_hashes: int = 32,
                   bands: int = 8, threshold: float = 0.5) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + exact minhash-Jaccard filter."""
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, k, num_hashes)
+    # the signature table feeds the banded join AND both verify sides —
+    # persist so shingle+minhash aggregation runs once
+    sig = minhash_signatures(docs, k, num_hashes).persist()
     band_cols = F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
@@ -162,7 +164,8 @@ def simhash_near_dups(docs: DataFrame, k: int = 3,
     assert 64 % bands == 0, "bands must divide 64 (every bit banded)"
     width = 64 // bands
     mask = (1 << width) - 1
-    s = simhash(docs, k)
+    # both self-join sides re-derive the sketch otherwise
+    s = simhash(docs, k).persist()
     banded = s.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
@@ -283,6 +286,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
              f" i -> xxhash64(concat_ws(' ', slice(ws, i + 1, {k})))))"
              f" else array() end").alias("ss"))
          .withColumn("sz", F.size("ss")))
+    # the shingling subtree feeds FIVE plan branches (df count, prefix,
+    # both candidate sides, both verify sides) and Catalyst re-executes it
+    # per branch — persist so tokenize+shingle runs once (LRU-evicted;
+    # ~8B/shingle, far smaller than the source text)
+    d = d.persist()
     w = d.select("doc_id", "sz", F.explode("ss").alias("sh"))
     # document frequency per shingle: small (vocab-sized) -> broadcast
     dfreq = w.groupBy("sh").agg(F.count("*").alias("df"))

@@ -93,7 +93,8 @@ def pairwise_phase_sync(seq: DataFrame, window: int = 100,
     Returns (source, doc_a, doc_b, n_windows, plv, ppc): plv/ppc are the
     means over aligned full windows (one window per short doc, so for the
     reference's whole-series semantics pick window >= series length)."""
-    pw = phase_windows(seq, window)
+    # both join sides re-run the FFT phase pass otherwise
+    pw = phase_windows(seq, window).persist()
     a, b = pw.alias("a"), pw.alias("b")
     # C = sum cos(pb - pa), S = sum sin(pb - pa) via four JVM dot products
     C = (F.expr(_dot("b.c", "a.c")) + F.expr(_dot("b.s", "a.s")))

@@ -288,6 +288,8 @@ def series_pairwise_pearson(rollup: DataFrame, window: int,
     s = (rollup.where(F.col("cnt") == window)
          .select("doc_id", "source", "window_id",
                  F.col("sum_tok").cast("bigint").alias("s")))
+    # both join sides re-run the upstream tier-0 mapInPandas otherwise
+    s = s.persist()
     a, b = s.alias("a"), s.alias("b")
     n = F.col("n_overlap").cast("double")
     sa, sb = F.col("sum_a").cast("double"), F.col("sum_b").cast("double")
