@@ -102,6 +102,15 @@ def q_tier1_rollup(spark, sf_dir):
     return _rollup_select_t1(next_tier(t0, 0, _stats_fs(), window=20))
 
 
+def q_tier2_rollup(spark, sf_dir):
+    """Tier-2 derived from tier-1 compressed blocks (two decade-mean
+    levels above raw tokens) — value-checks the segment-tree derivation
+    end-to-end including the Gorilla round-trip."""
+    t0 = tier0(_seq(spark, sf_dir), _stats_fs(), window=20)
+    t1 = next_tier(t0, 0, _stats_fs(), window=20)
+    return _rollup_select_t1(next_tier(t1, 1, _stats_fs(), window=20))
+
+
 def q_series_acf(spark, sf_dir):
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["cnt", "mean", "std", "ac_1"]]
@@ -239,6 +248,13 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_minhash_check(spark, sf_dir):
+    """Minhash signatures over SQL-replayable double-hashed LCG shingle
+    hashes — value-checks the shingle->per-hash-min plumbing shared by the
+    production xxhash64 minhash."""
+    return dedup.minhash_check(_docs(spark, sf_dir))
+
+
 def q_simhash_check(spark, sf_dir):
     """Full per-doc simhash sketches with SQL-replayable LCG shingle
     hashes — value-checks shingling, bit majority, and sketch assembly
@@ -333,6 +349,17 @@ def q_media_features(spark, sf_dir):
         F.round(_nn("std_val"), 6).alias("std_val"), "n_values")
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video-style frame sampling over the binary media column (rows-only:
+    content is the documented deterministic fake) — summarized per frame
+    so the check sees the explode shape + per-frame stats."""
+    m = multimodal.synth_media(_docs(spark, sf_dir))
+    f = multimodal.frame_sample(m, every=8)
+    return f.select("doc_id", "frame_id", F.size("frame").alias("n_px"),
+                    F.expr("aggregate(frame, 0L, (a, x) -> a + x)")
+                    .alias("px_sum"))
+
+
 def q_compression_roundtrip(spark, sf_dir):
     import numpy as np
     import pandas as pd
@@ -363,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_source_stats": q_seq_source_stats,
         "tier0_rollup": q_tier0_rollup,
         "tier1_rollup": q_tier1_rollup,
+        "tier2_rollup": q_tier2_rollup,
         "series_acf": q_series_acf,
         "acf_features": q_acf_features,
         "kernel_features": q_kernel_features,
@@ -377,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "simhash_check": q_simhash_check,
+        "minhash_check": q_minhash_check,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -390,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_pearson": q_pairwise_pearson,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         "compression_roundtrip": q_compression_roundtrip,
     }
 
@@ -443,6 +473,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(1 AS INT) AS tier,
                    CAST(window_id AS BIGINT) AS window_id,
                    CAST(window_id * 200 AS BIGINT) AS win_start,
+                   CAST(n AS BIGINT) AS cnt, round(s, 6) AS sum_tok,
+                   round(mn, 6) AS min_tok, round(mx, 6) AS max_tok,
+                   round(s / n, 6) AS mean,
+                   CASE WHEN n > 1 THEN round(sqrt(greatest(
+                        (ss - s * s / n) / (n - 1), 0)), 6) END AS std
+            FROM w
+        """,
+        "tier2_rollup": f"""
+            WITH {_TOK20},
+            dec1 AS (SELECT doc_id, source, pos // 10 AS d,
+                            CAST(sum(x) AS DOUBLE) / count(*) AS m
+                     FROM tok GROUP BY 1, 2, 3),
+            dec2 AS (SELECT doc_id, source, d // 10 AS d2,
+                            sum(m) / count(*) AS m2
+                     FROM dec1 GROUP BY 1, 2, 3),
+            w AS (SELECT doc_id, source, d2 // 20 AS window_id, count(*) AS n,
+                         sum(m2) AS s, sum(m2*m2) AS ss,
+                         min(m2) AS mn, max(m2) AS mx
+                  FROM dec2 GROUP BY 1, 2, 3)
+            SELECT doc_id, source, CAST(2 AS INT) AS tier,
+                   CAST(window_id AS BIGINT) AS window_id,
+                   CAST(window_id * 2000 AS BIGINT) AS win_start,
                    CAST(n AS BIGINT) AS cnt, round(s, 6) AS sum_tok,
                    round(mn, 6) AS min_tok, round(mx, 6) AS max_tok,
                    round(s / n, 6) AS mean,
@@ -668,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_duckdb(0.3),
         "simhash_check": dedup.simhash_check_duckdb(),
+        "minhash_check": dedup.minhash_check_duckdb(),
         "text_quality": textstats.text_stats_duckdb(),
         "langid": textstats.langid_duckdb(),
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),

@@ -117,11 +117,11 @@ def main() -> None:
 
     # ---- operator queries on the driver's testdata ----
     qs = entrymod.queries()
-    bench_qs = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
+    bench_qs = ["tier0_rollup", "tier1_rollup", "tier2_rollup", "series_acf", "acf_features",
                 "kernel_features", "events_hourly", "gapfill_locf",
                 "gapfill_linear", "tpch_q1", "topk_orders", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-                "simhash_check", "text_quality", "langid", "fingerprint",
+                "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
                 "cosine_topk", "ann_lsh_topk", "pairwise_pearson",
                 "series_pairwise_pearson", "pairwise_phase_sync",
                 "token_counts", "media_meta", "media_features",

@@ -185,6 +185,58 @@ def simhash_near_dups(docs: DataFrame, k: int = 3,
             .where(F.col("hamming") <= max_hamming))
 
 
+def minhash_check(docs: DataFrame, k: int = 3, num_hashes: int = 8) -> DataFrame:
+    """(doc_id, h_index, min_hash) — minhash signatures over the
+    SQL-replayable LCG shingle hashes, with the hash family derived by
+    Kirsch-Mitzenmacher double hashing ``g_i = (h1 + i*h2) mod 2^32``.
+    Value-checks the minhash plumbing (shingling -> per-hash min) that the
+    production xxhash64 path (:func:`minhash_signatures`) shares."""
+    (s1, m1, a1), (s2, m2, a2) = _LCG
+    sh = shingle_strings(docs, k).select(
+        "doc_id",
+        F.expr(_lcg_fold_spark("shingle_str", s1, m1, a1)).alias("h1"),
+        F.expr(_lcg_fold_spark("shingle_str", s2, m2, a2)).alias("h2"))
+    mins = [F.min(F.expr(f"(h1 + {i} * h2) % 4294967296")).alias(f"m{i}")
+            for i in range(num_hashes)]
+    g = sh.groupBy("doc_id").agg(*mins)
+    pairs = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
+    return g.selectExpr(
+        "doc_id", f"stack({num_hashes}, {pairs}) AS (h_index, min_hash)")
+
+
+def minhash_check_duckdb(k: int = 3, num_hashes: int = 8) -> str:
+    """DuckDB replay of :func:`minhash_check`."""
+    assert k == 3
+    (s1, m1, a1), (s2, m2, a2) = _LCG
+
+    def fold(seed, mult, add):
+        return (f"list_reduce(list_concat([CAST({seed} AS HUGEINT)], "
+                f"list_transform(range(1, length(s) + 1), "
+                f"i -> CAST(ascii(substring(s, i, 1)) AS HUGEINT))), "
+                f"(h, c) -> (h * {mult} + c + {add}) % 4294967296)")
+
+    mins = ", ".join(
+        f"CAST(min((h1 + {i} * h2) % 4294967296) AS BIGINT) AS m{i}"
+        for i in range(num_hashes))
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS h_index, m{i} AS min_hash FROM sig"
+        for i in range(num_hashes))
+    return f"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                                  x -> length(x) > 0) AS ws
+               FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(ws) - {k}, 0) + 1),
+                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+           FROM w),
+    hs AS (SELECT doc_id, {fold(s1, m1, a1)} AS h1, {fold(s2, m2, a2)} AS h2
+           FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hs GROUP BY 1)
+    {unions}
+    """
+
+
 # -- SQL-replayable simhash (oracle-grade arithmetic check) -----------------
 
 #: two independent 32-bit LCG folds over the shingle's character codes —
