@@ -139,7 +139,12 @@ def test_user_registered_super_feature():
     want_mean = np.diff(X, axis=1).mean(axis=1)
     np.testing.assert_allclose(out["mean_absdiff_t"], want_mean, rtol=1e-12)
 
-    # double registration with a DIFFERENT fn is refused
+    # re-declaring via super_feature is last-wins (rebuilding a
+    # FeatureSet twice must not raise) ...
+    f_again = super_feature(lambda s: np.nanmean(s, axis=1),
+                            "mean", "absdiff_t", my_super, merge=True)
+    assert f_again.name == "mean_absdiff_t"
+    # ... but the explicit registry call stays strict about collisions
     import pytest as _pytest
     with _pytest.raises(ValueError):
         register_intermediate("absdiff_t", lambda ctx: ctx.X)

@@ -25,6 +25,24 @@ from pyspark.sql import DataFrame, functions as F
 _WORDS = "filter(split(text, ' '), w -> length(w) > 0)"
 
 
+def _shingle_array_expr(payload: str, k: int) -> str:
+    """SQL expression building each doc's DISTINCT word-k-gram shingle
+    array from a materialized word array ``ws`` — the single source of
+    truth for the shingling convention (start positions 1..size-k; docs
+    with <= k words yield none: Spark's sequence() would emit a DESCENDING
+    range for them, so the short case is gated explicitly). ``payload``
+    maps the joined k-gram string, e.g. ``"xxhash64({g})"`` or ``"{g}"``.
+
+    The word array must be a COLUMN: a split() inside the transform
+    lambda would be re-evaluated per shingle position (Catalyst does not
+    CSE inside higher-order-function lambdas) — O(words^2)."""
+    gram = f"concat_ws(' ', slice(ws, i + 1, {k}))"
+    return (f"case when size(ws) > {k} then "
+            f"array_distinct(transform(sequence(0, size(ws) - {k} - 1),"
+            f" i -> {payload.format(g=gram)}))"
+            f" else array() end")
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """One row per distinct text: keeper id + duplicate count."""
     return (docs
@@ -35,34 +53,20 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Word k-gram shingle hashes per doc (distinct).
-
-    The word array is materialized as a column FIRST: a split() inside the
-    transform lambda would be re-evaluated per shingle position (Catalyst
-    does not CSE inside higher-order-function lambdas) — O(words^2).
-    Docs with <= k words yield no shingles (Spark's sequence() would emit
-    a DESCENDING range for them, so the short case is gated explicitly)."""
+    """Word k-gram shingle hashes per doc (distinct)."""
     return (docs
             .select("doc_id", F.expr(_WORDS).alias("ws"))
             .select("doc_id", F.explode(F.expr(
-                f"case when size(ws) > {k} then "
-                f"array_distinct(transform(sequence(0, size(ws) - {k} - 1),"
-                f" i -> xxhash64(concat_ws(' ', slice(ws, i + 1, {k})))))"
-                f" else array() end"
-            )).alias("shingle")))
+                _shingle_array_expr("xxhash64({g})", k))).alias("shingle")))
 
 
 def shingle_strings(docs: DataFrame, k: int = 3) -> DataFrame:
     """Distinct word k-gram shingle STRINGS per doc (pre-hash form, used
-    by the SQL-replayable simhash_check variant)."""
+    by the SQL-replayable simhash_check/minhash_check variants)."""
     return (docs
             .select("doc_id", F.expr(_WORDS).alias("ws"))
             .select("doc_id", F.explode(F.expr(
-                f"case when size(ws) > {k} then "
-                f"array_distinct(transform(sequence(0, size(ws) - {k} - 1),"
-                f" i -> concat_ws(' ', slice(ws, i + 1, {k}))))"
-                f" else array() end"
-            )).alias("shingle_str")))
+                _shingle_array_expr("{g}", k))).alias("shingle_str")))
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 32) -> DataFrame:
@@ -332,11 +336,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
     # instead of ~30-byte strings (set sizes are hash-collision-exact,
     # which the string-based DuckDB oracle confirms on every fixture)
     d = (docs.select("doc_id", F.expr(_WORDS).alias("ws"))
-         .select("doc_id", F.expr(
-             f"case when size(ws) > {k} then "
-             f"array_distinct(transform(sequence(0, size(ws) - {k} - 1),"
-             f" i -> xxhash64(concat_ws(' ', slice(ws, i + 1, {k})))))"
-             f" else array() end").alias("ss"))
+         .select("doc_id",
+                 F.expr(_shingle_array_expr("xxhash64({g})", k)).alias("ss"))
          .withColumn("sz", F.size("ss")))
     # the shingling subtree feeds FIVE plan branches (df count, prefix,
     # both candidate sides, both verify sides) and Catalyst re-executes it
@@ -344,11 +345,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
     # ~8B/shingle, far smaller than the source text)
     d = d.persist()
     w = d.select("doc_id", "sz", F.explode("ss").alias("sh"))
-    # document frequency per shingle: small (vocab-sized) -> broadcast
+    # document frequency per shingle: grows with corpus vocabulary (word
+    # 3-grams are near-unique at scale), so NO broadcast hint — AQE
+    # broadcasts it while it fits and falls back to a shuffle join beyond
     dfreq = w.groupBy("sh").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
     order = Window.partitionBy("doc_id").orderBy("df", "sh")
-    pre = (w.join(F.broadcast(dfreq), "sh")
+    pre = (w.join(dfreq, "sh")
            .withColumn("rn", F.row_number().over(order))
            .where(F.col("rn") <= F.col("sz")
                   - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(eps)) + 1)

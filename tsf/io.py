@@ -110,7 +110,7 @@ def write_rollup(df: DataFrame, path: str, mode: str = "overwrite",
     """
     if table is not None:
         writer = df.writeTo(table).partitionedBy(
-            F.col(partition_cols[0]) if partition_cols else F.col("source"),
+            *[F.col(c) for c in partition_cols],
             F.bucket(doc_buckets, F.col("doc_id")))
         if mode == "overwrite":
             writer.createOrReplace()

@@ -375,7 +375,9 @@ def k_pacf(lag: int):
     return f
 
 
-def _first_crossing_acf(X: np.ndarray, n: np.ndarray) -> np.ndarray:
+def _first_crossing_acf(X: np.ndarray, n: np.ndarray,
+                        d: np.ndarray | None = None,
+                        denom: np.ndarray | None = None) -> np.ndarray:
     """firstcrossingacf(x, 0) per row of the zero-padded matrix ``X`` with
     true lengths ``n`` — reference-faithful (src/StatsBase.jl:44-64):
 
@@ -393,18 +395,24 @@ def _first_crossing_acf(X: np.ndarray, n: np.ndarray) -> np.ndarray:
 
     The scan itself uses small adaptive lag chunks with batch early exit
     (an optimization only: each lag's sum is independent, so values are
-    bit-identical to the reference's 100-lag recomputes)."""
+    bit-identical to the reference's 100-lag recomputes).
+
+    ``d``/``denom`` accept a precomputed demeaned matrix + lag-0 sum
+    (the shared WindowCtx intermediates) so callers with a live ctx pay
+    no second demeaning pass."""
     X = np.ascontiguousarray(X, dtype=np.float64)
     n = np.asarray(n, dtype=np.int64)
     nw, W = X.shape
     out = np.full(nw, np.nan)
     if W < 2:
         return out
-    mask = np.arange(W)[None, :] < n[:, None]
-    with np.errstate(invalid="ignore", divide="ignore"):
-        mu = np.where(n > 0, (X * mask).sum(axis=1) / n, 0.0)
-    d = np.where(mask, X - mu[:, None], 0.0)
-    denom = (d * d).sum(axis=1)
+    if d is None:
+        mask = np.arange(W)[None, :] < n[:, None]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = np.where(n > 0, (X * mask).sum(axis=1) / n, 0.0)
+        d = np.where(mask, X - mu[:, None], 0.0)
+    if denom is None:
+        denom = (d * d).sum(axis=1)
     L = np.maximum(np.minimum(100, n - 1), 1)  # reference lagchunks
     cap = L * ((n - 1) // L)                   # last lag ever examined
     rows = np.nonzero((denom > 0.0) & (n > 1))[0]
@@ -458,8 +466,11 @@ def _first_crossing_acf(X: np.ndarray, n: np.ndarray) -> np.ndarray:
 
 
 def k_acf_timescale(ctx: WindowCtx) -> np.ndarray:
-    """firstcrossingacf(x, 0) of the raw window (src/StatsBase.jl:44-64)."""
-    return _first_crossing_acf(ctx.X, ctx.n)
+    """firstcrossingacf(x, 0) of the raw window (src/StatsBase.jl:44-64),
+    sharing the ctx-cached demeaned matrix / lag-0 sum with ACF leaves."""
+    return _first_crossing_acf(ctx.X, ctx.n,
+                               d=ctx.get("demeaned"),
+                               denom=ctx.get("acf_denom"))
 
 
 def k_firstcrossing(ctx: WindowCtx) -> np.ndarray:

@@ -214,9 +214,12 @@ def super_feature(leaf_fn: Callable[[np.ndarray], np.ndarray],
 
     ``super_fn`` may be omitted when the super is already registered
     (built-in intermediates like ``"z"``, ``"acf"``, ``"analytic_phase"``,
-    or a prior :func:`register_intermediate`)."""
+    or a prior :func:`register_intermediate`). Re-declaring a super here
+    is last-wins (rebuilding the same FeatureSet twice — a per-job
+    builder, a re-run notebook cell — must not raise); only the explicit
+    :func:`register_intermediate` is strict about collisions."""
     if super_fn is not None:
-        register_intermediate(super_name, super_fn)
+        register_intermediate(super_name, super_fn, overwrite=True)
     elif super_name not in K.INTERMEDIATES:
         raise KeyError(f"unknown super {super_name!r}; pass super_fn")
     if merge:

@@ -160,9 +160,13 @@ def make_vector_fn(W: int, names: tuple[str, ...]):
                     V = ctx.get("analytic").imag
                 else:
                     V = ctx.get(name)
-                # trim each row's vector to its true length (lag features
-                # are full-length with NaN past the defined lags)
-                lim = n if V.shape[1] == W else np.minimum(n, V.shape[1])
+                # trim each row's vector to its true length: n samples for
+                # sample-aligned transforms, n-1 defined lags for the lag
+                # features (lags 1..n-1; anything further is NaN padding)
+                if name in ("acf", "pacf"):
+                    lim = np.minimum(np.maximum(n - 1, 0), V.shape[1])
+                else:
+                    lim = np.minimum(n, V.shape[1])
                 yield pd.DataFrame({
                     "doc_id": doc, "source": src, "window_id": window_id,
                     "name": name,

@@ -51,17 +51,21 @@ def random_hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((nbits, dim))
 
 
+def _bucket_col(vec_expr: str, planes: np.ndarray):
+    """Sign-bit bucket id column for a vector SQL expression (JVM dots)."""
+    bucket = F.lit(0).cast("long")
+    for i in range(planes.shape[0]):
+        plane = "array(" + ",".join(f"cast({float(v)} as double)"
+                                    for v in planes[i]) + ")"
+        bit = (F.expr(_dot(vec_expr, plane)) > 0).cast("long")
+        bucket = bucket + bit * F.lit(2 ** i)
+    return bucket
+
+
 def lsh_buckets(emb: DataFrame, planes: np.ndarray,
                 col: str = "bucket") -> DataFrame:
     """Sign-bit bucket id per vector via JVM dot products (no Python)."""
-    nbits = planes.shape[0]
-    bucket = F.lit(0).cast("long")
-    for i in range(nbits):
-        plane = "array(" + ",".join(f"cast({float(v)} as double)"
-                                    for v in planes[i]) + ")"
-        bit = (F.expr(_dot(EMB_DOUBLE, plane)) > 0).cast("long")
-        bucket = bucket + bit * F.lit(2 ** i)
-    return emb.withColumn(col, bucket)
+    return emb.withColumn(col, _bucket_col(EMB_DOUBLE, planes))
 
 
 def _query_probes(query: list[float], planes: np.ndarray,
@@ -185,19 +189,14 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
     with `tables`, falls with `nbits`); the DuckDB oracle replays the
     SAME bucket membership, so the driver value-checks the full pipeline
     rather than pretending the sketch is lossless."""
-    d = emb.select("vec_id", F.expr(EMB_DOUBLE).alias("v"),
-                   F.size("embedding").alias("_dim"))
-    dim = d.select(F.max("_dim")).first()[0]
-    d = d.drop("_dim")
+    dim = emb.select(F.max(F.size("embedding"))).first()[0]
+    if dim is None:  # empty input: no rows, well-typed empty result
+        return emb.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cos double")
+    d = emb.select("vec_id", F.expr(EMB_DOUBLE).alias("v"))
     for t in range(tables):
         planes = random_hyperplanes(dim, nbits, seed + t)
-        bucket = F.lit(0).cast("long")
-        for j in range(nbits):
-            plane = "array(" + ",".join(f"cast({float(x)} as double)"
-                                        for x in planes[j]) + ")"
-            bucket = bucket + (F.expr(_dot("v", plane)) > 0).cast("long") \
-                * F.lit(2 ** j)
-        d = d.withColumn(f"b{t}", bucket)
+        d = d.withColumn(f"b{t}", _bucket_col("v", planes))
     banded = d.select("vec_id", "v", F.explode(F.array(*[
         F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bk"))
         for t in range(tables)])).alias("s")) \

@@ -127,8 +127,12 @@ def stream_source_counts(events: DataFrame, watermark: str = "10 minutes",
 CHUNK_SCHEMA = ("doc_id string, source string, chunk_off bigint, "
                 "chunk_toks array<int>")
 
-#: per-doc state: contiguous frontier + the carried partial-window tail
-STATE_SCHEMA = "next_off bigint, carry array<int>, source string"
+#: per-doc state: contiguous frontier + the carried partial-window tail +
+#: out-of-order chunks buffered past a gap (offsets + flattened tokens —
+#: nested arrays keep the Arrow state schema flat)
+STATE_SCHEMA = ("next_off bigint, carry array<int>, source string, "
+                "pend_off array<bigint>, pend_len array<int>, "
+                "pend_flat array<int>")
 
 
 def make_stateful_tier0_fn(features: FeatureSet, W: int):
@@ -136,18 +140,19 @@ def make_stateful_tier0_fn(features: FeatureSet, W: int):
 
     Documents arrive in (chunk_off, chunk_toks) pieces spread over many
     micro-batches. Per doc, the state holds the contiguous frontier
-    (next_off) and the < W carried tokens behind it; each batch appends
-    any newly-contiguous chunks, emits every COMPLETED window's feature
-    row exactly once, and keeps the new tail. Out-of-order chunks within
-    a batch are sorted; a chunk beyond the frontier waits in the source
-    until the gap closes (file sources deliver in arrival order, so in
-    practice this is a same-batch sort).
+    (next_off), the < W carried tokens behind it, and a BUFFER of chunks
+    that arrived beyond a gap (Structured Streaming never re-delivers a
+    consumed row, so out-of-order chunks must be held in state, not
+    dropped). Each batch merges buffer + arrivals in offset order, emits
+    every COMPLETED window's feature row exactly once, and re-buffers
+    whatever still sits past a gap.
 
     This is the engine's custom stateful operator
     (``applyInPandasWithState``): the kernels themselves stay the shared
     batch kernels — state only manages window ASSEMBLY, so stateful
     streaming output is bit-identical to a batch run over the assembled
-    sequences (enforced in pytest)."""
+    sequences (enforced in pytest, including cross-batch out-of-order
+    arrival)."""
     import numpy as np
     import pandas as pd
 
@@ -156,11 +161,14 @@ def make_stateful_tier0_fn(features: FeatureSet, W: int):
     def fn(key, pdf_iter, state):
         (doc_id,) = key
         if state.exists:
-            next_off, carry, source = state.get
+            next_off, carry, source, p_off, p_len, p_flat = state.get
             carry = list(carry)
+            chunks, pos = [], 0
+            for off, ln in zip(p_off, p_len):
+                chunks.append((int(off), list(p_flat[pos:pos + ln])))
+                pos += ln
         else:
-            next_off, carry, source = 0, [], None
-        chunks = []
+            next_off, carry, source, chunks = 0, [], None, []
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
                 chunks.append((int(row["chunk_off"]), list(row["chunk_toks"])))
@@ -168,17 +176,23 @@ def make_stateful_tier0_fn(features: FeatureSet, W: int):
         chunks.sort(key=lambda c: c[0])
         carry_base = next_off - len(carry)
         toks = carry
+        pending: list[tuple[int, list]] = []
         for off, ch in chunks:
             want = carry_base + len(toks)
-            if off > want:      # gap: hold the frontier, drop what we
-                break           # cannot yet place (it will be re-sent)
+            if off > want:          # gap: buffer until the gap closes
+                pending.append((off, ch))
+                continue
             if off + len(ch) <= want:
-                continue        # duplicate/overlap: already consumed
+                continue            # duplicate/overlap: already consumed
             toks = toks + ch[want - off:]
+        still = pending  # sorted; everything past the first gap stays put
         n_full = len(toks) // W
         emit_toks = toks[:n_full * W]
         tail = [int(x) for x in toks[n_full * W:]]
-        state.update((int(carry_base + len(toks)), tail, source))
+        state.update((int(carry_base + len(toks)), tail, source,
+                      [int(o) for o, _ in still],
+                      [len(c) for _, c in still],
+                      [int(x) for _, c in still for x in c]))
         if n_full == 0:
             return
         M, n, row_of_win, local_w = _assemble_windows([np.asarray(emit_toks)], W)
