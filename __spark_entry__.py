@@ -111,6 +111,18 @@ def q_tier2_rollup(spark, sf_dir):
     return _rollup_select_t1(next_tier(t1, 1, _stats_fs(), window=20))
 
 
+def q_retention_prune(spark, sf_dir):
+    """Retention policy over a two-tier cascade: tier 0 keeps each doc's
+    newest 2 windows, tier 1 is kept whole (its windows cover everything
+    tier 0 expires — the coverage interlock pytest enforces the general
+    safety rule)."""
+    from tsf import retention
+    t0 = tier0(_seq(spark, sf_dir), _stats_fs(), window=20)
+    t1 = next_tier(t0, 0, _stats_fs(), window=20)
+    roll = _rollup_select_t1(t0).unionByName(_rollup_select_t1(t1))
+    return retention.retention_filter(roll, {0: 2})
+
+
 def q_series_acf(spark, sf_dir):
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["cnt", "mean", "std", "ac_1"]]
@@ -391,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier0_rollup": q_tier0_rollup,
         "tier1_rollup": q_tier1_rollup,
         "tier2_rollup": q_tier2_rollup,
+        "retention_prune": q_retention_prune,
         "series_acf": q_series_acf,
         "acf_features": q_acf_features,
         "kernel_features": q_kernel_features,
@@ -501,6 +514,45 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n > 1 THEN round(sqrt(greatest(
                         (ss - s * s / n) / (n - 1), 0)), 6) END AS std
             FROM w
+        """,
+        "retention_prune": f"""
+            WITH {_TOK20},
+            w0 AS (SELECT doc_id, source, pos // 20 AS window_id,
+                          count(*) AS n, CAST(sum(x) AS DOUBLE) AS s,
+                          sum(x*x) AS ss,
+                          CAST(min(x) AS DOUBLE) AS mn,
+                          CAST(max(x) AS DOUBLE) AS mx
+                   FROM tok GROUP BY 1, 2, 3),
+            r0 AS (SELECT *, row_number() OVER
+                     (PARTITION BY doc_id ORDER BY window_id DESC) AS rk
+                   FROM w0),
+            dec AS (SELECT doc_id, source, pos // 10 AS d,
+                           CAST(sum(x) AS DOUBLE) / count(*) AS m
+                    FROM tok GROUP BY 1, 2, 3),
+            w1 AS (SELECT doc_id, source, d // 20 AS window_id,
+                          count(*) AS n, sum(m) AS s, sum(m*m) AS ss,
+                          min(m) AS mn, max(m) AS mx
+                   FROM dec GROUP BY 1, 2, 3)
+            SELECT doc_id, source, CAST(0 AS INT) AS tier,
+                   CAST(window_id AS BIGINT) AS window_id,
+                   CAST(window_id * 20 AS BIGINT) AS win_start,
+                   CAST(n AS BIGINT) AS cnt, round(s, 6) AS sum_tok,
+                   round(mn, 6) AS min_tok, round(mx, 6) AS max_tok,
+                   round(s / n, 6) AS mean,
+                   CASE WHEN n > 1 THEN round(sqrt(greatest(
+                        (CAST(ss AS DOUBLE) - s * s / n) / (n - 1), 0)), 6)
+                   END AS std
+            FROM r0 WHERE rk <= 2
+            UNION ALL
+            SELECT doc_id, source, CAST(1 AS INT) AS tier,
+                   CAST(window_id AS BIGINT) AS window_id,
+                   CAST(window_id * 200 AS BIGINT) AS win_start,
+                   CAST(n AS BIGINT) AS cnt, round(s, 6) AS sum_tok,
+                   round(mn, 6) AS min_tok, round(mx, 6) AS max_tok,
+                   round(s / n, 6) AS mean,
+                   CASE WHEN n > 1 THEN round(sqrt(greatest(
+                        (ss - s * s / n) / (n - 1), 0)), 6) END AS std
+            FROM w1
         """,
         "series_acf": f"""
             WITH seq AS ({_SEQ}),

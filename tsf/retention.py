@@ -1,0 +1,150 @@
+"""Retention policies over the tier cascade.
+
+North rule: a "rollup + downsample + RETENTION engine ... at cascading
+retention tiers (raw -> 10x -> 100x downsample)". The cascade
+(:mod:`tsf.rollup`) produces the tiers; this module expires them:
+
+- a **policy** maps tier -> how many of each doc's NEWEST windows to keep
+  (``None`` = keep all). Lower tiers keep a short hot tail at full
+  resolution; higher tiers keep long history cheaply — the classic
+  continuous-aggregate retention shape.
+- :func:`retention_filter` is the logical form (a pure DataFrame
+  transform, usable in any plan).
+- :func:`coverage_gaps` is the SAFETY interlock: rows tier t would drop
+  whose span is NOT covered by a retained tier-(t+1) window. Pruning with
+  a policy whose gaps are non-empty destroys information that no coarser
+  tier preserves; :func:`apply_retention` refuses unless ``force=True``.
+- :func:`apply_retention` is the physical form: rewrites the partitioned
+  rollup layout per tier with dynamic partition overwrite (the same
+  idempotent write path the ledger uses).
+
+Scale shape: everything is a window-aggregate + semi/anti-join keyed by
+(doc_id) or (doc_id, parent window) — no cross products, no token reads
+(retention only ever touches rollup rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from tsf.windows import TIER_FACTOR
+
+
+def _keep_last(df: DataFrame, keep: int) -> DataFrame:
+    """Rows among each doc's ``keep`` highest window_ids (dense over the
+    windows that exist — a doc with fewer windows keeps them all)."""
+    w = Window.partitionBy("doc_id").orderBy(F.desc("window_id"))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= keep).drop("_rk"))
+
+
+def retention_filter(rollup: DataFrame,
+                     policy: dict[int, int | None]) -> DataFrame:
+    """Apply a retention policy to a (multi-tier) rollup frame.
+
+    ``policy[t] = k`` keeps each doc's newest ``k`` tier-t windows;
+    ``None`` keeps the tier whole; tiers absent from the policy are kept
+    whole."""
+    parts = []
+    tiers = [r[0] for r in rollup.select("tier").distinct().collect()]
+    for t in sorted(tiers):
+        sub = rollup.where(F.col("tier") == t)
+        keep = policy.get(t)
+        parts.append(sub if keep is None else _keep_last(sub, keep))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def coverage_gaps(rollup: DataFrame, policy: dict[int, int | None],
+                  max_tier: int | None = None) -> DataFrame:
+    """Rows a policy would DROP from tier t with no retained tier-(t+1)
+    window covering their span (tier-t window w is covered by tier-(t+1)
+    window w div TIER_FACTOR). Empty <=> the prune is information-safe:
+    every expired fine window still has a coarse summary."""
+    tiers = sorted(r[0] for r in rollup.select("tier").distinct().collect())
+    top = max(tiers) if max_tier is None else max_tier
+    retained = retention_filter(rollup, policy)
+    gaps = None
+    for t in tiers:
+        if t >= top:
+            continue  # the top tier has no coarser cover by definition
+        dropped = (rollup.where(F.col("tier") == t)
+                   .join(retained.where(F.col("tier") == t)
+                         .select("doc_id", "window_id"),
+                         ["doc_id", "window_id"], "left_anti"))
+        cover = (retained.where(F.col("tier") == t + 1)
+                 .select("doc_id",
+                         F.col("window_id").alias("parent_id")))
+        g = (dropped
+             .withColumn("parent_id",
+                         F.expr(f"window_id div {TIER_FACTOR}"))
+             .join(cover, ["doc_id", "parent_id"], "left_anti")
+             .drop("parent_id"))
+        gaps = g if gaps is None else gaps.unionByName(g)
+    # single-tier data: nothing below the top tier can be checked — no
+    # gaps by construction (the top tier is never coverage-gated)
+    return gaps if gaps is not None else rollup.limit(0)
+
+
+def apply_retention(spark: SparkSession, data_path: str,
+                    policy: dict[int, int | None],
+                    force: bool = False) -> dict[int, int]:
+    """Physically expire rollup storage written by the ledger layout
+    (partitioned by tier_p/batch_id/partition_id): per pruned tier, the
+    retained rows are rewritten with dynamic partition overwrite.
+    Refuses unsafe policies (see :func:`coverage_gaps`) unless ``force``.
+
+    Returns {tier: rows_retained}."""
+    data = spark.read.parquet(data_path)
+    if not force:
+        n_gaps = coverage_gaps(data, policy).count()
+        if n_gaps:
+            raise ValueError(
+                f"unsafe retention policy: {n_gaps} windows would be "
+                f"dropped with no coarser-tier coverage (force=True to "
+                f"override)")
+    out: dict[int, int] = {}
+    for t, keep in sorted(policy.items()):
+        if keep is None:
+            continue
+        sub = data.where(F.col("tier") == t)
+        kept = _keep_last(sub, keep).persist()
+        out[t] = kept.count()
+        # dynamic overwrite replaces only partitions PRESENT in `kept`;
+        # collect the retained partition set first so fully-pruned
+        # partitions (all rows expired) can be removed explicitly after
+        live = {(int(r[0]), int(r[1]))
+                for r in kept.select("batch_id", "partition_id")
+                             .distinct().collect()}
+        (kept.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("tier_p", "batch_id", "partition_id")
+             .parquet(data_path))
+        kept.unpersist()
+        _drop_dead_partitions(spark, data_path, t, live)
+    return out
+
+
+def _drop_dead_partitions(spark: SparkSession, data_path: str, tier: int,
+                          live: set[tuple[int, int]]) -> None:
+    """Remove tier partition directories whose rows were ALL expired
+    (dynamic overwrite never touches partitions absent from the write)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{data_path}/tier_p={tier}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    for bdir in fs.listStatus(hpath):
+        bname = bdir.getPath().getName()
+        if not bname.startswith("batch_id="):
+            continue
+        bid = int(bname.split("=", 1)[1])
+        for pdir in fs.listStatus(bdir.getPath()):
+            pname = pdir.getPath().getName()
+            if not pname.startswith("partition_id="):
+                continue
+            pid = int(pname.split("=", 1)[1])
+            if (bid, pid) not in live:
+                fs.delete(pdir.getPath(), True)
