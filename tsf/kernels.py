@@ -207,15 +207,27 @@ def _pacf(ctx: WindowCtx) -> np.ndarray:
         return out
     rows = np.arange(nw)
     # prefix tables over the zero-padded matrix (pads only ever contribute
-    # zeros past each row's n, and gathers never index past n)
-    P1 = np.zeros((nw, W + 1))
+    # zeros past each row's n, and gathers never index past n). np.empty:
+    # positions past W-d are never read (indices max out at n-d).
+    P1 = np.empty((nw, W + 1))
+    P1[:, 0] = 0.0
     np.cumsum(X, axis=1, out=P1[:, 1:])
-    Pd = np.zeros((nw, K_eff + 1, W + 1))
+    # per-d slices kept CONTIGUOUS ((K+1, nw, W+1) layout): cumsum into a
+    # strided (nw, K+1, W+1) destination was ~2x slower
+    Pd = np.empty((K_eff + 1, nw, W + 1))
+    Pd[:, :, 0] = 0.0
     for d in range(K_eff + 1):
-        np.cumsum(X[:, :W - d] * X[:, d:], axis=1, out=Pd[:, d, 1:W - d + 1])
+        np.cumsum(X[:, :W - d] * X[:, d:], axis=1, out=Pd[d, :, 1:W - d + 1])
+    # uniform-length batches (the dominant full-window case) read prefix
+    # COLUMNS with scalar indices — ~10x cheaper than per-row gathers
+    uniform = bool((n == n[0]).all()) if nw else True
+    n0 = int(n[0]) if nw else 0
 
     def sv(j: int, l: int) -> np.ndarray:
         # sum_{t=l}^{n-1} x_{t-j}
+        if uniform:
+            return (P1[:, min(max(n0 - j, 0), W)]
+                    - P1[:, min(max(l - j, 0), W)])
         hi = np.clip(n - j, 0, W)
         lo = np.clip(l - j, 0, W)
         return P1[rows, hi] - P1[rows, lo]
@@ -223,9 +235,12 @@ def _pacf(ctx: WindowCtx) -> np.ndarray:
     def qq(i: int, j: int, l: int) -> np.ndarray:
         # sum_{t=l}^{n-1} x_{t-i} x_{t-j}
         d, M = abs(i - j), max(i, j)
+        if uniform:
+            return (Pd[d, :, min(max(n0 - M, 0), W)]
+                    - Pd[d, :, min(max(l - M, 0), W)])
         hi = np.clip(n - M, 0, W)
         lo = np.clip(l - M, 0, W)
-        return Pd[rows, d, hi] - Pd[rows, d, lo]
+        return Pd[d, rows, hi] - Pd[d, rows, lo]
 
     with np.errstate(invalid="ignore", divide="ignore"):
         # ---- lag 1: OLS slope closed form (mirrors the SQL oracle) ----
@@ -261,6 +276,13 @@ def _pacf(ctx: WindowCtx) -> np.ndarray:
                 for i in range(1, j + 1):
                     A[:, i, j] = A[:, j, i] = qq(i, j, l)
             ok = n >= 2 * l + 1
+            if ok.all():
+                try:  # common case: every system PD -> ONE factorization,
+                    coef = np.linalg.solve(A, b)  # no masking copies
+                    out[:, l - 1] = coef[:, l]
+                    continue
+                except np.linalg.LinAlgError:
+                    pass  # some window singular: masked slow path below
             sign, _ = np.linalg.slogdet(np.where(ok[:, None, None], A, np.eye(p)))
             ok &= sign > 0  # Gram is PSD; sign>0 <=> PD <=> unique OLS
             coef = np.linalg.solve(
@@ -325,6 +347,7 @@ INTERMEDIATES = {
     "demeaned": _demeaned,
     "z": _z,
     "z_range": _z_range,
+    "z_finite": lambda ctx: _z_finite(ctx),
     "xnan": _xnan,
     "acf_denom": _acf_denom,
     "acf": _acf,
@@ -497,18 +520,26 @@ def k_firstcrossing(ctx: WindowCtx) -> np.ndarray:
     return out
 
 
-def _histmode(ctx: WindowCtx, nbins: int) -> np.ndarray:
-    z = ctx.get("z")  # NaN outside mask / for constant windows
-    nw, W = z.shape
+def _z_finite(ctx: WindowCtx):
+    """(row index, value) of every finite z entry in bin-able rows —
+    shared by histmode5/histmode10 (the extraction is nbins-independent:
+    a row is bin-able iff mx > mn)."""
+    z = ctx.get("z")
     fin, mn, mx = ctx.get("z_range")
+    ok = np.isfinite(mn) & np.isfinite(mx) & (mx > mn)
+    rows, cols = np.nonzero(fin & ok[:, None])
+    return rows, z[rows, cols], ok
+
+
+def _histmode(ctx: WindowCtx, nbins: int) -> np.ndarray:
+    nw = ctx.nw
+    _, mn, mx = ctx.get("z_range")
     width = (mx - mn) / nbins
-    ok = np.isfinite(mn) & np.isfinite(mx) & (width > 0)
+    rows, vals, ok = ctx.get("z_finite")
+    ok = ok & (width > 0)  # belt: degenerate width can't bin
     out = np.full(nw, np.nan)
     if not ok.any():
         return out
-    # bin the finite values only: 1-D ops on the flattened finite entries
-    rows, cols = np.nonzero(fin & ok[:, None])
-    vals = z[rows, cols]
     with np.errstate(invalid="ignore", divide="ignore"):
         bi = np.floor((vals - mn[rows]) / width[rows]).astype(np.int64)
     np.clip(bi, 0, nbins - 1, out=bi)
@@ -547,17 +578,24 @@ def _nanstd1(A: np.ndarray) -> np.ndarray:
 def _nanmedian_rows(A: np.ndarray) -> np.ndarray:
     """Row-wise median ignoring NaN — same values as np.nanmedian.
 
-    Fast path: rows with no NaN (the dominant full-window case) use one
-    np.partition; ragged rows fall back to a sort of just those rows."""
+    Fast path: row groups sharing a finite count use ONE np.partition
+    (NaN sorts last in partition exactly as in sort, so trailing-or-not
+    NaNs land past position cnt-1); only batches with many distinct
+    counts fall back to a full per-row sort."""
     nr, W = A.shape
     cnt = W - np.isnan(A).sum(axis=1)
     med = np.full(nr, np.nan)
-    full = cnt == W
-    if full.any():
-        k1, k2 = (W - 1) // 2, W // 2
-        P = np.partition(A[full] if not full.all() else A, (k1, k2), axis=1)
-        med[full] = (P[:, k1] + P[:, k2]) * 0.5
-    rag = np.nonzero(~full & (cnt > 0))[0]
+    uniq = np.unique(cnt)
+    uniq = uniq[uniq > 0]
+    if uniq.size <= 4:  # 1-2 in practice (full windows + one tail count)
+        for c in uniq:
+            c = int(c)
+            sel = cnt == c
+            k1, k2 = (c - 1) // 2, c // 2
+            P = np.partition(A[sel] if not sel.all() else A, (k1, k2), axis=1)
+            med[sel] = (P[:, k1] + P[:, k2]) * 0.5
+        return med
+    rag = np.nonzero(cnt > 0)[0]
     if rag.size:
         S = np.sort(A[rag], axis=1)  # NaN sorts last
         c = cnt[rag]
@@ -617,10 +655,17 @@ def _rad(ctx: WindowCtx, do_abs: bool, tau: str | int = 1) -> np.ndarray:
         idx = np.arange(W)[None, :]
         valid = idx < (ctx.n - t)[:, None]
         x = np.where(valid, Z, np.nan)
-        y = np.where(valid,
-                     np.take_along_axis(Z, np.minimum(idx + t[:, None], W - 1),
-                                        axis=1),
-                     np.nan)
+        if (t == 1).all():
+            # tau=1 (CR_RAD/CR_RAD_raw): plain shift beats the gather
+            y = np.full_like(Z, np.nan)
+            y[:, :-1] = Z[:, 1:]
+            y[~valid] = np.nan
+        else:
+            y = np.where(valid,
+                         np.take_along_axis(Z,
+                                            np.minimum(idx + t[:, None], W - 1),
+                                            axis=1),
+                         np.nan)
         medx = _nanmedian_rows(x)
         fin = np.isfinite(x)
         sub = x < medx[:, None]          # NaN -> False
