@@ -2,9 +2,13 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops); `oracle_sql()` gives the DuckDB-equivalent SQL where the
-operator is SQL-expressible (UDF-kernel features like PACF/RAD/timescale
-are rows-only and are bit-exactness-tested in pytest instead).
+pipeline ops): 35 queries, 29 value-hash-checked against `oracle_sql()`
+DuckDB replays (including regression-PACF closed forms, histogram modes,
+full LCG simhash/minhash sketch arithmetic, LSH bucket membership, the
+tier-2 cascade, and retention pruning); the 6 rows-only queries cover
+surfaces with no SQL equivalent (Hilbert transform, xxhash64 sketches,
+the documented fake media decode) and are bit-exactness-tested in pytest
+instead.
 
 Column-name / rounding discipline: every float column is rounded to 6
 decimals (4 for large money sums) on BOTH sides, NaN is mapped to NULL,
