@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 35 queries, 29 value-hash-checked against `oracle_sql()`
+pipeline ops): 36 queries, 29 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 full LCG simhash/minhash sketch arithmetic, LSH bucket membership, the
 tier-2 cascade, and retention pruning); the 6 rows-only queries cover
@@ -313,6 +313,16 @@ def q_pairwise_phase_sync(spark, sf_dir):
     return pairwise.pairwise_phase_sync(seq, window=50)
 
 
+def q_pairwise_mi(spark, sf_dir):
+    """MI_Kraskov_NN_20 pairwise mutual information (reference
+    ext/AssociationsExt.jl:5-10, KSG estimator 1 from Kraskov 2004) —
+    rows-only: kNN density estimation has no SQL equivalent; pytest pins
+    the kernel to the analytic bivariate-Gaussian MI and a brute-force
+    scalar reimplementation."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 64")
+    return pairwise.pairwise_mi(seq, window=64, k=20)
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
@@ -429,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "series_pairwise_pearson": q_series_pairwise_pearson,
         "pairwise_phase_sync": q_pairwise_phase_sync,
+        "pairwise_mi": q_pairwise_mi,
         "cosine_threshold": q_cosine_threshold,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

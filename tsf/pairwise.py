@@ -117,3 +117,126 @@ def pairwise_phase_sync(seq: DataFrame, window: int = 100,
             .select("source", "doc_a", "doc_b", "n_windows",
                     F.round("plv", 6).alias("plv"),
                     F.round("ppc", 6).alias("ppc")))
+
+
+# --------------------------------------------------------------------------
+# MI_Kraskov_NN_20 — pairwise mutual information, KSG estimator 1
+# (reference: ext/AssociationsExt.jl:5-10 binds PairwiseFeature
+# association(KSG1(; k=20), x, y); algorithm from the public paper
+# Kraskov, Stoegbauer & Grassberger 2004, Phys Rev E 69 066138, eq. 8).
+# --------------------------------------------------------------------------
+
+def _digamma(x: np.ndarray) -> np.ndarray:
+    """Vectorized digamma for x >= 1 (counts+1): upward recurrence to
+    x >= 8, then the standard asymptotic series — |err| < 1e-12 there."""
+    x = np.asarray(x, dtype=np.float64).copy()
+    out = np.zeros_like(x)
+    for _ in range(8):  # psi(x) = psi(x+1) - 1/x until x >= 8
+        small = x < 8.0
+        if not small.any():
+            break
+        out[small] -= 1.0 / x[small]
+        x[small] += 1.0
+    inv2 = 1.0 / (x * x)
+    out += (np.log(x) - 0.5 / x
+            - inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0)))
+    return out
+
+
+def ksg1_mi_batch(X: np.ndarray, Y: np.ndarray, k: int = 20) -> np.ndarray:
+    """KSG1 mutual information for B aligned pairs at once.
+
+    X, Y: (B, N) float64. Per pair: eps_i = max-norm distance to the k-th
+    nearest joint-space neighbour of point i (self excluded); n_x(i) =
+    #{j != i : |x_i-x_j| < eps_i}, n_y likewise; MI = psi(k) + psi(N)
+    - mean_i[psi(n_x+1) + psi(n_y+1)] (KSG 2004 eq. 8, natural log).
+    O(B N^2) time / memory — callers bound B so B*N^2 stays ~1e7."""
+    B, N = X.shape
+    if N <= k:
+        return np.full(B, np.nan)
+    dx = np.abs(X[:, :, None] - X[:, None, :])
+    dy = np.abs(Y[:, :, None] - Y[:, None, :])
+    dz = np.maximum(dx, dy)
+    ii = np.arange(N)
+    dz[:, ii, ii] = np.inf  # exclude self from the kNN search
+    eps = np.partition(dz, k - 1, axis=2)[:, :, k - 1][:, :, None]
+    # strict < eps; subtract the self-match (dx[i,i] = 0 < eps always)
+    nx = (dx < eps).sum(axis=2) - 1
+    ny = (dy < eps).sum(axis=2) - 1
+    return (_digamma(np.array([float(k)])) + _digamma(np.array([float(N)]))
+            - (_digamma(nx + 1.0) + _digamma(ny + 1.0)).mean(axis=1))
+
+
+def token_windows(seq: DataFrame, window: int) -> DataFrame:
+    """Full aligned windows sliced JVM-side — no Python in the slicing
+    path: (doc_id, source, window_id, toks array<double>)."""
+    W = int(window)
+    return (seq.where(F.col("n_tok") >= W)
+            .select("doc_id", "source",
+                    F.explode(F.expr(
+                        f"sequence(0, n_tok div {W} - 1)")).alias("window_id"),
+                    "tokens")
+            .select("doc_id", "source", "window_id",
+                    F.expr(f"transform(slice(tokens, window_id * {W} + 1, "
+                           f"{W}), x -> cast(x as double))").alias("toks")))
+
+
+def pairwise_mi(seq: DataFrame, window: int = 100, k: int = 20,
+                min_windows: int = 1,
+                num_partitions: int | None = None) -> DataFrame:
+    """MI_Kraskov_NN_20 for every same-source doc pair, averaged over the
+    pair's aligned full windows.
+
+    Plan shape: JVM window slicing -> self-equi-join on (source,
+    window_id) (the N x N product exists only within a source, co-located
+    by the join key) -> one Arrow-batched kernel pass over joined pairs,
+    vectorized across pairs in (B, N) blocks. Only W-double arrays
+    shuffle; tokens are never re-read per pair."""
+    W, kk = int(window), int(k)
+    tw = token_windows(seq, W).persist()
+    a, b = tw.alias("a"), tw.alias("b")
+    pairs = (a.join(b, (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.window_id") == F.col("b.window_id"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.source").alias("source"),
+                     F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.toks").alias("ta"),
+                     F.col("b.toks").alias("tb")))
+    # the O(N^2) kernel pass is ~1000x more expensive per byte than the
+    # equi-join feeding it, and a small input (or AQE post-join
+    # coalescing) would otherwise hand it 1-2 partitions (measured: the
+    # whole pass on ONE task). An explicit numbered repartition is exempt
+    # from AQE coalescing and spreads pair rows evenly — ~1 KB/row
+    # shuffle, trivial next to the kernel.
+    if num_partitions is None:
+        num_partitions = int(pairs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "64"))
+    pairs = pairs.repartition(num_partitions, "doc_a", "doc_b", "source")
+    # sub-block the Arrow batch so the (b, N, N) distance tensors stay
+    # cache-resident: b*N^2*8B*~5 arrays ~ 2-3 MB (measured 65x faster
+    # than one (4096, 64, 64) tensor and ~1.3x faster than (512, ...) —
+    # the kernel is memory-bus-bound, same story as the tiled rollup
+    # kernels in BENCH/BASELINE.md)
+    block = max(4, int(5e5) // (W * W))
+
+    def mi_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mis = np.empty(len(pdf), dtype=np.float64)
+            for lo in range(0, len(pdf), block):
+                sub = pdf.iloc[lo:lo + block]
+                X = np.stack(sub["ta"].to_numpy())
+                Y = np.stack(sub["tb"].to_numpy())
+                mis[lo:lo + len(sub)] = ksg1_mi_batch(X, Y, kk)
+            yield pd.DataFrame({"source": pdf["source"],
+                                "doc_a": pdf["doc_a"],
+                                "doc_b": pdf["doc_b"], "mi": mis})
+
+    per_win = pairs.mapInPandas(
+        mi_fn, "source string, doc_a string, doc_b string, mi double")
+    return (per_win.groupBy("source", "doc_a", "doc_b")
+            .agg(F.count("*").alias("n_windows"),
+                 F.round(F.avg("mi"), 6).alias("mi"))
+            .where(F.col("n_windows") >= min_windows))

@@ -44,17 +44,23 @@ def retention_filter(rollup: DataFrame,
 
     ``policy[t] = k`` keeps each doc's newest ``k`` tier-t windows;
     ``None`` keeps the tier whole; tiers absent from the policy are kept
-    whole."""
-    parts = []
-    tiers = [r[0] for r in rollup.select("tier").distinct().collect()]
-    for t in sorted(tiers):
-        sub = rollup.where(F.col("tier") == t)
-        keep = policy.get(t)
-        parts.append(sub if keep is None else _keep_last(sub, keep))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    whole.
+
+    Single window pass over (tier, doc_id) — no distinct-tier collect
+    (which would force a full extra computation of the upstream cascade)
+    and no per-tier filter+union fan-out. The per-tier keep limit is a
+    CASE expression; NULL (tier not in policy / keep=None) keeps all."""
+    kept = {t: k for t, k in policy.items() if k is not None}
+    if not kept:
+        return rollup
+    limit = F.lit(None).cast("int")
+    for t, k in kept.items():
+        limit = F.when(F.col("tier") == t, F.lit(int(k))).otherwise(limit)
+    w = Window.partitionBy("tier", "doc_id").orderBy(F.desc("window_id"))
+    return (rollup.withColumn("_keep", limit)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_keep").isNull() | (F.col("_rk") <= F.col("_keep")))
+            .drop("_rk", "_keep"))
 
 
 def coverage_gaps(rollup: DataFrame, policy: dict[int, int | None],
