@@ -5,7 +5,7 @@ exposes one entry per implemented operator (SURVEY.md §2 + training-data
 pipeline ops): 36 queries, 29 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 full LCG simhash/minhash sketch arithmetic, LSH bucket membership, the
-tier-2 cascade, and retention pruning); the 6 rows-only queries cover
+tier-2 cascade, and retention pruning); the 7 rows-only queries cover
 surfaces with no SQL equivalent (Hilbert transform, xxhash64 sketches,
 the documented fake media decode) and are bit-exactness-tested in pytest
 instead.

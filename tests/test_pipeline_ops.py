@@ -328,3 +328,30 @@ def test_pairwise_mi_spark_matches_kernel(spark):
         want = round(float(ksg1_mi_batch(wa, wb, 5).mean()), 6)
         assert np.isclose(r["mi"], want, atol=1e-6), (da, db, r["mi"], want)
     assert got[("a", "b")]["mi"] > got[("a", "c")]["mi"] + 1.0
+
+
+def test_ngram_jaccard_positional_filter_lossless(spark):
+    """PPJoin positional filter must not change results — equality with
+    the filter disabled on a LOW-VOCABULARY corpus (each doc samples 3-grams
+    from a tiny word pool, the worst case where bare prefix joins saturate
+    and the positional bound does the pruning)."""
+    rng2 = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {}
+    for i in range(60):
+        words = rng2.choice(vocab, size=rng2.integers(20, 60)).tolist()
+        texts[f"d{i}"] = " ".join(words)
+    # planted near-dup: d100 = d0 with 3 words changed
+    w0 = texts["d0"].split()
+    w0[5], w0[9], w0[11] = "zz1", "zz2", "zz3"
+    texts["d100"] = " ".join(w0)
+    docs = spark.createDataFrame(
+        [(k, v, "s", "en") for k, v in texts.items()],
+        "doc_id string, text string, source string, lang string")
+    on = dedup.ngram_jaccard_pairs(docs, 0.3).toPandas()
+    off = dedup.ngram_jaccard_pairs(docs, 0.3, positional=False).toPandas()
+    key = lambda df: set(map(tuple, df[["doc_a", "doc_b", "jaccard"]]
+                             .astype(str).to_numpy()))
+    assert key(on) == key(off)
+    assert {("d0", "d100"), ("d100", "d0")} & set(
+        map(tuple, on[["doc_a", "doc_b"]].to_numpy()))

@@ -312,7 +312,7 @@ def simhash_check_duckdb(k: int = 3) -> str:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
-                        k: int = 3) -> DataFrame:
+                        k: int = 3, positional: bool = True) -> DataFrame:
     """EXACT all-pairs n-gram (word k-gram shingle) Jaccard >= threshold
     via prefix filtering (AllPairs/PPJoin family) — identical output to a
     naive all-pairs join (the DuckDB oracle IS the naive join), but
@@ -355,12 +355,26 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
            .withColumn("rn", F.row_number().over(order))
            .where(F.col("rn") <= F.col("sz")
                   - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(eps)) + 1)
-           .select("doc_id", "sz", "sh"))
+           .select("doc_id", "sz", "sh", "rn"))
     a, b = pre.alias("a"), pre.alias("b")
+    # PPJoin positional filter (lossless, standard AllPairs/PPJoin): both
+    # docs' shingles are ranked in the SAME global (df, sh) order, so a
+    # prefix match at ranks (rn_a, rn_b) bounds the achievable overlap at
+    # 1 + min(sz_a - rn_a, sz_b - rn_b); J >= t needs overlap >=
+    # ceil(t/(1+t) * (sz_a + sz_b)). Kills candidates whose only shared
+    # prefix shingles sit deep in both prefixes — the dominant case on
+    # low-vocabulary corpora where the bare prefix join saturates.
+    min_overlap = F.ceil(F.lit(threshold / (1.0 + threshold))
+                         * (F.col("a.sz") + F.col("b.sz")) - F.lit(eps))
+    pos_bound = 1 + F.least(F.col("a.sz") - F.col("a.rn"),
+                            F.col("b.sz") - F.col("b.rn"))
+    if not positional:  # testing hook: losslessness proved by equality
+        pos_bound, min_overlap = F.lit(1), F.lit(0)
     cand = (a.join(b, "sh")
             .where((F.col("a.doc_id") < F.col("b.doc_id"))
                    & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(eps))
-                   & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(eps)))
+                   & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(eps))
+                   & (pos_bound >= min_overlap))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]))
