@@ -106,12 +106,19 @@ def main() -> None:
     sys.path.insert(0, str(REPO))
     import bench
     from jobs.package import build
-    from tsf.session import get_spark
     build()  # fresh dist/tsf.zip for the executors
-    spark = get_spark("tsf-scaling-gen", cores=os.cpu_count() or 8)
-    spark.sparkContext.setLogLevel("ERROR")
-    bench.materialize_corpus(spark)
-    spark.stop()
+    # corpus gen runs in a SUBPROCESS so its py4j gateway JVM (which
+    # spark.stop() does not terminate — it lives until the owning python
+    # exits, idling with a multi-GB heap and background GC) is gone
+    # before any measurement pair starts. A lingering gen JVM measurably
+    # depressed one pair's 4N side in earlier runs.
+    gen = ("import os, sys; sys.path.insert(0, %r); "
+           "import bench; from tsf.session import get_spark; "
+           "s = get_spark('tsf-scaling-gen', cores=os.cpu_count() or 8); "
+           "s.sparkContext.setLogLevel('ERROR'); "
+           "bench.materialize_corpus(s); s.stop()" % str(REPO))
+    subprocess.run([sys.executable, "-c", gen], check=True, cwd=str(REPO),
+                   timeout=1800)
 
     curve: dict[int, dict] = {}
     effs = []
