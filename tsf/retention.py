@@ -69,29 +69,29 @@ def coverage_gaps(rollup: DataFrame, policy: dict[int, int | None],
     window covering their span (tier-t window w is covered by tier-(t+1)
     window w div TIER_FACTOR). Empty <=> the prune is information-safe:
     every expired fine window still has a coarse summary."""
-    tiers = sorted(r[0] for r in rollup.select("tier").distinct().collect())
-    top = max(tiers) if max_tier is None else max_tier
+    # tier-generic plan — two anti-joins, no per-tier loop and no
+    # driver-side distinct-tier collect (which would force an extra full
+    # computation of a derived rollup frame): dropped = rollup \ retained
+    # on (tier, doc_id, window_id); a dropped tier-t row gaps unless a
+    # retained tier-(t+1) row covers window_id div TIER_FACTOR. The top
+    # tier is never coverage-gated (nothing coarser exists) — its bound
+    # comes from a broadcast 1-row max(tier) aggregate, still no collect.
     retained = retention_filter(rollup, policy)
-    gaps = None
-    for t in tiers:
-        if t >= top:
-            continue  # the top tier has no coarser cover by definition
-        dropped = (rollup.where(F.col("tier") == t)
-                   .join(retained.where(F.col("tier") == t)
-                         .select("doc_id", "window_id"),
-                         ["doc_id", "window_id"], "left_anti"))
-        cover = (retained.where(F.col("tier") == t + 1)
-                 .select("doc_id",
-                         F.col("window_id").alias("parent_id")))
-        g = (dropped
-             .withColumn("parent_id",
-                         F.expr(f"window_id div {TIER_FACTOR}"))
-             .join(cover, ["doc_id", "parent_id"], "left_anti")
-             .drop("parent_id"))
-        gaps = g if gaps is None else gaps.unionByName(g)
-    # single-tier data: nothing below the top tier can be checked — no
-    # gaps by construction (the top tier is never coverage-gated)
-    return gaps if gaps is not None else rollup.limit(0)
+    dropped = rollup.join(
+        retained.select("tier", "doc_id", "window_id"),
+        ["tier", "doc_id", "window_id"], "left_anti")
+    if max_tier is None:
+        top = rollup.agg(F.max("tier").alias("_top"))
+        dropped = (dropped.join(F.broadcast(top))
+                   .where(F.col("tier") < F.col("_top")).drop("_top"))
+    else:
+        dropped = dropped.where(F.col("tier") < max_tier)
+    cover = retained.select((F.col("tier") - 1).alias("tier"), "doc_id",
+                            F.col("window_id").alias("parent_id"))
+    return (dropped
+            .withColumn("parent_id", F.expr(f"window_id div {TIER_FACTOR}"))
+            .join(cover, ["tier", "doc_id", "parent_id"], "left_anti")
+            .drop("parent_id"))
 
 
 def apply_retention(spark: SparkSession, data_path: str,
