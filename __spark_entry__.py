@@ -2,10 +2,10 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 36 queries, 29 value-hash-checked against `oracle_sql()`
+pipeline ops): 37 queries, 29 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 full LCG simhash/minhash sketch arithmetic, LSH bucket membership, the
-tier-2 cascade, and retention pruning); the 7 rows-only queries cover
+tier-2 cascade, and retention pruning); the 8 rows-only queries cover
 surfaces with no SQL equivalent (Hilbert transform, xxhash64 sketches,
 the documented fake media decode) and are bit-exactness-tested in pytest
 instead.
@@ -323,6 +323,17 @@ def q_pairwise_mi(spark, sf_dir):
     return pairwise.pairwise_mi(seq, window=64, k=20)
 
 
+def q_pairwise_featureset(spark, sf_dir):
+    """SuperPairwiseFeatureSet evaluation (reference PairwiseFeatures.jl:
+    48-60 over sets, runtests.jl:569-586): plv/ppc/pearson/cov/mi for
+    every same-source pair in ONE super pass + ONE join — rows-only
+    (Hilbert + kNN surfaces); pytest pins equality with each
+    single-feature operator."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 64")
+    return pairwise.pairwise_features(
+        seq, ("pearson", "cov", "plv", "ppc", "mi"), window=64, k_mi=20)
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
@@ -440,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_pairwise_pearson": q_series_pairwise_pearson,
         "pairwise_phase_sync": q_pairwise_phase_sync,
         "pairwise_mi": q_pairwise_mi,
+        "pairwise_featureset": q_pairwise_featureset,
         "cosine_threshold": q_cosine_threshold,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

@@ -128,7 +128,7 @@ def main() -> None:
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
                 "cosine_topk", "ann_lsh_topk", "pairwise_pearson",
                 "series_pairwise_pearson", "pairwise_phase_sync",
-                "pairwise_mi",
+                "pairwise_mi", "pairwise_featureset",
                 "token_counts", "media_meta", "media_features",
                 "compression_roundtrip"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x

@@ -355,3 +355,53 @@ def test_ngram_jaccard_positional_filter_lossless(spark):
     assert key(on) == key(off)
     assert {("d0", "d100"), ("d100", "d0")} & set(
         map(tuple, on[["doc_a", "doc_b"]].to_numpy()))
+
+
+def test_pairwise_features_set_matches_individual_operators(spark):
+    """SuperPairwiseFeatureSet evaluation (one super pass + one join for
+    ALL leaves) must equal the single-feature operators: plv/ppc vs
+    pairwise_phase_sync, mi vs pairwise_mi, pearson/cov vs numpy on the
+    same aligned windows."""
+    from tsf import pairwise
+
+    rng2 = np.random.default_rng(17)
+    W = 64
+    base = rng2.standard_normal(2 * W)
+    xs = {
+        "a": np.round(base * 1000 + 5000),
+        "b": np.round(base * 900 + rng2.standard_normal(2 * W) * 120 + 5000),
+        "c": np.round(rng2.uniform(0, 10000, 2 * W)),
+    }
+    rows = [(k, [int(v) for v in x], 2 * W, "s") for k, x in xs.items()]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in pairwise.pairwise_features(
+               seq, ("pearson", "cov", "plv", "ppc", "mi"),
+               window=W, k_mi=5).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    ps = {(r["doc_a"], r["doc_b"]): r
+          for r in pairwise.pairwise_phase_sync(seq, window=W).collect()}
+    mi = {(r["doc_a"], r["doc_b"]): r
+          for r in pairwise.pairwise_mi(seq, window=W, k=5).collect()}
+    for pair, r in got.items():
+        assert r["n_windows"] == 2
+        assert np.isclose(r["plv"], ps[pair]["plv"], atol=1e-6), pair
+        assert np.isclose(r["ppc"], ps[pair]["ppc"], atol=1e-6), pair
+        assert np.isclose(r["mi"], mi[pair]["mi"], atol=1e-6), pair
+        da, db = pair
+        pe, cv = [], []
+        for w0 in (0, W):
+            wa = xs[da][w0:w0 + W].astype(float)
+            wb = xs[db][w0:w0 + W].astype(float)
+            pe.append(np.corrcoef(wa, wb)[0, 1])
+            cv.append(np.cov(wa, wb, ddof=1)[0, 1])
+        assert np.isclose(r["pearson"], round(np.mean(pe), 6),
+                          atol=1e-6), pair
+        assert np.isclose(r["cov"], round(np.mean(cv), 6), atol=1e-6), pair
+
+    # subset requests skip the unneeded supers and columns
+    sub = pairwise.pairwise_features(seq, ("pearson",), window=W).columns
+    assert sub == ["source", "doc_a", "doc_b", "n_windows", "pearson"]

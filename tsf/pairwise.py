@@ -240,3 +240,138 @@ def pairwise_mi(seq: DataFrame, window: int = 100, k: int = 20,
             .agg(F.count("*").alias("n_windows"),
                  F.round(F.avg("mi"), 6).alias("mi"))
             .where(F.col("n_windows") >= min_windows))
+
+
+# --------------------------------------------------------------------------
+# SuperPairwiseFeatureSet evaluation — the reference evaluates a SET of
+# pairwise features over a collection with each shared transform computed
+# once per series (src/PairwiseFeatures.jl:48-60, src/SuperFeatures.jl:
+# 96-110, exercised over sets by test/runtests.jl:569-586). Engine shape:
+# ONE super pass per series window (analytic phase + token sufficient
+# stats), ONE self-equi-join, all leaves evaluated on the joined row —
+# instead of one join per feature.
+# --------------------------------------------------------------------------
+
+PAIRWISE_FEATURES = ("pearson", "cov", "plv", "ppc", "mi")
+
+
+def make_super_fn(W: int, need_phase: bool, need_toks: bool):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = pdf["chunk_toks"].tolist()
+            M, n, row_of_win, local_w = _assemble_windows(arrs, W)
+            full = n == W  # pairwise features need aligned full windows
+            if not full.any():
+                continue
+            Mf = M[full]
+            off = pdf["chunk_off"].to_numpy().astype(np.int64)
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy()[row_of_win][full],
+                "source": pdf["source"].to_numpy()[row_of_win][full],
+                "window_id": (off[row_of_win] // W + local_w)[full],
+            }
+            if need_phase:
+                ph = WindowCtx(Mf, n[full]).get("analytic_phase")
+                out["c"], out["s"] = list(np.cos(ph)), list(np.sin(ph))
+            if need_toks:
+                out["t"] = list(Mf)
+                out["sm"] = Mf.sum(axis=1)
+                out["sq"] = (Mf * Mf).sum(axis=1)
+            yield pd.DataFrame(out)
+    return fn
+
+
+def pairwise_features(seq: DataFrame,
+                      features: tuple[str, ...] = PAIRWISE_FEATURES,
+                      window: int = 100, k_mi: int = 20,
+                      min_windows: int = 1,
+                      num_partitions: int | None = None) -> DataFrame:
+    """Evaluate a set of pairwise features over every same-source doc
+    pair in one pass, averaged over the pair's aligned full windows.
+
+    Supers run once per (doc, window) — never per pair — and every
+    requested leaf shares a single self-equi-join on (source, window_id):
+    plv/ppc/pearson/cov are JVM dot-product closed forms on the joined
+    row; mi (KSG1) is one Arrow kernel pass appended to the same plan.
+    Identical values to the single-feature operators (pytest-pinned)."""
+    bad = set(features) - set(PAIRWISE_FEATURES)
+    if bad:
+        raise ValueError(f"unknown pairwise features: {sorted(bad)}")
+    need_phase = bool({"plv", "ppc"} & set(features))
+    need_toks = bool({"pearson", "cov", "mi"} & set(features))
+    W = int(window)
+    chunked = chunk_sequences(seq, W, DEFAULT_CHUNK_WINDOWS)
+    schema = "doc_id string, source string, window_id bigint"
+    if need_phase:
+        schema += ", c array<double>, s array<double>"
+    if need_toks:
+        schema += ", t array<double>, sm double, sq double"
+    sw = chunked.mapInPandas(make_super_fn(W, need_phase, need_toks),
+                             schema).persist()
+    a, b = sw.alias("a"), sw.alias("b")
+    joined = a.join(b, (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.window_id") == F.col("b.window_id"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+    n = float(W)
+    cols = [F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b")]
+    if need_phase:
+        C = (F.expr(_dot("b.c", "a.c")) + F.expr(_dot("b.s", "a.s")))
+        S = (F.expr(_dot("b.s", "a.c")) - F.expr(_dot("b.c", "a.s")))
+        r2 = C * C + S * S
+        if "plv" in features:
+            cols.append((F.sqrt(r2) / F.lit(n)).alias("plv"))
+        if "ppc" in features:
+            cols.append(((r2 - F.lit(n)) / F.lit(n * (n - 1.0)))
+                        .alias("ppc"))
+    if {"pearson", "cov"} & set(features):
+        dab = F.expr(_dot("a.t", "b.t"))
+        sa, sb = F.col("a.sm"), F.col("b.sm")
+        qa, qb = F.col("a.sq"), F.col("b.sq")
+        if "cov" in features:
+            cols.append(((dab - sa * sb / F.lit(n)) / F.lit(n - 1.0))
+                        .alias("cov"))
+        if "pearson" in features:
+            cols.append(((F.lit(n) * dab - sa * sb)
+                         / F.sqrt((F.lit(n) * qa - sa * sa)
+                                  * (F.lit(n) * qb - sb * sb)))
+                        .alias("pearson"))
+    if "mi" in features:
+        cols += [F.col("a.t").alias("ta"), F.col("b.t").alias("tb")]
+    pairs = joined.select(*cols)
+    feat_names = [f for f in PAIRWISE_FEATURES if f in features]
+    if "mi" in features:
+        if num_partitions is None:
+            num_partitions = int(pairs.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "64"))
+        pairs = pairs.repartition(num_partitions, "doc_a", "doc_b", "source")
+        block = max(4, int(5e5) // (W * W))
+        passthru = [f for f in feat_names if f != "mi"]
+
+        def mi_set_fn(batches: Iterator[pd.DataFrame]) \
+                -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mis = np.empty(len(pdf), dtype=np.float64)
+                for lo in range(0, len(pdf), block):
+                    sub = pdf.iloc[lo:lo + block]
+                    mis[lo:lo + len(sub)] = ksg1_mi_batch(
+                        np.stack(sub["ta"].to_numpy()),
+                        np.stack(sub["tb"].to_numpy()), int(k_mi))
+                out = {c: pdf[c] for c in
+                       ["source", "doc_a", "doc_b"] + passthru}
+                out["mi"] = mis
+                yield pd.DataFrame(out)
+
+        out_schema = ("source string, doc_a string, doc_b string, "
+                      + ", ".join(f"{c} double" for c in passthru)
+                      + (", " if passthru else "") + "mi double")
+        pairs = pairs.mapInPandas(mi_set_fn, out_schema)
+    return (pairs.groupBy("source", "doc_a", "doc_b")
+            .agg(F.count("*").alias("n_windows"),
+                 *[F.round(F.avg(f), 6).alias(f) for f in feat_names])
+            .where(F.col("n_windows") >= min_windows))
