@@ -405,3 +405,21 @@ def test_pairwise_features_set_matches_individual_operators(spark):
     # subset requests skip the unneeded supers and columns
     sub = pairwise.pairwise_features(seq, ("pearson",), window=W).columns
     assert sub == ["source", "doc_a", "doc_b", "n_windows", "pearson"]
+
+
+def test_ksg1_mi_degenerate_pairs_are_nan():
+    """>= k identical joint points collapse the KSG density assumption
+    (eps=0): the pair must report NaN, never inf (regression: negative
+    neighbour counts drove digamma(0) -> -inf -> MI=+inf)."""
+    from tsf.pairwise import ksg1_mi_batch
+
+    const = np.full((1, 64), 7.0)
+    assert np.isnan(ksg1_mi_batch(const, const.copy(), 20))[0]
+    rng2 = np.random.default_rng(5)
+    binary = rng2.integers(0, 2, (1, 100)).astype(float)
+    assert np.isnan(ksg1_mi_batch(binary, binary[:, ::-1].copy(), 20))[0]
+    # a continuous pair in the same batch is unaffected
+    x = rng2.standard_normal((1, 100))
+    both = ksg1_mi_batch(np.vstack([const[:, :100][:, :64], x[:, :64]]),
+                         np.vstack([const[:, :64], x[:, :64] * 0.5]), 5)
+    assert np.isnan(both[0]) and np.isfinite(both[1])

@@ -114,7 +114,14 @@ def write_rollup(df: DataFrame, path: str, mode: str = "overwrite",
             F.bucket(doc_buckets, F.col("doc_id")))
         if mode == "overwrite":
             writer.createOrReplace()
-        else:
+        elif mode == "append":
             writer.append()
+        else:
+            # parquet's error/ignore semantics have no V2 writer
+            # equivalent here — refuse loudly rather than silently
+            # appending under a mode that promised not to write
+            raise ValueError(
+                f"write_rollup(table=...) supports mode 'overwrite' or "
+                f"'append', got {mode!r}")
         return
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

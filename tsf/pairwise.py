@@ -44,42 +44,6 @@ from tsf.kernels import WindowCtx
 from tsf.rollup import _assemble_windows
 from tsf.windows import DEFAULT_CHUNK_WINDOWS, chunk_sequences
 
-PHASE_SCHEMA = ("doc_id string, source string, window_id bigint, "
-                "c array<double>, s array<double>")
-
-
-def make_phase_fn(W: int):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            arrs = pdf["chunk_toks"].tolist()
-            M, n, row_of_win, local_w = _assemble_windows(arrs, W)
-            full = n == W  # pairwise features need aligned full windows
-            if not full.any():
-                continue
-            ctx = WindowCtx(M[full], n[full])
-            ph = ctx.get("analytic_phase")
-            off = pdf["chunk_off"].to_numpy().astype(np.int64)
-            window_id = (off[row_of_win] // W + local_w)[full]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy()[row_of_win][full],
-                "source": pdf["source"].to_numpy()[row_of_win][full],
-                "window_id": window_id,
-                "c": list(np.cos(ph)),
-                "s": list(np.sin(ph)),
-            })
-    return fn
-
-
-def phase_windows(seq: DataFrame, window: int = 100,
-                  chunk_windows: int = DEFAULT_CHUNK_WINDOWS) -> DataFrame:
-    """Analytic-phase cos/sin arrays per FULL (doc, window) — the shared
-    super, computed once per series (src/SuperFeatures.jl:96-110)."""
-    chunked = chunk_sequences(seq, window, chunk_windows)
-    return chunked.mapInPandas(make_phase_fn(window), PHASE_SCHEMA)
-
-
 def _dot(a: str, b: str) -> str:
     return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
             f"cast(0 as double), (acc, v) -> acc + v)")
@@ -87,36 +51,14 @@ def _dot(a: str, b: str) -> str:
 
 def pairwise_phase_sync(seq: DataFrame, window: int = 100,
                         min_windows: int = 1) -> DataFrame:
-    """PLV(x,y) / PPC(x,y) for every same-source doc pair, per aligned
-    window, averaged over the pair's aligned windows.
+    """PLV(x,y) / PPC(x,y) for every same-source doc pair, averaged over
+    the pair's aligned full windows (one window per short doc, so for the
+    reference's whole-series semantics pick window >= series length).
 
-    Returns (source, doc_a, doc_b, n_windows, plv, ppc): plv/ppc are the
-    means over aligned full windows (one window per short doc, so for the
-    reference's whole-series semantics pick window >= series length)."""
-    # both join sides re-run the FFT phase pass otherwise
-    pw = phase_windows(seq, window).persist()
-    a, b = pw.alias("a"), pw.alias("b")
-    # C = sum cos(pb - pa), S = sum sin(pb - pa) via four JVM dot products
-    C = (F.expr(_dot("b.c", "a.c")) + F.expr(_dot("b.s", "a.s")))
-    S = (F.expr(_dot("b.s", "a.c")) - F.expr(_dot("b.c", "a.s")))
-    n = float(window)
-    r2 = C * C + S * S
-    plv = F.sqrt(r2) / F.lit(n)
-    ppc = (r2 - F.lit(n)) / F.lit(n * (n - 1.0))
-    pairs = (a.join(b, (F.col("a.source") == F.col("b.source"))
-                    & (F.col("a.window_id") == F.col("b.window_id"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.source").alias("source"),
-                     F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     plv.alias("plv"), ppc.alias("ppc")))
-    return (pairs.groupBy("source", "doc_a", "doc_b")
-            .agg(F.count("*").alias("n_windows"),
-                 F.avg("plv").alias("plv"), F.avg("ppc").alias("ppc"))
-            .where(F.col("n_windows") >= min_windows)
-            .select("source", "doc_a", "doc_b", "n_windows",
-                    F.round("plv", 6).alias("plv"),
-                    F.round("ppc", 6).alias("ppc")))
+    Thin wrapper over :func:`pairwise_features` — one super pass (the
+    analytic phase, computed once per series), one join."""
+    return pairwise_features(seq, ("plv", "ppc"), window=window,
+                             min_windows=min_windows)
 
 
 # --------------------------------------------------------------------------
@@ -160,86 +102,33 @@ def ksg1_mi_batch(X: np.ndarray, Y: np.ndarray, k: int = 20) -> np.ndarray:
     ii = np.arange(N)
     dz[:, ii, ii] = np.inf  # exclude self from the kNN search
     eps = np.partition(dz, k - 1, axis=2)[:, :, k - 1][:, :, None]
-    # strict < eps; subtract the self-match (dx[i,i] = 0 < eps always)
-    nx = (dx < eps).sum(axis=2) - 1
-    ny = (dy < eps).sum(axis=2) - 1
-    return (_digamma(np.array([float(k)])) + _digamma(np.array([float(N)]))
-            - (_digamma(nx + 1.0) + _digamma(ny + 1.0)).mean(axis=1))
-
-
-def token_windows(seq: DataFrame, window: int) -> DataFrame:
-    """Full aligned windows sliced JVM-side — no Python in the slicing
-    path: (doc_id, source, window_id, toks array<double>)."""
-    W = int(window)
-    return (seq.where(F.col("n_tok") >= W)
-            .select("doc_id", "source",
-                    F.explode(F.expr(
-                        f"sequence(0, n_tok div {W} - 1)")).alias("window_id"),
-                    "tokens")
-            .select("doc_id", "source", "window_id",
-                    F.expr(f"transform(slice(tokens, window_id * {W} + 1, "
-                           f"{W}), x -> cast(x as double))").alias("toks")))
+    # eps == 0 means >= k points share this point's exact (x, y) joint
+    # value — the estimator's continuous-density assumption collapsed
+    # (discrete / constant data). Counting would go negative there
+    # (self is only inside the strict ball when eps > 0) and digamma(0)
+    # diverges; per the engine's NaN-for-degenerate-input stance the
+    # whole pair reports NaN.
+    degenerate = (eps[:, :, 0] == 0).any(axis=1)
+    # strict < eps; subtract the self-match (dx[i,i] = 0 < eps for every
+    # non-degenerate point)
+    nx = np.maximum((dx < eps).sum(axis=2) - 1, 0)
+    ny = np.maximum((dy < eps).sum(axis=2) - 1, 0)
+    mi = (_digamma(np.array([float(k)])) + _digamma(np.array([float(N)]))
+          - (_digamma(nx + 1.0) + _digamma(ny + 1.0)).mean(axis=1))
+    mi[degenerate] = np.nan
+    return mi
 
 
 def pairwise_mi(seq: DataFrame, window: int = 100, k: int = 20,
                 min_windows: int = 1,
                 num_partitions: int | None = None) -> DataFrame:
     """MI_Kraskov_NN_20 for every same-source doc pair, averaged over the
-    pair's aligned full windows.
-
-    Plan shape: JVM window slicing -> self-equi-join on (source,
-    window_id) (the N x N product exists only within a source, co-located
-    by the join key) -> one Arrow-batched kernel pass over joined pairs,
-    vectorized across pairs in (B, N) blocks. Only W-double arrays
-    shuffle; tokens are never re-read per pair."""
-    W, kk = int(window), int(k)
-    tw = token_windows(seq, W).persist()
-    a, b = tw.alias("a"), tw.alias("b")
-    pairs = (a.join(b, (F.col("a.source") == F.col("b.source"))
-                    & (F.col("a.window_id") == F.col("b.window_id"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.source").alias("source"),
-                     F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.toks").alias("ta"),
-                     F.col("b.toks").alias("tb")))
-    # the O(N^2) kernel pass is ~1000x more expensive per byte than the
-    # equi-join feeding it, and a small input (or AQE post-join
-    # coalescing) would otherwise hand it 1-2 partitions (measured: the
-    # whole pass on ONE task). An explicit numbered repartition is exempt
-    # from AQE coalescing and spreads pair rows evenly — ~1 KB/row
-    # shuffle, trivial next to the kernel.
-    if num_partitions is None:
-        num_partitions = int(pairs.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions", "64"))
-    pairs = pairs.repartition(num_partitions, "doc_a", "doc_b", "source")
-    # sub-block the Arrow batch so the (b, N, N) distance tensors stay
-    # cache-resident: b*N^2*8B*~5 arrays ~ 2-3 MB (measured 65x faster
-    # than one (4096, 64, 64) tensor and ~1.3x faster than (512, ...) —
-    # the kernel is memory-bus-bound, same story as the tiled rollup
-    # kernels in BENCH/BASELINE.md)
-    block = max(4, int(5e5) // (W * W))
-
-    def mi_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mis = np.empty(len(pdf), dtype=np.float64)
-            for lo in range(0, len(pdf), block):
-                sub = pdf.iloc[lo:lo + block]
-                X = np.stack(sub["ta"].to_numpy())
-                Y = np.stack(sub["tb"].to_numpy())
-                mis[lo:lo + len(sub)] = ksg1_mi_batch(X, Y, kk)
-            yield pd.DataFrame({"source": pdf["source"],
-                                "doc_a": pdf["doc_a"],
-                                "doc_b": pdf["doc_b"], "mi": mis})
-
-    per_win = pairs.mapInPandas(
-        mi_fn, "source string, doc_a string, doc_b string, mi double")
-    return (per_win.groupBy("source", "doc_a", "doc_b")
-            .agg(F.count("*").alias("n_windows"),
-                 F.round(F.avg("mi"), 6).alias("mi"))
-            .where(F.col("n_windows") >= min_windows))
+    pair's aligned full windows. Thin wrapper over
+    :func:`pairwise_features` (one super pass, one join, one Arrow
+    kernel pass)."""
+    return pairwise_features(seq, ("mi",), window=window, k_mi=k,
+                             min_windows=min_windows,
+                             num_partitions=num_partitions)
 
 
 # --------------------------------------------------------------------------

@@ -115,7 +115,11 @@ def apply_retention(spark: SparkSession, data_path: str,
     for t, keep in sorted(policy.items()):
         if keep is None:
             continue
-        sub = data.where(F.col("tier") == t)
+        # filter on the PARTITION column so the scan prunes to this
+        # tier's directory instead of reading the whole layout
+        # (tier_p == tier by construction: run_tier_with_ledger writes
+        # tier_p = lit(tier))
+        sub = data.where(F.col("tier_p") == t)
         kept = _keep_last(sub, keep).persist()
         out[t] = kept.count()
         # dynamic overwrite replaces only partitions PRESENT in `kept`;

@@ -189,7 +189,10 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
     with `tables`, falls with `nbits`); the DuckDB oracle replays the
     SAME bucket membership, so the driver value-checks the full pipeline
     rather than pretending the sketch is lossless."""
-    dim = emb.select(F.max(F.size("embedding"))).first()[0]
+    # one-row probe (limit-1 pushdown), not a full-table max() aggregate:
+    # the pipeline assumes fixed-dim embeddings throughout
+    row = emb.select(F.size("embedding").alias("d")).first()
+    dim = row[0] if row is not None else None
     if dim is None:  # empty input: no rows, well-typed empty result
         return emb.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, cos double")
