@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 37 queries, 29 value-hash-checked against `oracle_sql()`
+pipeline ops): 38 queries, 30 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 full LCG simhash/minhash sketch arithmetic, LSH bucket membership, the
 tier-2 cascade, and retention pruning); the 8 rows-only queries cover
@@ -358,6 +358,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """ANN top-k via an IVF coarse quantizer (16 deterministic centroids,
+    4 probed cells) — the DuckDB oracle replays centroid selection,
+    first-maximum argmax cell assignment, probe ranking, and cosine
+    ordering, so the whole IVF path is value-checked."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact cosine over LSH-bucket
     candidates); the oracle replays the bucket membership, so the whole
@@ -455,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_threshold": q_cosine_threshold,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "pairwise_pearson": q_pairwise_pearson,
         "media_meta": q_media_meta,
@@ -858,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "ann_lsh_topk": similarity.lsh_topk_duckdb(dim=64),
+        "ann_ivf_topk": similarity.ivf_topk_duckdb(),
         "embedding_near_dups": similarity.embedding_near_dups_duckdb(
             dim=64, threshold=0.35),
         "pairwise_pearson": """

@@ -126,7 +126,7 @@ def main() -> None:
                 "gapfill_linear", "tpch_q1", "topk_orders", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
-                "cosine_topk", "ann_lsh_topk", "pairwise_pearson",
+                "cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "pairwise_pearson",
                 "series_pairwise_pearson", "pairwise_phase_sync",
                 "pairwise_mi", "pairwise_featureset",
                 "token_counts", "media_meta", "media_features",

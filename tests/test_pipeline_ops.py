@@ -423,3 +423,40 @@ def test_ksg1_mi_degenerate_pairs_are_nan():
     both = ksg1_mi_batch(np.vstack([const[:, :100][:, :64], x[:, :64]]),
                          np.vstack([const[:, :64], x[:, :64] * 0.5]), 5)
     assert np.isnan(both[0]) and np.isfinite(both[1])
+
+
+def test_ivf_topk_planted_clusters(spark):
+    """IVF with nprobe=1 must retrieve neighbors planted in the query's
+    own cell; nprobe=n_centroids degrades to exact search (same result
+    set as cosine_topk)."""
+    rng2 = np.random.default_rng(29)
+    n_cent, dim = 4, 32
+    cents = rng2.standard_normal((n_cent, dim)) * 3
+    rows = []
+    for i in range(n_cent):  # vec_id < n_centroids are the centroids
+        rows.append((i, [float(x) for x in cents[i]], 0))
+    vid = n_cent
+    for i in range(n_cent):
+        for _ in range(20):  # tight cluster around each centroid
+            v = cents[i] + 0.1 * rng2.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v], i)); vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = [float(x) for x in (cents[2] + 0.05 * rng2.standard_normal(dim))]
+
+    got1 = similarity.ivf_topk(emb, q, k=10, n_centroids=n_cent,
+                               nprobe=1).toPandas()
+    labels = {r[2] for r in rows if r[0] in set(got1.vec_id)}
+    assert labels <= {0, 2}  # cluster-2 members (+ centroid rows, label 0)
+    assert (got1.cos > 0.9).sum() >= 5
+
+    exact = similarity.cosine_topk(emb, q, 10).toPandas()
+    full = similarity.ivf_topk(emb, q, k=10, n_centroids=n_cent,
+                               nprobe=n_cent).toPandas()
+    assert list(full.vec_id) == list(exact.vec_id)
+
+    # assignment: every clustered vector lands in its own centroid's cell
+    cl = similarity.ivf_cells(
+        emb, similarity.ivf_centroids(emb, n_cent)).toPandas()
+    clustered = cl[cl.vec_id >= n_cent]
+    assert (clustered.cell == clustered.label).mean() > 0.95

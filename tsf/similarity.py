@@ -323,3 +323,106 @@ def series_pairwise_pearson(rollup: DataFrame, window: int,
             .select("source", "doc_a", "doc_b", "n_overlap",
                     F.round(pearson, 6).alias("pearson"),
                     F.round(cov, 6).alias("cov")))
+
+
+# --------------------------------------------------------------------------
+# IVF ANN — inverted-file index (the second classic ANN scale path next to
+# LSH): a small coarse-quantizer centroid set partitions vectors into
+# cells; a query probes only its nprobe closest cells, so the scan is
+# cells-probed/cells-total of the table (and partition-PRUNED when the
+# table is written bucketed by `cell`).
+# --------------------------------------------------------------------------
+
+def _dotc(a: str, b: str) -> str:
+    """Dot product with collision-safe lambda variable names (safe to nest
+    inside transform() lambdas whose variable is a single letter)."""
+    return (f"aggregate(zip_with({a}, {b}, (zx, zy) -> zx * zy), "
+            f"cast(0 as double), (zacc, zv) -> zacc + zv)")
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int) -> list[list[float]]:
+    """Deterministic coarse quantizer: the vectors with vec_id <
+    n_centroids, ordered by vec_id (cell c = centroid c). Replayable in
+    SQL by construction; a k-means-trained centroid table is a drop-in
+    upgrade (every downstream step only sees the centroid list)."""
+    rows = (emb.where(F.col("vec_id") < n_centroids)
+            .select("vec_id", "embedding").collect())
+    return [[float(x) for x in r["embedding"]]
+            for r in sorted(rows, key=lambda r: r["vec_id"])]
+
+
+def _cell_expr(cents: list[list[float]]) -> str:
+    """0-based cell id: argmax-cosine over a LITERAL centroid array in ONE
+    JVM projection — no shuffle, no cross join, no Python. Ties take the
+    FIRST (lowest-cell) maximum: array_position returns the first match."""
+    cl = "array(" + ",".join(
+        "array(" + ",".join(f"cast({float(v)} as double)" for v in c) + ")"
+        for c in cents) + ")"
+    vec = EMB_DOUBLE
+    scores = (f"transform({cl}, zc -> {_dotc(vec, 'zc')}"
+              f" / (sqrt({_dotc(vec, vec)}) * sqrt({_dotc('zc', 'zc')})))")
+    return f"array_position({scores}, array_max({scores})) - 1"
+
+
+def ivf_cells(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, label, embedding, cell) — assignment in one projection."""
+    return emb.withColumn("cell", F.expr(_cell_expr(cents)).cast("int"))
+
+
+def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             cents: list[list[float]] | None = None) -> DataFrame:
+    """ANN top-k via IVF: exact cosine over the union of the query's
+    ``nprobe`` closest cells. Scan fraction ~= nprobe / n_centroids;
+    recall rises with nprobe (nprobe = n_centroids degrades gracefully to
+    exact search). At 100 TB: write the table bucketed/partitioned by
+    `cell` so probing prunes files instead of filtering a full scan."""
+    if cents is None:
+        cents = ivf_centroids(emb, n_centroids)
+    q = np.asarray(query, dtype=np.float64)
+    cs = np.asarray(cents, dtype=np.float64)
+    qs = (cs @ q) / (np.sqrt((cs * cs).sum(axis=1)) * np.sqrt(q @ q))
+    probes = [int(i) for i in np.argsort(-qs, kind="stable")[:nprobe]]
+    cand = ivf_cells(emb, cents).where(F.col("cell").isin(probes))
+    return (cosine_scores(cand, query)
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+
+def ivf_topk_duckdb(k: int = 10, n_centroids: int = 16,
+                    nprobe: int = 4) -> str:
+    """Self-contained DuckDB replay of :func:`ivf_topk` (query = vec 0):
+    same centroid rule (vec_id < n_centroids), same first-maximum argmax
+    cell assignment, same probe ranking, same cosine ordering."""
+    vd = "list_transform({e}.embedding, zx -> CAST(zx AS DOUBLE))"
+    return f"""
+    WITH q AS (SELECT {vd.format(e='embeddings')} AS qv
+               FROM embeddings WHERE vec_id = 0),
+    cents AS (SELECT vec_id AS cell,
+                     {vd.format(e='embeddings')} AS cv
+              FROM embeddings WHERE vec_id < {n_centroids}),
+    cl AS (SELECT list(cv ORDER BY cell) AS cvs FROM cents),
+    probes AS (SELECT cell FROM cents, q
+               ORDER BY list_dot_product(cv, q.qv)
+                        / (sqrt(list_dot_product(cv, cv))
+                           * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                        cell ASC
+               LIMIT {nprobe}),
+    scored AS (SELECT e.vec_id, e.label, {vd.format(e='e')} AS v,
+                      list_transform(cl.cvs, zc ->
+                          list_dot_product({vd.format(e='e')}, zc)
+                          / (sqrt(list_dot_product({vd.format(e='e')},
+                                                   {vd.format(e='e')}))
+                             * sqrt(list_dot_product(zc, zc)))) AS scores
+               FROM embeddings e, cl),
+    assigned AS (SELECT vec_id, label, v,
+                        list_position(scores, list_max(scores)) - 1 AS cell
+                 FROM scored)
+    SELECT a.vec_id, a.label,
+           round(list_dot_product(a.v, q.qv)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+    FROM assigned a, q
+    WHERE a.cell IN (SELECT cell FROM probes)
+    ORDER BY cos DESC, a.vec_id ASC
+    LIMIT {k}
+    """
