@@ -460,3 +460,40 @@ def test_ivf_topk_planted_clusters(spark):
         emb, similarity.ivf_centroids(emb, n_cent)).toPandas()
     clustered = cl[cl.vec_id >= n_cent]
     assert (clustered.cell == clustered.label).mean() > 0.95
+
+
+def test_pairwise_mi_degenerate_window_avg_semantics(spark):
+    """Operator-level contract for degenerate windows: the kernel's NaN
+    crosses Arrow as SQL NULL, F.avg skips it (SQL semantics), n_windows
+    still counts aligned windows; a pair with ONLY degenerate windows
+    reports NULL mi."""
+    from tsf import pairwise
+    from tsf.pairwise import ksg1_mi_batch
+
+    W = 32
+    rng2 = np.random.default_rng(41)
+    good_a = np.round(rng2.uniform(0, 1000, W))
+    good_b = np.round(good_a * 0.9 + rng2.uniform(0, 100, W))
+    const = np.full(W, 5.0)
+    # doc a/b: window0 = continuous pair, window1 = constant pair
+    xa = np.concatenate([good_a, const])
+    xb = np.concatenate([good_b, const])
+    rows = [("a", [int(v) for v in xa], 2 * W, "s"),
+            ("b", [int(v) for v in xb], 2 * W, "s"),
+            ("c", [int(v) for v in const] * 2, 2 * W, "s"),
+            ("d", [int(v) for v in const + 1] * 2, 2 * W, "s")]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in pairwise.pairwise_mi(seq, window=W, k=4).collect()}
+    r = got[("a", "b")]
+    want = round(float(ksg1_mi_batch(good_a[None, :], good_b[None, :], 4)[0]), 6)
+    assert r["n_windows"] == 2  # aligned windows, including the skipped one
+    assert np.isclose(r["mi"], want, atol=1e-6)  # avg over DEFINED windows
+    # x vs a constant: eps comes from the continuous joint side, MI ~ 0
+    rc = got[("a", "c")]
+    assert rc["n_windows"] == 2 and abs(rc["mi"]) < 0.3
+    # BOTH series constant in every window -> every window degenerate ->
+    # NULL mi, n_windows intact
+    rd = got[("c", "d")]
+    assert rd["n_windows"] == 2 and rd["mi"] is None

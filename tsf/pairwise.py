@@ -180,6 +180,11 @@ def pairwise_features(seq: DataFrame,
     """Evaluate a set of pairwise features over every same-source doc
     pair in one pass, averaged over the pair's aligned full windows.
 
+    ``n_windows`` counts ALIGNED windows; per SQL avg semantics each
+    feature's average skips windows where it is undefined (constant
+    window -> NULL pearson, degenerate joint values -> NULL mi), and is
+    NULL when no window defines it.
+
     Supers run once per (doc, window) — never per pair — and every
     requested leaf shares a single self-equi-join on (source, window_id):
     plv/ppc/pearson/cov are JVM dot-product closed forms on the joined
@@ -191,7 +196,10 @@ def pairwise_features(seq: DataFrame,
     need_phase = bool({"plv", "ppc"} & set(features))
     need_toks = bool({"pearson", "cov", "mi"} & set(features))
     W = int(window)
-    chunked = chunk_sequences(seq, W, DEFAULT_CHUNK_WINDOWS)
+    # pushdown: docs shorter than one window can never produce a full
+    # aligned window — drop them JVM-side before any Arrow transfer
+    chunked = chunk_sequences(seq.where(F.col("n_tok") >= W), W,
+                              DEFAULT_CHUNK_WINDOWS)
     schema = "doc_id string, source string, window_id bigint"
     if need_phase:
         schema += ", c array<double>, s array<double>"

@@ -190,8 +190,10 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
     SAME bucket membership, so the driver value-checks the full pipeline
     rather than pretending the sketch is lossless."""
     # one-row probe (limit-1 pushdown), not a full-table max() aggregate:
-    # the pipeline assumes fixed-dim embeddings throughout
-    row = emb.select(F.size("embedding").alias("d")).first()
+    # the pipeline assumes fixed-dim embeddings throughout. NULL rows are
+    # excluded so a NULL landing first cannot misreport an empty table.
+    row = (emb.where(F.col("embedding").isNotNull())
+           .select(F.size("embedding").alias("d")).first())
     dim = row[0] if row is not None else None
     if dim is None:  # empty input: no rows, well-typed empty result
         return emb.sparkSession.createDataFrame(
@@ -359,8 +361,15 @@ def _cell_expr(cents: list[list[float]]) -> str:
         "array(" + ",".join(f"cast({float(v)} as double)" for v in c) + ")"
         for c in cents) + ")"
     vec = EMB_DOUBLE
+    # the row norm |v| is a positive factor common to every centroid's
+    # score, so dividing by it cannot change the argmax — dropping it
+    # removes n_centroids redundant v.v dot products per row. Centroid
+    # norms stay IN-ENGINE (not Python-precomputed literals) so the
+    # DuckDB oracle's identical in-SQL arithmetic is bit-equal; a
+    # numpy-side normalization would differ in the last ULP (different
+    # summation order) and could flip argmax on near-ties.
     scores = (f"transform({cl}, zc -> {_dotc(vec, 'zc')}"
-              f" / (sqrt({_dotc(vec, vec)}) * sqrt({_dotc('zc', 'zc')})))")
+              f" / sqrt({_dotc('zc', 'zc')}))")
     return f"array_position({scores}, array_max({scores})) - 1"
 
 
@@ -410,9 +419,7 @@ def ivf_topk_duckdb(k: int = 10, n_centroids: int = 16,
     scored AS (SELECT e.vec_id, e.label, {vd.format(e='e')} AS v,
                       list_transform(cl.cvs, zc ->
                           list_dot_product({vd.format(e='e')}, zc)
-                          / (sqrt(list_dot_product({vd.format(e='e')},
-                                                   {vd.format(e='e')}))
-                             * sqrt(list_dot_product(zc, zc)))) AS scores
+                          / sqrt(list_dot_product(zc, zc))) AS scores
                FROM embeddings e, cl),
     assigned AS (SELECT vec_id, label, v,
                         list_position(scores, list_max(scores)) - 1 AS cell
