@@ -84,3 +84,32 @@ def test_batch_decompress_matches_single():
     for g, w in zip(got, want):
         assert g.dtype == np.float64 and g.shape == w.shape
         assert np.array_equal(g.view(np.uint64), np.asarray(w).view(np.uint64))
+
+
+class TestFullRangeProperties:
+    """Full-domain property tests: ANY int64 sequence and ANY float64 bit
+    pattern (incl. NaN payloads, denormals, infinities) must round-trip
+    bit-exactly — the BASELINE.json token-array-equality invariant with
+    no value-range assumptions."""
+
+    @given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                    max_size=200))
+    @settings(max_examples=80, deadline=None)
+    def test_int_roundtrip_full_int64_range(self, xs):
+        arr = np.asarray(xs, dtype=np.int64)
+        assert np.array_equal(G.decompress_ints(G.compress_ints(arr)), arr)
+
+    def test_int_roundtrip_wraparound_pair(self):
+        """Regression: [-2^63, 2^63-1] has a delta that only exists in
+        wrapped two's-complement; reconstruction overflowed Python->C
+        long before the wrap-aware fix."""
+        arr = np.array([-2**63, 2**63 - 1], dtype=np.int64)
+        assert np.array_equal(G.decompress_ints(G.compress_ints(arr)), arr)
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                    max_size=200))
+    @settings(max_examples=80, deadline=None)
+    def test_float_roundtrip_any_bitpattern(self, bits):
+        arr = np.asarray(bits, dtype=np.uint64).view(np.float64)
+        out = G.decompress_floats(G.compress_floats(arr))
+        assert np.array_equal(arr.view(np.uint64), out.view(np.uint64))

@@ -92,7 +92,14 @@ def decompress_ints(buf: bytes) -> np.ndarray:
     x0, d0 = struct.unpack_from("<qq", buf, off)
     off += 16
     if n == 2:
-        return np.array([x0, x0 + d0], dtype=np.int64)
+        # wrap-around int64 addition: the stored delta is np.diff's
+        # two's-complement-wrapped value, so reconstruction must wrap
+        # too (Python-int addition would overflow int64 for extreme
+        # first values, e.g. [-2^63, 2^63-1])
+        x1 = (x0 + d0) & 0xFFFFFFFFFFFFFFFF
+        if x1 >= 1 << 63:
+            x1 -= 1 << 64
+        return np.array([x0, x1], dtype=np.int64)
     (width,) = struct.unpack_from("<B", buf, off)
     off += 1
     zz = _unpack_bits(buf[off:], n - 2, width)
