@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 38 queries, 30 value-hash-checked against `oracle_sql()`
+pipeline ops): 39 queries, 31 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 full LCG simhash/minhash sketch arithmetic, LSH bucket membership, the
 tier-2 cascade, and retention pruning); the 8 rows-only queries cover
@@ -131,6 +131,23 @@ def q_series_acf(spark, sf_dir):
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["cnt", "mean", "std", "ac_1"]]
     r = tier0(seq, fs, window=1000, blocks=False)
+    return r.select("doc_id",
+                    F.col("cnt").cast("bigint").alias("cnt"),
+                    F.round(_nn("mean"), 6).alias("mean"),
+                    F.round(_nn("std"), 6).alias("std"),
+                    F.round(_nn("ac_1"), 6).alias("ac_1"))
+
+
+def q_series_features(spark, sf_dir):
+    """Whole-series FeatureSet evaluation (the reference's primary bulk
+    surface, src/FeatureSets.jl:43-46) — one feature row per doc over the
+    FULL ragged series, no windowing and no length cap (power-of-two
+    width buckets keep values partitioning-invariant; pytest drives a
+    50k-token long-tail doc through the cell-capped batcher)."""
+    from tsf.rollup import series_features
+    seq = _seq(spark, sf_dir).where("n_tok >= 3")
+    fs = catalogue()[["cnt", "mean", "std", "ac_1"]]
+    r = series_features(seq, fs)
     return r.select("doc_id",
                     F.col("cnt").cast("bigint").alias("cnt"),
                     F.round(_nn("mean"), 6).alias("mean"),
@@ -439,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier2_rollup": q_tier2_rollup,
         "retention_prune": q_retention_prune,
         "series_acf": q_series_acf,
+        "series_features": q_series_features,
         "acf_features": q_acf_features,
         "kernel_features": q_kernel_features,
         "window_z": q_window_z,
@@ -594,6 +612,28 @@ def oracle_sql() -> dict[str, str]:
         "series_acf": f"""
             WITH seq AS ({_SEQ}),
             f AS (SELECT * FROM seq WHERE n_tok >= 3 AND n_tok <= 1000),
+            tok AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos FROM f),
+            st AS (SELECT doc_id, count(*) AS n, sum(x) AS s, sum(x*x) AS ss
+                   FROM tok GROUP BY 1),
+            l AS (SELECT t.doc_id,
+                         x - CAST(s AS DOUBLE) / n AS d,
+                         lead(x) OVER (PARTITION BY t.doc_id ORDER BY pos)
+                           - CAST(s AS DOUBLE) / n AS dn
+                  FROM tok t JOIN st USING (doc_id)),
+            num AS (SELECT doc_id, sum(d * dn) AS sdn, sum(d * d) AS sdd
+                    FROM l GROUP BY 1)
+            SELECT st.doc_id, CAST(n AS BIGINT) AS cnt,
+                   round(CAST(s AS DOUBLE) / n, 6) AS mean,
+                   CASE WHEN n > 1 THEN round(sqrt(greatest(
+                        (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1), 0)), 6) END AS std,
+                   round(num.sdn / nullif(num.sdd, 0), 6) AS ac_1
+            FROM st JOIN num USING (doc_id)
+        """,
+        "series_features": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 3),
             tok AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS x,
                            generate_subscripts(tokens, 1) - 1 AS pos FROM f),
             st AS (SELECT doc_id, count(*) AS n, sum(x) AS s, sum(x*x) AS ss

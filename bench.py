@@ -121,7 +121,7 @@ def main() -> None:
 
     # ---- operator queries on the driver's testdata ----
     qs = entrymod.queries()
-    bench_qs = ["tier0_rollup", "tier1_rollup", "tier2_rollup", "retention_prune", "series_acf", "acf_features",
+    bench_qs = ["tier0_rollup", "tier1_rollup", "tier2_rollup", "retention_prune", "series_acf", "series_features", "acf_features",
                 "kernel_features", "events_hourly", "gapfill_locf",
                 "gapfill_linear", "tpch_q1", "topk_orders", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",

@@ -100,3 +100,45 @@ def test_tier0_vectors_surface(spark):
         assert np.allclose(got, want, rtol=1e-12, equal_nan=True)
     with pytest.raises(KeyError):
         tier0_vectors(seq, names=("nope",))
+
+
+def test_series_features_whole_series_ragged(spark):
+    """Whole-series evaluation: values equal evaluate_series on each full
+    doc (width = the pow2 bucket), ragged lengths incl. a 50k-token
+    long-tail doc through the cell-capped batcher, empty docs excluded,
+    and bit-identical under different partitioning."""
+    import numpy as np
+
+    from tsf.registry import catalogue
+    from tsf.rollup import series_features
+
+    rng = np.random.default_rng(3)
+    docs = {"tiny": [7], "empty": [],
+            "short": [int(x) for x in rng.integers(0, 100, 37)],
+            "long": [int(x) for x in rng.integers(0, 50257, 50000)]}
+    rows = [(k, v, len(v), "s") for k, v in docs.items()]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    fs = catalogue()[["cnt", "mean", "std", "ac_1", "histmode5"]]
+    got = {r["doc_id"]: r for r in series_features(
+        seq, fs, max_batch_cells=1 << 16).collect()}
+    assert set(got) == {"tiny", "short", "long"}  # empty produces no row
+    for k in got:
+        n = len(docs[k])
+        w = 1 << int(np.ceil(np.log2(max(n, 1))))
+        want = fs.evaluate_series(np.asarray(docs[k], float), width=w)
+        for name, v in want.items():
+            g = got[k][name]
+            # kernel NaN crosses the Arrow boundary as SQL NULL
+            if np.isnan(v):
+                assert g is None or np.isnan(g), (k, name, g)
+            else:
+                assert g == v, (k, name, g, v)
+
+    a = series_features(seq, fs, num_partitions=1).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = series_features(seq, fs, num_partitions=3).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for c in a.columns:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy(),
+                              equal_nan=(a[c].dtype.kind == "f")), c

@@ -263,3 +263,72 @@ def cascade(seq: DataFrame, tiers: int = 3, features: FeatureSet | None = None,
     for t in range(1, tiers):
         out.append(next_tier(out[-1], t - 1, features, window))
     return out
+
+
+# --------------------------------------------------------------------------
+# Whole-series evaluation — the reference's PRIMARY surface: a FeatureSet
+# over each full (ragged) series (src/FeatureSets.jl:43-46 bulk call,
+# src/FeatureArrays.jl:223-229 ragged collections). No windowing, no
+# length cap.
+# --------------------------------------------------------------------------
+
+def series_schema(features: FeatureSet) -> str:
+    return ("doc_id string, source string, n_tok int, "
+            + ", ".join(f"{n} double" for n in features.names))
+
+
+def make_series_fn(features: FeatureSet, max_batch_cells: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lens = pdf["n_tok"].to_numpy().astype(np.int64)
+            # canonical per-doc width = next pow2 >= n_tok: numpy's
+            # pairwise-summation tree depends on the padded row width, so
+            # tying the width to the DOC (not the batch composition)
+            # keeps every value bit-identical under any partitioning /
+            # batch boundary (same discipline as the fixed-W tiers).
+            widths = np.maximum(1, 2 ** np.ceil(np.log2(
+                np.maximum(lens, 1))).astype(np.int64))
+            order = np.argsort(widths, kind="stable")
+            for bw in np.unique(widths):
+                rows = order[widths[order] == bw]
+                # bound rows*width cells per kernel call: long-tail docs
+                # evaluate in small batches, short docs in large ones
+                step = max(1, int(max_batch_cells // bw))
+                for lo in range(0, len(rows), step):
+                    sel = rows[lo:lo + step]
+                    sub = pdf.iloc[sel]
+                    n = lens[sel]
+                    M = np.zeros((len(sel), int(bw)))
+                    for i, a in enumerate(sub["tokens"]):
+                        M[i, :n[i]] = a
+                    out = features.evaluate(M, n)
+                    res = {"doc_id": sub["doc_id"].to_numpy(),
+                           "source": sub["source"].to_numpy(),
+                           "n_tok": n.astype(np.int32)}
+                    res.update(out)
+                    yield pd.DataFrame(res)
+    return fn
+
+
+def series_features(seq: DataFrame,
+                    features: FeatureSet | None = None,
+                    max_batch_cells: int = 1 << 23,
+                    num_partitions: int | None = None) -> DataFrame:
+    """One row of feature values per doc over the WHOLE series — ragged
+    lengths, no length cap (reference bulk-evaluation semantics; empty
+    docs produce no row, mirroring Julia's minimum([]) error).
+
+    Scale shape: optional range partitioning by n_tok co-locates
+    similar-length docs (bounded padding waste per Arrow batch); the
+    kernel sub-batches rows so rows x width <= max_batch_cells, so a
+    multi-million-token long-tail doc evaluates in a small batch while
+    short docs batch by the hundreds. No shuffle of tokens unless
+    num_partitions is given."""
+    features = features or default_rollup_features()
+    d = seq.where(F.col("n_tok") >= 1)
+    if num_partitions:
+        d = d.repartitionByRange(num_partitions, "n_tok", "doc_id")
+    return d.mapInPandas(make_series_fn(features, int(max_batch_cells)),
+                         series_schema(features))
