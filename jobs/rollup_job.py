@@ -41,6 +41,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="logical resume buckets (stable across cluster sizes)")
     p.add_argument("--features", default=None,
                    help="comma-separated feature names (default: rollup set)")
+    p.add_argument("--retain", default=None,
+                   help="retention policy 'tier:keep,...' (e.g. '0:48,1:96')"
+                        " applied AFTER the cascade; refuses policies that"
+                        " would expire windows with no coarser-tier coverage"
+                        " (see tsf/retention.py), --force-retain overrides")
+    p.add_argument("--force-retain", action="store_true")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -81,6 +87,15 @@ def main(argv: list[str] | None = None) -> None:
         print(f"tier {t}: committed {n} buckets")
         prev = (spark.read.parquet(args.output)
                 .where(F.col("tier_p") == t).drop("tier_p", "partition_id"))
+
+    if args.retain:
+        from tsf import retention
+        policy = {int(kv.split(":")[0]): int(kv.split(":")[1])
+                  for kv in args.retain.split(",")}
+        kept = retention.apply_retention(spark, args.output, policy,
+                                         force=args.force_retain)
+        for t, nrows in sorted(kept.items()):
+            print(f"retention tier {t}: kept {nrows} rows")
 
     led = spark.read.parquet(args.ledger)
     led.groupBy("tier").agg(
