@@ -48,6 +48,16 @@ def main(argv: list[str] | None = None) -> None:
                         " (see tsf/retention.py), --force-retain overrides")
     p.add_argument("--force-retain", action="store_true")
     args = p.parse_args(argv)
+    retain_policy = None
+    if args.retain:
+        try:
+            retain_policy = {}
+            for kv in args.retain.split(","):
+                tier_s, keep_s = kv.split(":")
+                retain_policy[int(tier_s)] = int(keep_s)
+        except ValueError:
+            p.error(f"--retain must be 'tier:keep[,tier:keep...]', got "
+                    f"{args.retain!r}")
 
     from pyspark.sql import functions as F
 
@@ -56,6 +66,8 @@ def main(argv: list[str] | None = None) -> None:
     from tsf.rollup import next_tier, tier0
     from tsf.session import get_spark
 
+    from pyspark.sql import SparkSession
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("tsf-rollup")
     feats = (catalogue()[args.features.split(",")] if args.features
              else default_rollup_features())
@@ -88,11 +100,9 @@ def main(argv: list[str] | None = None) -> None:
         prev = (spark.read.parquet(args.output)
                 .where(F.col("tier_p") == t).drop("tier_p", "partition_id"))
 
-    if args.retain:
+    if retain_policy:
         from tsf import retention
-        policy = {int(kv.split(":")[0]): int(kv.split(":")[1])
-                  for kv in args.retain.split(",")}
-        kept = retention.apply_retention(spark, args.output, policy,
+        kept = retention.apply_retention(spark, args.output, retain_policy,
                                          force=args.force_retain)
         for t, nrows in sorted(kept.items()):
             print(f"retention tier {t}: kept {nrows} rows")
@@ -103,7 +113,8 @@ def main(argv: list[str] | None = None) -> None:
         F.sum("rows_out").alias("rows"),
         F.round(F.avg("points_per_sec")).alias("avg_points_per_sec")).show()
     print(f"total wall: {time.time() - t_start:.1f}s")
-    spark.stop()
+    if owns_session:  # never tear down a caller-owned session (tests)
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -282,7 +282,11 @@ def make_series_fn(features: FeatureSet, max_batch_cells: int):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            lens = pdf["n_tok"].to_numpy().astype(np.int64)
+            # measure lengths from the arrays themselves (same stance as
+            # _assemble_windows) — a stale n_tok column must not corrupt
+            # the padded matrix
+            lens = np.fromiter((len(a) for a in pdf["tokens"]),
+                               dtype=np.int64, count=len(pdf))
             # canonical per-doc width = next pow2 >= n_tok: numpy's
             # pairwise-summation tree depends on the padded row width, so
             # tying the width to the DOC (not the batch composition)
@@ -327,7 +331,7 @@ def series_features(seq: DataFrame,
     short docs batch by the hundreds. No shuffle of tokens unless
     num_partitions is given."""
     features = features or default_rollup_features()
-    d = seq.where(F.col("n_tok") >= 1)
+    d = seq.where(F.size("tokens") >= 1)
     if num_partitions:
         d = d.repartitionByRange(num_partitions, "n_tok", "doc_id")
     return d.mapInPandas(make_series_fn(features, int(max_batch_cells)),
