@@ -497,3 +497,24 @@ def test_pairwise_mi_degenerate_window_avg_semantics(spark):
     # NULL mi, n_windows intact
     rd = got[("c", "d")]
     assert rd["n_windows"] == 2 and rd["mi"] is None
+
+
+def test_ksg1_mi_chunked_equals_dense_and_scales():
+    """The row-chunked large-window path must produce bit-identical MI to
+    the dense (B,N,N) path, handle N where dense tensors would be
+    hundreds of MB, and preserve the degenerate->NaN contract."""
+    from tsf.pairwise import _ksg1_mi_single_chunked, ksg1_mi_batch
+
+    rng2 = np.random.default_rng(5)
+    for N in (300, 1500):
+        x = rng2.standard_normal(N)
+        y = 0.6 * x + 0.4 * rng2.standard_normal(N)
+        dense = ksg1_mi_batch(x[None, :], y[None, :], 20)[0]
+        chunked = _ksg1_mi_single_chunked(x, y, 20)
+        assert np.isclose(dense, chunked, atol=1e-12), N
+    x = rng2.standard_normal(6000)
+    y = 0.6 * x + 0.4 * rng2.standard_normal(6000)
+    big = ksg1_mi_batch(x[None, :], y[None, :], 20)  # auto-chunked
+    assert np.isfinite(big[0]) and 0.2 < big[0] < 1.5
+    c = np.full(6000, 3.0)
+    assert np.isnan(ksg1_mi_batch(c[None, :], c[None, :].copy(), 20))[0]

@@ -96,6 +96,13 @@ def ksg1_mi_batch(X: np.ndarray, Y: np.ndarray, k: int = 20) -> np.ndarray:
     B, N = X.shape
     if N <= k:
         return np.full(B, np.nan)
+    if N * N > 4_000_000:
+        # (B, N, N) tensors for large windows blow past cache AND RAM
+        # (N=5000 -> 200 MB per tensor); row-chunk each pair instead:
+        # O(chunk * N) memory, same strict-< counting, identical values
+        # (pinned by test against this dense path on mid-size N)
+        return np.array([_ksg1_mi_single_chunked(X[i], Y[i], k)
+                         for i in range(B)])
     dx = np.abs(X[:, :, None] - X[:, None, :])
     dy = np.abs(Y[:, :, None] - Y[:, None, :])
     dz = np.maximum(dx, dy)
@@ -117,6 +124,33 @@ def ksg1_mi_batch(X: np.ndarray, Y: np.ndarray, k: int = 20) -> np.ndarray:
           - (_digamma(nx + 1.0) + _digamma(ny + 1.0)).mean(axis=1))
     mi[degenerate] = np.nan
     return mi
+
+
+def _ksg1_mi_single_chunked(x: np.ndarray, y: np.ndarray, k: int,
+                            chunk: int = 256) -> float:
+    """One pair, row-chunked KSG1: memory O(chunk * N), values identical
+    to the dense path (same eps, same strict-< counts)."""
+    N = x.size
+    s = 0.0
+    degenerate = False
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        dx = np.abs(x[lo:hi, None] - x[None, :])
+        dy = np.abs(y[lo:hi, None] - y[None, :])
+        dz = np.maximum(dx, dy)
+        rows = np.arange(lo, hi)
+        dz[rows - lo, rows] = np.inf  # exclude self
+        eps = np.partition(dz, k - 1, axis=1)[:, k - 1][:, None]
+        if (eps[:, 0] == 0).any():
+            degenerate = True
+            break
+        nx = (dx < eps).sum(axis=1) - 1
+        ny = (dy < eps).sum(axis=1) - 1
+        s += (_digamma(nx + 1.0) + _digamma(ny + 1.0)).sum()
+    if degenerate:
+        return float("nan")
+    return float(_digamma(np.array([float(k)]))[0]
+                 + _digamma(np.array([float(N)]))[0] - s / N)
 
 
 def pairwise_mi(seq: DataFrame, window: int = 100, k: int = 20,
