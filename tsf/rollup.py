@@ -328,8 +328,11 @@ def series_features(seq: DataFrame,
     similar-length docs (bounded padding waste per Arrow batch); the
     kernel sub-batches rows so rows x width <= max_batch_cells, so a
     multi-million-token long-tail doc evaluates in a small batch while
-    short docs batch by the hundreds. No shuffle of tokens unless
-    num_partitions is given."""
+    short docs batch by the hundreds. The Arrow INPUT batch is bounded
+    too: Spark 4's spark.sql.execution.arrow.maxBytesPerBatch (64 MB
+    default) splits batches by bytes, so 512 long-tail docs can never
+    materialize in one input batch ahead of the sub-batcher. No shuffle
+    of tokens unless num_partitions is given."""
     features = features or default_rollup_features()
     d = seq.where(F.size("tokens") >= 1)
     if num_partitions:
