@@ -156,8 +156,12 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": SF_DIR,
         "cpus": CPUS,
-        "extras": {k: (round(v, 3) if isinstance(v, float) else v)
-                   for k, v in extras.items()},
+        # the suite TOTAL grows as operators are added round-over-round;
+        # compare rounds on tier0_points_per_sec (the north-rule metric)
+        # and per-query timings, not on `value`
+        "extras": {**{k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in extras.items()},
+                   "n_queries": len(bench_qs)},
     }
     print(json.dumps(out))
     spark.stop()
