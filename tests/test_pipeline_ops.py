@@ -518,3 +518,25 @@ def test_ksg1_mi_chunked_equals_dense_and_scales():
     assert np.isfinite(big[0]) and 0.2 < big[0] < 1.5
     c = np.full(6000, 3.0)
     assert np.isnan(ksg1_mi_batch(c[None, :], c[None, :].copy(), 20))[0]
+
+
+def test_ivf_indexed_matches_direct_and_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index returns the same top-k as the direct
+    operator, and the query plan prunes to the probed cell PARTITIONS
+    (file skipping, not a post-scan filter)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0")
+         .select("embedding").first()[0]]
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_centroids=8)
+    got = similarity.ivf_topk_indexed(spark, idx, q, k=10,
+                                      nprobe=3).toPandas()
+    direct = similarity.ivf_topk(emb, q, k=10, n_centroids=8,
+                                 nprobe=3).toPandas()
+    assert list(got.vec_id) == list(direct.vec_id)
+    assert np.allclose(got.cos, direct.cos, atol=1e-9)
+    # partition pruning visible in the plan: cell is a partition filter
+    cand = similarity.ivf_topk_indexed(spark, idx, q, k=10, nprobe=3)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters")[1][:200], plan

@@ -433,3 +433,37 @@ def ivf_topk_duckdb(k: int = 10, n_centroids: int = 16,
     ORDER BY cos DESC, a.vec_id ASC
     LIMIT {k}
     """
+
+
+def build_ivf_index(emb: DataFrame, path: str, n_centroids: int = 16,
+                    cents: list[list[float]] | None = None) -> None:
+    """Materialize the IVF index: the table rewritten PARTITIONED BY cell
+    (one directory per coarse-quantizer cell) plus the centroid list as
+    JSON alongside. Queries against the index read only their probed
+    cells' files — real partition pruning, not a post-scan filter."""
+    import json as _json
+
+    from pathlib import Path as _Path
+    if cents is None:
+        cents = ivf_centroids(emb, n_centroids)
+    (ivf_cells(emb, cents).write.mode("overwrite")
+     .partitionBy("cell").parquet(path))
+    _Path(path, "_ivf_centroids.json").write_text(_json.dumps(cents))
+
+
+def ivf_topk_indexed(spark, path: str, query: list[float], k: int = 10,
+                     nprobe: int = 4) -> DataFrame:
+    """ANN top-k against a built IVF index: rank the stored centroids
+    against the query driver-side, then scan ONLY the nprobe probed cell
+    partitions (partition pruning does the file skipping)."""
+    import json as _json
+
+    from pathlib import Path as _Path
+    cents = _json.loads(_Path(path, "_ivf_centroids.json").read_text())
+    q = np.asarray(query, dtype=np.float64)
+    cs = np.asarray(cents, dtype=np.float64)
+    qs = (cs @ q) / (np.sqrt((cs * cs).sum(axis=1)) * np.sqrt(q @ q))
+    probes = [int(i) for i in np.argsort(-qs, kind="stable")[:nprobe]]
+    cand = spark.read.parquet(path).where(F.col("cell").isin(probes))
+    return (cosine_scores(cand, query)
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
