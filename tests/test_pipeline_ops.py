@@ -540,3 +540,21 @@ def test_ivf_indexed_matches_direct_and_prunes_partitions(spark, tmp_path):
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters")[1][:200], plan
+
+
+def test_lsh_indexed_matches_direct_and_prunes_partitions(spark, tmp_path):
+    """The persisted LSH index: identical top-k to the direct operator;
+    the table-0 probe branch prunes bucket_0 PARTITIONS."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0")
+         .select("embedding").first()[0]]
+    idx = str(tmp_path / "lsh")
+    similarity.build_lsh_index(emb, idx)
+    got = similarity.lsh_topk_indexed(spark, idx, q, k=10).toPandas()
+    direct = similarity.lsh_topk(emb, q, k=10).toPandas()
+    assert list(got.vec_id) == list(direct.vec_id)
+    assert np.allclose(got.cos, direct.cos, atol=1e-9)
+    plan = similarity.lsh_topk_indexed(spark, idx, q, k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    pf = [seg for seg in plan.split("PartitionFilters")[1:]]
+    assert any("bucket_0" in seg[:250] for seg in pf), plan

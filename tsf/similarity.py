@@ -467,3 +467,52 @@ def ivf_topk_indexed(spark, path: str, query: list[float], k: int = 10,
     cand = spark.read.parquet(path).where(F.col("cell").isin(probes))
     return (cosine_scores(cand, query)
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+
+def build_lsh_index(emb: DataFrame, path: str, nbits: int = 8,
+                    tables: int = 2, seed: int = 7) -> None:
+    """Materialize the LSH index: all tables' bucket columns precomputed,
+    layout PARTITIONED BY the table-0 bucket (the dimension a query
+    prunes on); dims/params stored as JSON alongside."""
+    import json as _json
+
+    from pathlib import Path as _Path
+    row = (emb.where(F.col("embedding").isNotNull())
+           .select(F.size("embedding").alias("d")).first())
+    dim = int(row[0])
+    d = emb
+    for t in range(tables):
+        d = lsh_buckets(d, random_hyperplanes(dim, nbits, seed + t),
+                        f"bucket_{t}")
+    d.write.mode("overwrite").partitionBy("bucket_0").parquet(path)
+    _Path(path, "_lsh_params.json").write_text(_json.dumps(
+        {"nbits": nbits, "tables": tables, "seed": seed, "dim": dim}))
+
+
+def lsh_topk_indexed(spark, path: str, query: list[float], k: int = 10,
+                     multiprobe: int = 4) -> DataFrame:
+    """ANN top-k against a built LSH index, structured so partition
+    pruning actually fires: a naive OR across tables' probe conditions
+    would force reading every partition, so the scan is a UNION of (a)
+    the table-0 probes as a pure partition filter (file skipping) and
+    (b) the other tables' probes as a column filter EXCLUDING table-0
+    candidates (no duplicates, no dedup shuffle). Candidate set is
+    identical to lsh_topk: c0 OR rest == c0 UNION (rest AND NOT c0)."""
+    import json as _json
+
+    from pathlib import Path as _Path
+    p = _json.loads(_Path(path, "_lsh_params.json").read_text())
+    d = spark.read.parquet(path)
+    conds = []
+    for t in range(p["tables"]):
+        planes = random_hyperplanes(p["dim"], p["nbits"], p["seed"] + t)
+        probes = _query_probes(query, planes, multiprobe)
+        conds.append(F.col(f"bucket_{t}").isin(probes))
+    cand = d.where(conds[0])
+    if len(conds) > 1:
+        rest = conds[1]
+        for c in conds[2:]:
+            rest = rest | c
+        cand = cand.unionByName(d.where(rest & ~conds[0]))
+    return (cosine_scores(cand, query)
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
