@@ -10,6 +10,13 @@
   multi-probe over 1-bit flips), so the 100 TB path scans only matching
   buckets (partition pruning when the table is written bucketed by
   `bucket`).
+- :func:`ivf_cells` / :func:`ivf_topk` — IVF ANN: a deterministic
+  coarse-quantizer centroid set, cell assignment as one shuffle-free JVM
+  projection, queries probe the nprobe closest cells.
+- :func:`build_ivf_index` / :func:`build_lsh_index` +
+  ``*_topk_indexed`` — both ANN families persisted as cell/bucket
+  PARTITIONED layouts so probing skips files (PartitionFilters), not
+  rows.
 - :func:`pairwise_pearson` — Pearson/Covariance matrices across vectors
   within a group (reference PairwiseFeatures semantics,
   /root/reference/src/PairwiseFeatures.jl:39-41): self-join within group.
