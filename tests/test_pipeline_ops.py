@@ -558,3 +558,32 @@ def test_lsh_indexed_matches_direct_and_prunes_partitions(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     pf = [seg for seg in plan.split("PartitionFilters")[1:]]
     assert any("bucket_0" in seg[:250] for seg in pf), plan
+
+
+def test_ivf_trained_centroids_recover_planted_clusters(spark):
+    """MLlib-trained coarse quantizer: on planted angular clusters the
+    learned centers align with the true ones (cos > 0.95 each) and feed
+    the existing IVF machinery unchanged (nprobe=1 retrieves the
+    query's own cluster)."""
+    rng2 = np.random.default_rng(33)
+    true = rng2.standard_normal((4, 32)) * 3
+    rows = []
+    vid = 0
+    for i in range(4):
+        for _ in range(30):
+            v = true[i] + 0.15 * rng2.standard_normal(32)
+            rows.append((vid, [float(x) for x in v], i)); vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    cents = similarity.ivf_train_centroids(emb, k=4, seed=11)
+    cn = np.asarray(cents)
+    tn = true / np.linalg.norm(true, axis=1, keepdims=True)
+    cnn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    # every true center has a learned center within cos 0.95
+    best = (tn @ cnn.T).max(axis=1)
+    assert (best > 0.95).all(), best
+    q = [float(x) for x in (true[1] + 0.1 * rng2.standard_normal(32))]
+    got = similarity.ivf_topk(emb, q, k=10, nprobe=1,
+                              cents=cents).toPandas()
+    labels = {r[2] for r in rows if r[0] in set(got.vec_id)}
+    assert labels == {1}, labels

@@ -523,3 +523,22 @@ def lsh_topk_indexed(spark, path: str, query: list[float], k: int = 10,
         cand = cand.unionByName(d.where(rest & ~conds[0]))
     return (cosine_scores(cand, query)
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+
+def ivf_train_centroids(emb: DataFrame, k: int = 16, max_iter: int = 10,
+                        seed: int = 7) -> list[list[float]]:
+    """Spherical-ish k-means coarse quantizer via Spark MLlib: rows are
+    L2-normalized before Euclidean k-means (the standard cosine
+    approximation), so the learned centers partition by angle — the
+    quantity IVF assignment ranks on. Drop-in for every ivf_* function's
+    ``cents`` argument; the deterministic vec_id-prefix rule remains the
+    oracle-replayable default."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = (f"transform({EMB_DOUBLE}, zx -> zx / "
+            f"sqrt({_dot(EMB_DOUBLE, EMB_DOUBLE)}))")
+    d = (emb.where(F.col("embedding").isNotNull())
+         .select(array_to_vector(F.expr(norm)).alias("features")))
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(d)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
