@@ -107,6 +107,11 @@ def _std(ctx: WindowCtx) -> np.ndarray:
     # Corrected (ddof=1) sample SD from exact sums: matches
     # sqrt((sumsq - sum^2/n) / (n-1)) — the same expression our DuckDB
     # oracle SQL uses, so integer inputs give bit-identical values.
+    # Domain note: the one-pass form is EXACT for the engine's contract
+    # inputs (int32 tokens: x^2 < 2.5e9 and window sums stay < 2^53, so
+    # every sum is an exact float64 integer — better than two-pass). For
+    # out-of-contract float inputs offset by ~1e8+ it cancels like any
+    # one-pass variance; use demeaned inputs there.
     n = ctx.n.astype(np.float64)
     s, ss = ctx.get("sum"), ctx.get("sumsq")
     with np.errstate(invalid="ignore", divide="ignore"):
