@@ -120,21 +120,42 @@ def apply_retention(spark: SparkSession, data_path: str,
         # (tier_p == tier by construction: run_tier_with_ledger writes
         # tier_p = lit(tier))
         sub = data.where(F.col("tier_p") == t)
-        kept = _keep_last(sub, keep).persist()
+        # STAGE the retained rows to a sibling temp path before touching
+        # the layout: overwriting the path being read relies on cached
+        # partitions surviving the whole write — a lost executor or LRU
+        # eviction mid-overwrite would recompute from source files the
+        # overwrite already deleted (job failure or silent row loss). The
+        # staged copy is durable on disk, so the rewrite never reads what
+        # it is replacing.
+        stage = f"{data_path}__retention_stage_tier{t}"
+        _keep_last(sub, keep).write.mode("overwrite") \
+            .parquet(stage)
+        kept = spark.read.parquet(stage)
         out[t] = kept.count()
         # dynamic overwrite replaces only partitions PRESENT in `kept`;
         # collect the retained partition set first so fully-pruned
-        # partitions (all rows expired) can be removed explicitly after
+        # partitions (all rows expired) can be removed explicitly.
+        # Dead partitions are dropped BEFORE the overwrite: a crash
+        # between the two steps then leaves only already-expired
+        # directories missing (intended) instead of stale expired data.
         live = {(int(r[0]), int(r[1]))
                 for r in kept.select("batch_id", "partition_id")
                              .distinct().collect()}
+        _drop_dead_partitions(spark, data_path, t, live)
         (kept.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("tier_p", "batch_id", "partition_id")
              .parquet(data_path))
-        kept.unpersist()
-        _drop_dead_partitions(spark, data_path, t, live)
+        _rm_path(spark, stage)
     return out
+
+
+def _rm_path(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 def _drop_dead_partitions(spark: SparkSession, data_path: str, tier: int,
