@@ -27,6 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from tsf.caching import persist_scope  # noqa: E402
 from tsf.registry import default_rollup_features  # noqa: E402
 from tsf.rollup import next_tier, tier0  # noqa: E402
 from tsf.session import get_spark  # noqa: E402
@@ -138,14 +139,16 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            qs[name](spark, SF_DIR).count()
+            # persist_scope releases operator-internal caches after the
+            # count; clearCache is the belt for anything unscoped. Both
+            # run BETWEEN reps so rep 2 cannot silently reuse rep 1's
+            # cached intermediates (CacheManager matches canonicalized
+            # plans across actions) — both reps are honest cold runs.
+            with persist_scope():
+                qs[name](spark, SF_DIR).count()
+            spark.catalog.clearCache()
             best = min(best, time.time() - t0)
         timings[name] = best
-        # several operators persist() shared self-join inputs and return
-        # lazy frames (the caller owns the lifetime); drop those cache
-        # entries between queries so timings stay independent and storage
-        # doesn't accumulate across the suite
-        spark.catalog.clearCache()
 
     total = sum(timings.values())
     out = {

@@ -587,3 +587,35 @@ def test_ivf_trained_centroids_recover_planted_clusters(spark):
                               cents=cents).toPandas()
     labels = {r[2] for r in rows if r[0] in set(got.vec_id)}
     assert labels == {1}, labels
+
+
+def test_shingles_standard_convention(spark):
+    """Standard w-shingling: start positions 1..size-k+1 — a doc of
+    exactly k words yields its one shingle (the final k-gram is no longer
+    dropped); < k words yields none."""
+    docs = spark.createDataFrame(
+        [("a", "w1 w2 w3"), ("b", "w1 w2 w3 w4"), ("c", "w1 w2")],
+        "doc_id string, text string")
+    sh = dedup.shingle_strings(docs).toPandas()
+    by = sh.groupby("doc_id")["shingle_str"].apply(list).to_dict()
+    assert by["a"] == ["w1 w2 w3"]
+    assert sorted(by["b"]) == ["w1 w2 w3", "w2 w3 w4"]
+    assert "c" not in by
+
+
+def test_persist_scope_releases_operator_caches(spark, sf001):
+    """Operator-internal scoped persists are live during the terminal
+    action and fully released when the persist_scope closes — no cache
+    entry outlives its query."""
+    from tsf.caching import persist_scope
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").limit(40)
+    # relative to whatever earlier tests left cached (session fixture)
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with persist_scope():
+        dedup.minhash_pairs(docs, threshold=0.0).count()
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() > base
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+    with persist_scope():
+        dedup.ngram_jaccard_pairs(docs, threshold=0.2).count()
+        dedup.simhash_near_dups(docs).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base

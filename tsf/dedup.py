@@ -22,23 +22,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from tsf.caching import scoped_persist
+
 _WORDS = "filter(split(text, ' '), w -> length(w) > 0)"
 
 
 def _shingle_array_expr(payload: str, k: int) -> str:
     """SQL expression building each doc's DISTINCT word-k-gram shingle
     array from a materialized word array ``ws`` — the single source of
-    truth for the shingling convention (start positions 1..size-k; docs
-    with <= k words yield none: Spark's sequence() would emit a DESCENDING
-    range for them, so the short case is gated explicitly). ``payload``
-    maps the joined k-gram string, e.g. ``"xxhash64({g})"`` or ``"{g}"``.
+    truth for the shingling convention (standard w-shingling: start
+    positions 1..size-k+1, so a doc of exactly k words yields its one
+    shingle; docs with < k words yield none — gated explicitly because
+    Spark's sequence() would emit a DESCENDING range for them).
+    ``payload`` maps the joined k-gram string, e.g. ``"xxhash64({g})"``
+    or ``"{g}"``.
 
     The word array must be a COLUMN: a split() inside the transform
     lambda would be re-evaluated per shingle position (Catalyst does not
     CSE inside higher-order-function lambdas) — O(words^2)."""
     gram = f"concat_ws(' ', slice(ws, i + 1, {k}))"
-    return (f"case when size(ws) > {k} then "
-            f"array_distinct(transform(sequence(0, size(ws) - {k} - 1),"
+    return (f"case when size(ws) >= {k} then "
+            f"array_distinct(transform(sequence(0, size(ws) - {k}),"
             f" i -> {payload.format(g=gram)}))"
             f" else array() end")
 
@@ -87,8 +91,9 @@ def minhash_pairs(docs: DataFrame, k: int = 3, num_hashes: int = 32,
     """Candidate near-dup pairs via banded LSH + exact minhash-Jaccard filter."""
     rows = num_hashes // bands
     # the signature table feeds the banded join AND both verify sides —
-    # persist so shingle+minhash aggregation runs once
-    sig = minhash_signatures(docs, k, num_hashes).persist()
+    # persist so shingle+minhash aggregation runs once (scoped: released
+    # by the caller's tsf.caching.persist_scope after the terminal action)
+    sig = scoped_persist(minhash_signatures(docs, k, num_hashes))
     band_cols = F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
@@ -168,8 +173,9 @@ def simhash_near_dups(docs: DataFrame, k: int = 3,
     assert 64 % bands == 0, "bands must divide 64 (every bit banded)"
     width = 64 // bands
     mask = (1 << width) - 1
-    # both self-join sides re-derive the sketch otherwise
-    s = simhash(docs, k).persist()
+    # both self-join sides re-derive the sketch otherwise (scoped persist:
+    # released by the caller's persist_scope after the terminal action)
+    s = scoped_persist(simhash(docs, k))
     banded = s.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
@@ -179,14 +185,17 @@ def simhash_near_dups(docs: DataFrame, k: int = 3,
     ).select("doc_id", "simhash", F.col("s.band").alias("band"),
              F.col("s.bb").alias("bb"))
     a, b = banded.alias("a"), banded.alias("b")
+    # the Hamming threshold is computable per candidate row, so it runs
+    # BEFORE dropDuplicates — the dedup shuffle then carries only pairs
+    # that pass, not every banded candidate (identical output)
     return (a.join(b, ["band", "bb"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
                     F.expr("bit_count(a.simhash ^ b.simhash)")
                     .alias("hamming"))
-            .dropDuplicates(["doc_a", "doc_b"])
-            .where(F.col("hamming") <= max_hamming))
+            .where(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["doc_a", "doc_b"]))
 
 
 def minhash_check(docs: DataFrame, k: int = 3, num_hashes: int = 8) -> DataFrame:
@@ -231,7 +240,7 @@ def minhash_check_duckdb(k: int = 3, num_hashes: int = 8) -> str:
                                   x -> length(x) > 0) AS ws
                FROM documents),
     sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                    range(1, greatest(len(ws) - {k}, 0) + 1),
+                    range(1, greatest(len(ws) - {k} + 1, 0) + 1),
                     i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
            FROM w),
     hs AS (SELECT doc_id, {fold(s1, m1, a1)} AS h1, {fold(s2, m2, a2)} AS h2
@@ -299,7 +308,7 @@ def simhash_check_duckdb(k: int = 3) -> str:
                                   x -> length(x) > 0) AS ws
                FROM documents),
     sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                    range(1, greatest(len(ws) - {k}, 0) + 1),
+                    range(1, greatest(len(ws) - {k} + 1, 0) + 1),
                     i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
            FROM w),
     hs AS (SELECT doc_id,
@@ -341,9 +350,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
          .withColumn("sz", F.size("ss")))
     # the shingling subtree feeds FIVE plan branches (df count, prefix,
     # both candidate sides, both verify sides) and Catalyst re-executes it
-    # per branch — persist so tokenize+shingle runs once (LRU-evicted;
-    # ~8B/shingle, far smaller than the source text)
-    d = d.persist()
+    # per branch — persist so tokenize+shingle runs once (~8B/shingle,
+    # far smaller than the source text; released by the caller's
+    # persist_scope after the terminal action)
+    d = scoped_persist(d)
     w = d.select("doc_id", "sz", F.explode("ss").alias("sh"))
     # document frequency per shingle: grows with corpus vocabulary (word
     # 3-grams are near-unique at scale), so NO broadcast hint — AQE
@@ -401,7 +411,7 @@ def ngram_jaccard_duckdb(threshold: float = 0.3, k: int = 3) -> str:
     return f"""
     WITH d0 AS (SELECT doc_id, {w} AS ws FROM documents),
     d AS (SELECT doc_id, list_distinct(list_transform(
-            range(1, greatest(len(ws) - {k}, 0) + 1),
+            range(1, greatest(len(ws) - {k} + 1, 0) + 1),
             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS ss FROM d0)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round({jac}, 6) AS jaccard
     FROM d a JOIN d b ON a.doc_id < b.doc_id

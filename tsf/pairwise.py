@@ -40,6 +40,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from tsf.caching import scoped_persist
 from tsf.kernels import WindowCtx
 from tsf.rollup import _assemble_windows
 from tsf.windows import DEFAULT_CHUNK_WINDOWS, chunk_sequences
@@ -239,8 +240,10 @@ def pairwise_features(seq: DataFrame,
         schema += ", c array<double>, s array<double>"
     if need_toks:
         schema += ", t array<double>, sm double, sq double"
-    sw = chunked.mapInPandas(make_super_fn(W, need_phase, need_toks),
-                             schema).persist()
+    # the super-window frame feeds both self-join sides (scoped persist:
+    # released by the caller's persist_scope after the terminal action)
+    sw = scoped_persist(chunked.mapInPandas(
+        make_super_fn(W, need_phase, need_toks), schema))
     a, b = sw.alias("a"), sw.alias("b")
     joined = a.join(b, (F.col("a.source") == F.col("b.source"))
                     & (F.col("a.window_id") == F.col("b.window_id"))

@@ -27,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from tsf.caching import scoped_persist
+
 EMB_DOUBLE = "transform(embedding, x -> cast(x as double))"
 
 
@@ -218,13 +220,16 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
     sxx = F.expr(_dot("a.v", "a.v"))
     syy = F.expr(_dot("b.v", "b.v"))
     cos = sxy / (F.sqrt(sxx) * F.sqrt(syy))
+    # cosine is computed per candidate row, so the threshold runs BEFORE
+    # dropDuplicates — the dedup shuffle carries only passing pairs, not
+    # every bucket-sharing candidate (identical output)
     return (a.join(b, ["t", "bk"])
             .where(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
                     F.round(cos, 6).alias("cos"))
-            .dropDuplicates(["vec_a", "vec_b"])
-            .where(F.col("cos") >= threshold))
+            .where(F.col("cos") >= threshold)
+            .dropDuplicates(["vec_a", "vec_b"]))
 
 
 def embedding_near_dups_duckdb(dim: int, threshold: float = 0.9,
@@ -300,7 +305,8 @@ def series_pairwise_pearson(rollup: DataFrame, window: int,
          .select("doc_id", "source", "window_id",
                  F.col("sum_tok").cast("bigint").alias("s")))
     # both join sides re-run the upstream tier-0 mapInPandas otherwise
-    s = s.persist()
+    # (scoped: released by the caller's persist_scope after the action)
+    s = scoped_persist(s)
     a, b = s.alias("a"), s.alias("b")
     n = F.col("n_overlap").cast("double")
     sa, sb = F.col("sum_a").cast("double"), F.col("sum_b").cast("double")
