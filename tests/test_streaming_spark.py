@@ -142,17 +142,23 @@ def test_stream_ledger_multiple_batches_no_data_loss(spark, tmp_path, seq_batche
 
 def test_stateful_chunked_stream_equals_batch(spark, tmp_path):
     """applyInPandasWithState custom operator: documents arrive in chunk
-    pieces across micro-batches; every completed window's feature row is
-    emitted exactly once and equals the batch tier0 output (trailing
-    partial windows stay pending by design — more tokens may arrive)."""
+    pieces across micro-batches; every window's feature row — INCLUDING
+    each doc's final partial (< W) window, flushed by the end-of-doc
+    marker — is emitted exactly once and the total output equals the
+    FULL batch tier0 output (no cnt == W filtering)."""
     import numpy as np
     from pyspark.sql import functions as F
     from tsf.registry import catalogue
 
     W = 20
     rng = np.random.default_rng(9)
-    docs = {f"d{i}": rng.integers(0, 1000, W * rng.integers(2, 6)).tolist()
+    # ragged lengths: most docs end mid-window so the finalize flush is
+    # genuinely exercised (a multiple-of-W doc has no partial tail)
+    docs = {f"d{i}": rng.integers(0, 1000, W * rng.integers(2, 6)
+                                  + rng.integers(0, W)).tolist()
             for i in range(12)}
+    # the held-back-marker doc must certainly have a partial tail
+    docs["d0"] = rng.integers(0, 1000, W * 3 + 7).tolist()
     # split each doc into uneven chunks and spread them over two batches
     rows_b1, rows_b2 = [], []
     for doc_id, toks in docs.items():
@@ -162,6 +168,11 @@ def test_stateful_chunked_stream_equals_batch(spark, tmp_path):
         # second piece arrives in batch 1 too (same-batch ordering)
         rows_b1.append((doc_id, "s", cut1, toks[cut1:cut2]))
         rows_b2.append((doc_id, "s", cut2, toks[cut2:]))
+        # end-of-doc marker: empty chunk at the doc's total length —
+        # d0's marker is HELD BACK to a third batch to prove the tail
+        # stays pending without it and flushes when it lands
+        if doc_id != "d0":
+            rows_b2.append((doc_id, "s", len(toks), []))
     schema = "doc_id string, source string, chunk_off long, chunk_toks array<int>"
     d = str(tmp_path / "chunks")
     spark.createDataFrame(rows_b1, schema).write.mode("append").parquet(d)
@@ -182,14 +193,24 @@ def test_stateful_chunked_stream_equals_batch(spark, tmp_path):
     assert len(got1) > 0
     spark.createDataFrame(rows_b2, schema).write.mode("append").parquet(d)
     drain()
-    got = spark.read.parquet(out_dir).toPandas()
+    got2 = spark.read.parquet(out_dir).toPandas()
 
-    # batch reference over the fully assembled sequences (full windows only)
+    # batch reference over the fully assembled sequences — the FULL
+    # output, partial tails included
     full = spark.createDataFrame(
         [(k, v, len(v), "s") for k, v in docs.items()],
         "doc_id string, tokens array<int>, n_tok int, source string")
     want = tier0(full, feats, window=W, blocks=False).toPandas()
-    want = want[want["cnt"] == W]
+
+    # before d0's marker: everything except d0's pending partial tail
+    d0_tail = want[(want["doc_id"] == "d0") & (want["cnt"] < W)]
+    _assert_same(got2, want.drop(d0_tail.index))
+
+    # d0's marker lands alone in a third batch: only the tail flushes
+    spark.createDataFrame([("d0", "s", len(docs["d0"]), [])],
+                          schema).write.mode("append").parquet(d)
+    drain()
+    got = spark.read.parquet(out_dir).toPandas()
     _assert_same(got, want)
     # exactly-once: no duplicate (doc, window) rows across batches
     assert not got.duplicated(["doc_id", "window_id"]).any()

@@ -129,10 +129,24 @@ CHUNK_SCHEMA = ("doc_id string, source string, chunk_off bigint, "
 
 #: per-doc state: contiguous frontier + the carried partial-window tail +
 #: out-of-order chunks buffered past a gap (offsets + flattened tokens —
-#: nested arrays keep the Arrow state schema flat)
+#: nested arrays keep the Arrow state schema flat) + the declared
+#: end-of-doc offset (-1 = not yet declared; see end-of-doc markers)
 STATE_SCHEMA = ("next_off bigint, carry array<int>, source string, "
                 "pend_off array<bigint>, pend_len array<int>, "
-                "pend_flat array<int>")
+                "pend_flat array<int>, end_off bigint")
+
+
+def end_of_doc_markers(seq: DataFrame) -> DataFrame:
+    """End-of-doc marker rows for a sequences frame: an EMPTY chunk at
+    offset ``n_tok`` declares "doc complete at length n_tok". Producers
+    append these after a doc's last real chunk so the stateful operator
+    can flush the final partial (< W) window and DROP the doc's state —
+    without a marker the tail is held indefinitely (more tokens may
+    legitimately arrive)."""
+    return seq.select("doc_id", "source",
+                      F.col("n_tok").cast("long").alias("chunk_off"),
+                      F.expr("cast(array() as array<int>)")
+                      .alias("chunk_toks"))
 
 
 def make_stateful_tier0_fn(features: FeatureSet, W: int):
@@ -147,12 +161,20 @@ def make_stateful_tier0_fn(features: FeatureSet, W: int):
     every COMPLETED window's feature row exactly once, and re-buffers
     whatever still sits past a gap.
 
+    A doc's trailing < W tokens are held in state (more may arrive) until
+    an END-OF-DOC MARKER — an empty chunk at offset L, declaring the doc
+    complete at length L (:func:`end_of_doc_markers`) — is consumed AND
+    the contiguous frontier reaches L: then the final partial window is
+    emitted exactly like batch tier0's ceil-windowing and the doc's state
+    is REMOVED (state stays bounded by in-flight docs, not all docs ever
+    seen).
+
     This is the engine's custom stateful operator
     (``applyInPandasWithState``): the kernels themselves stay the shared
     batch kernels — state only manages window ASSEMBLY, so stateful
     streaming output is bit-identical to a batch run over the assembled
     sequences (enforced in pytest, including cross-batch out-of-order
-    arrival)."""
+    arrival and the finalize flush)."""
     import numpy as np
     import pandas as pd
 
@@ -161,18 +183,21 @@ def make_stateful_tier0_fn(features: FeatureSet, W: int):
     def fn(key, pdf_iter, state):
         (doc_id,) = key
         if state.exists:
-            next_off, carry, source, p_off, p_len, p_flat = state.get
+            next_off, carry, source, p_off, p_len, p_flat, end_off = state.get
             carry = list(carry)
             chunks, pos = [], 0
             for off, ln in zip(p_off, p_len):
                 chunks.append((int(off), list(p_flat[pos:pos + ln])))
                 pos += ln
         else:
-            next_off, carry, source, chunks = 0, [], None, []
+            next_off, carry, source, chunks, end_off = 0, [], None, [], -1
         for pdf in pdf_iter:
             # column zip, not iterrows(): ~100x less per-row overhead in
             # the assembly loop (the kernels stay batch-vectorized)
             for off, ch in zip(pdf["chunk_off"], pdf["chunk_toks"]):
+                if len(ch) == 0:    # end-of-doc marker: length = offset
+                    end_off = int(off)
+                    continue
                 chunks.append((int(off), list(ch)))
             if len(pdf):
                 source = pdf["source"].iloc[-1]
@@ -189,14 +214,23 @@ def make_stateful_tier0_fn(features: FeatureSet, W: int):
                 continue            # duplicate/overlap: already consumed
             toks = toks + ch[want - off:]
         still = pending  # sorted; everything past the first gap stays put
-        n_full = len(toks) // W
-        emit_toks = toks[:n_full * W]
-        tail = [int(x) for x in toks[n_full * W:]]
-        state.update((int(carry_base + len(toks)), tail, source,
-                      [int(o) for o, _ in still],
-                      [len(c) for _, c in still],
-                      [int(x) for _, c in still for x in c]))
-        if n_full == 0:
+        frontier = carry_base + len(toks)
+        final = end_off >= 0 and frontier >= end_off
+        if final:
+            # doc complete: flush everything (ceil-windowing emits the
+            # partial tail exactly like batch tier0) and drop the state
+            emit_toks, tail = toks, []
+            state.remove()
+        else:
+            n_full = len(toks) // W
+            emit_toks = toks[:n_full * W]
+            tail = [int(x) for x in toks[n_full * W:]]
+            state.update((int(frontier), tail, source,
+                          [int(o) for o, _ in still],
+                          [len(c) for _, c in still],
+                          [int(x) for _, c in still for x in c],
+                          int(end_off)))
+        if not emit_toks:
             return
         M, n, row_of_win, local_w = _assemble_windows([np.asarray(emit_toks)], W)
         window_id = carry_base // W + local_w
