@@ -171,14 +171,43 @@ def q_acf_features(spark, sf_dir):
 def q_kernel_features(spark, sf_dir):
     """UDF-kernel features with no practical SQL equivalent (rows-only
     driver check): bit-exactness vs the numpy oracle + independent scalar
-    reimplementations is enforced in pytest instead."""
+    reimplementations is enforced in pytest instead. (firstcrossing is
+    SQL-expressible and split out into the oracle-checked
+    q_firstcrossing.)"""
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
-    fs = catalogue()[["acf_timescale", "firstcrossing", "rad", "rad_raw",
+    fs = catalogue()[["acf_timescale", "rad", "rad_raw",
                       "rad_tau", "plv_phase", "ppc_phase",
                       "analytic_amp_mean", "analytic_amp_std"]]
     r = tier0(seq, fs, window=1000, blocks=False)
     keep = ["doc_id"] + [F.round(_nn(n), 6).alias(n) for n in fs.names]
     return r.select(*keep)
+
+
+FC_THRESHOLD = 550.0  # mid-range of tok(w) = len(w)*97 + ascii(w)
+
+
+def q_firstcrossing(spark, sf_dir):
+    """firstcrossing over the whole series at threshold 0 AND at a
+    nonzero threshold (reference src/StatsBase.jl:29-42 with its
+    `threshold` parameter): a pure scan + linear interpolation, so the
+    DuckDB oracle replays the crossing search and the interpolation
+    arithmetic exactly. Tokens are non-negative, so threshold 0 exercises
+    the ==threshold -> 1 edge and the no-crossing NULL; threshold 550
+    exercises real crossings both directions."""
+    from tsf.kernels import k_firstcrossing, k_firstcrossing_at
+    from tsf.registry import Feature, FeatureSet
+    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
+    fs = FeatureSet([
+        Feature("fc0", k_firstcrossing,
+                "firstcrossing(x, 0)", ("timescale",), super="xnan"),
+        Feature("fc_t", k_firstcrossing_at(FC_THRESHOLD),
+                f"firstcrossing(x, {FC_THRESHOLD})", ("timescale",),
+                super="xnan"),
+    ])
+    r = tier0(seq, fs, window=1000, blocks=False)
+    return r.select("doc_id",
+                    _r6f(_nn("fc0")).alias("fc0"),
+                    _r6f(_nn("fc_t")).alias("fc_t"))
 
 
 def q_window_z(spark, sf_dir):
@@ -384,6 +413,42 @@ def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def _ann_index_path(sf_dir: str, kind: str) -> str:
+    """Deterministic scratch location for a built ANN index, keyed by the
+    source table's path + mtime so a refreshed fixture rebuilds."""
+    import hashlib
+    import os
+    src = f"{sf_dir}/embeddings.parquet"
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    return f"/tmp/tsf_ann_index/{kind}_{key}"
+
+
+def q_ann_lsh_topk_indexed(spark, sf_dir):
+    """ANN top-k against the PERSISTED bucket-partitioned LSH index
+    (build once per fixture, then a partition-PRUNED probe scan — the
+    100-TB path). Candidate set is identical to q_ann_lsh_topk, so the
+    same whole-path DuckDB oracle value-checks the indexed plan."""
+    p = _ann_index_path(sf_dir, "lsh")
+    if not Path(p, "_lsh_params.json").exists():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        similarity.build_lsh_index(emb, p)
+    return similarity.lsh_topk_indexed(spark, p, _query_vec(spark, sf_dir),
+                                       k=10)
+
+
+def q_ann_ivf_topk_indexed(spark, sf_dir):
+    """ANN top-k against the PERSISTED cell-partitioned IVF index —
+    reads only the nprobe probed cell directories. Same results as
+    q_ann_ivf_topk, value-checked by the same whole-path oracle."""
+    p = _ann_index_path(sf_dir, "ivf")
+    if not Path(p, "_ivf_centroids.json").exists():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        similarity.build_ivf_index(emb, p)
+    return similarity.ivf_topk_indexed(spark, p, _query_vec(spark, sf_dir),
+                                       k=10)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact cosine over LSH-bucket
     candidates); the oracle replays the bucket membership, so the whole
@@ -404,18 +469,21 @@ def q_media_meta(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Decoded-content statistics over the binary column (rows-only:
-    the deterministic-fake decode has no SQL equivalent)."""
+    """Decoded-content statistics over the binary column — oracle-checked:
+    the deterministic-fake decode is pure tiling arithmetic, which
+    media_features_duckdb replays via closed-form tiled prefix sums."""
     m = multimodal.synth_media(_docs(spark, sf_dir))
     return multimodal.media_features(m).select(
-        "doc_id", "media_type", F.round(_nn("mean_val"), 6).alias("mean_val"),
-        F.round(_nn("std_val"), 6).alias("std_val"), "n_values")
+        "doc_id", "media_type", _r6f(_nn("mean_val")).alias("mean_val"),
+        _r6f(_nn("std_val")).alias("std_val"), "n_values")
 
 
 def q_frame_sample(spark, sf_dir):
-    """Video-style frame sampling over the binary media column (rows-only:
-    content is the documented deterministic fake) — summarized per frame
-    so the check sees the explode shape + per-frame stats."""
+    """Video-style frame sampling over the binary media column —
+    oracle-checked per frame (frame id, pixel count, exact integer pixel
+    sum): the fake decode's tiled content is replayed in SQL with
+    closed-form prefix sums, so the explode shape AND the content-bearing
+    sums are value-checked."""
     m = multimodal.synth_media(_docs(spark, sf_dir))
     f = multimodal.frame_sample(m, every=8)
     return f.select("doc_id", "frame_id", F.size("frame").alias("n_px"),
@@ -459,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_features": q_series_features,
         "acf_features": q_acf_features,
         "kernel_features": q_kernel_features,
+        "firstcrossing": q_firstcrossing,
         "window_z": q_window_z,
         "events_hourly": q_events_hourly,
         "gapfill_locf": q_gapfill_locf,
@@ -483,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk_indexed": q_ann_lsh_topk_indexed,
+        "ann_ivf_topk_indexed": q_ann_ivf_topk_indexed,
         "embedding_near_dups": q_embedding_near_dups,
         "pairwise_pearson": q_pairwise_pearson,
         "media_meta": q_media_meta,
@@ -909,6 +980,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": similarity.lsh_topk_duckdb(dim=64),
         "ann_ivf_topk": similarity.ivf_topk_duckdb(),
+        # the indexed variants produce the identical candidate set and
+        # ordering (asserted in pytest), so the whole-path replays
+        # transfer unchanged — the driver now value-checks the
+        # partition-pruned scans too
+        "ann_lsh_topk_indexed": similarity.lsh_topk_duckdb(dim=64),
+        "ann_ivf_topk_indexed": similarity.ivf_topk_duckdb(),
         "embedding_near_dups": similarity.embedding_near_dups_duckdb(
             dim=64, threshold=0.35),
         "pairwise_pearson": """
@@ -926,6 +1003,45 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
         """,
         "media_meta": multimodal.media_meta_duckdb(),
+        "media_features": multimodal.media_features_duckdb(),
+        "frame_sample": multimodal.frame_sample_duckdb(),
+        "firstcrossing": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 3 AND n_tok <= 1000),
+            tok AS (SELECT doc_id, CAST(unnest(tokens) AS DOUBLE) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos FROM f),
+            w AS (SELECT doc_id, x, pos,
+                         first_value(x) OVER
+                           (PARTITION BY doc_id ORDER BY pos) AS x0,
+                         lag(x) OVER
+                           (PARTITION BY doc_id ORDER BY pos) AS prev
+                  FROM tok),
+            cr0 AS (SELECT doc_id, min(pos) AS m FROM w
+                    WHERE (x0 > 0.0 AND x < 0.0) OR (x0 < 0.0 AND x > 0.0)
+                    GROUP BY 1),
+            s0 AS (SELECT w.doc_id,
+                          w.pos + (0.0 - w.prev) / (w.x - w.prev) AS v
+                   FROM w JOIN cr0 ON w.doc_id = cr0.doc_id
+                                  AND w.pos = cr0.m),
+            crt AS (SELECT doc_id, min(pos) AS m FROM w
+                    WHERE (x0 > {FC_THRESHOLD} AND x < {FC_THRESHOLD})
+                       OR (x0 < {FC_THRESHOLD} AND x > {FC_THRESHOLD})
+                    GROUP BY 1),
+            st AS (SELECT w.doc_id,
+                          w.pos + ({FC_THRESHOLD} - w.prev)
+                                  / (w.x - w.prev) AS v
+                   FROM w JOIN crt ON w.doc_id = crt.doc_id
+                                  AND w.pos = crt.m),
+            x0s AS (SELECT doc_id, x AS x0 FROM tok WHERE pos = 0)
+            SELECT f.doc_id,
+                   {R6F_SQL.format(x="CASE WHEN x0 = 0.0 THEN 1.0 "
+                                     "ELSE s0.v END")} AS fc0,
+                   {R6F_SQL.format(x=f"CASE WHEN x0 = {FC_THRESHOLD} "
+                                     f"THEN 1.0 ELSE st.v END")} AS fc_t
+            FROM f JOIN x0s USING (doc_id)
+            LEFT JOIN s0 USING (doc_id)
+            LEFT JOIN st USING (doc_id)
+        """,
         "compression_roundtrip": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, true AS ok FROM documents
         """,

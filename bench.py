@@ -123,15 +123,17 @@ def main() -> None:
     # ---- operator queries on the driver's testdata ----
     qs = entrymod.queries()
     bench_qs = ["tier0_rollup", "tier1_rollup", "tier2_rollup", "retention_prune", "series_acf", "series_features", "acf_features",
-                "kernel_features", "events_hourly", "gapfill_locf",
+                "kernel_features", "firstcrossing", "events_hourly", "gapfill_locf",
                 "gapfill_linear", "tpch_q1", "topk_orders", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
-                "cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "pairwise_pearson",
+                "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+                "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",
+                "pairwise_pearson",
                 "series_pairwise_pearson", "pairwise_phase_sync",
                 "pairwise_mi", "pairwise_featureset",
                 "token_counts", "media_meta", "media_features",
-                "compression_roundtrip"]
+                "frame_sample", "compression_roundtrip"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x
     # minute-to-minute (hypervisor neighbors), and single-shot timings
     # made round-over-round comparisons mostly measure that drift

@@ -453,3 +453,75 @@ class TestFirstCrossing:
         # reference src/StatsBase.jl:34: first(r) == threshold -> 1
         x = np.zeros(10); x[5:] = 1.0
         assert K.k_firstcrossing(ctx_of(x))[0] == 1.0
+
+
+class TestThresholdCrossings:
+    """Reference threshold parameters (src/StatsBase.jl:29,44) at nonzero
+    thresholds, vs direct scalar ports of the Julia scans."""
+
+    @staticmethod
+    def _firstcrossing_ref(r, threshold):
+        r = np.asarray(r, dtype=np.float64)
+        if r[0] < threshold:
+            cand = np.nonzero(r > threshold)[0]
+        elif r[0] > threshold:
+            cand = np.nonzero(r < threshold)[0]
+        else:
+            return 1.0
+        if cand.size == 0:
+            return np.nan
+        idx = int(cand[0]) + 1  # 1-based, as the reference indexes
+        b, a = r[idx - 1], r[idx - 2]
+        return idx - 1 + (threshold - a) / (b - a)
+
+    def test_firstcrossing_at_matches_reference(self):
+        r = np.random.default_rng(3)
+        for thr in (0.0, 0.4, -0.7, 2.5):
+            for _ in range(25):
+                x = r.normal(0, 1, 60)
+                got = K.k_firstcrossing_at(thr)(ctx_of(x))[0]
+                want = self._firstcrossing_ref(x, thr)
+                assert got == want or (np.isnan(got) and np.isnan(want)), \
+                    (thr, got, want)
+
+    def test_firstcrossing_at_equal_start_returns_one(self):
+        x = np.full(10, 0.5)
+        x[5:] = 3.0
+        assert K.k_firstcrossing_at(0.5)(ctx_of(x))[0] == 1.0
+
+    def test_firstcrossing_at_zero_equals_default(self):
+        r = np.random.default_rng(4)
+        x = r.normal(0, 1, 80)
+        a = K.k_firstcrossing(ctx_of(x))[0]
+        b = K.k_firstcrossing_at(0.0)(ctx_of(x))[0]
+        assert a == b or (np.isnan(a) and np.isnan(b))
+
+    def test_acf_timescale_at_matches_reference(self):
+        r = np.random.default_rng(5)
+        for thr in (0.5, 0.2, -0.3):
+            for phi in (0.9, 0.6, -0.8):  # -0.8: anticorrelated, r1 = -1
+                n = 600
+                eps = r.normal(0, 1, n)
+                x = np.empty(n)
+                x[0] = 0.0
+                for t in range(1, n):
+                    x[t] = phi * x[t - 1] + eps[t]
+                got = K.k_acf_timescale_at(thr)(ctx_of(x))[0]
+                want = firstcrossingacf_ref(x, thr)
+                assert got == want or (np.isnan(got) and np.isnan(want)), \
+                    (thr, phi, got, want)
+
+    def test_acf_timescale_at_lag1_crossing_uses_lastr(self):
+        # threshold high enough that |AC_1| < thr*r1: the crossing is at
+        # global lag 1, where the reference's idx == 1 branch reads `a`
+        # from the FIRST chunk's LAST lag (reachable only with nonzero
+        # threshold)
+        r = np.random.default_rng(6)
+        x = r.normal(0, 1, 400)  # white noise: AC_1 ~ 0
+        got = K.k_acf_timescale_at(0.9)(ctx_of(x))[0]
+        want = firstcrossingacf_ref(x, 0.9)
+        # a finite value PROVES the lastr branch ran: at global lag 1
+        # there is no previous lag, so any other `a` would be NaN
+        # (the quirk extrapolates — the value need not be in [0, 1])
+        assert np.isfinite(want)
+        assert got == want

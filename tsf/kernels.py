@@ -405,21 +405,26 @@ def k_pacf(lag: int):
 
 def _first_crossing_acf(X: np.ndarray, n: np.ndarray,
                         d: np.ndarray | None = None,
-                        denom: np.ndarray | None = None) -> np.ndarray:
-    """firstcrossingacf(x, 0) per row of the zero-padded matrix ``X`` with
-    true lengths ``n`` — reference-faithful (src/StatsBase.jl:44-64):
+                        denom: np.ndarray | None = None,
+                        threshold: float = 0.0) -> np.ndarray:
+    """firstcrossingacf(x, threshold) per row of the zero-padded matrix
+    ``X`` with true lengths ``n`` — reference-faithful
+    (src/StatsBase.jl:44-64):
 
     - lag chunks of ``L = min(100, n-1)``; lags are only examined while
       ``chunk_index * L < n``, so the trailing partial chunk is never
       scanned (a crossing there returns NaN, as the reference returns
       ``nothing``);
     - sign correction by the sign of AC_1 (anticorrelated series search
-      for the first upward crossing);
+      for the first upward crossing): BOTH the ACF values and the
+      threshold are multiplied by ``r1`` (``threshold = threshold * r1``,
+      src/StatsBase.jl:50-51);
     - linear interpolation between the bracketing lags, INCLUDING the
       reference's chunk-boundary rule: when the first sub-threshold lag is
       the FIRST lag of a chunk, ``a`` is that same chunk's LAST ACF value
       (``a = idx == 1 ? lastr : r[idx-1]`` with ``lastr = r[end]`` of the
-      current chunk — reproduced exactly, quirk and all).
+      current chunk — reproduced exactly, quirk and all; with a nonzero
+      threshold this branch is reachable at global lag 1 too).
 
     The scan itself uses small adaptive lag chunks with batch early exit
     (an optimization only: each lag's sum is independent, so values are
@@ -445,6 +450,7 @@ def _first_crossing_acf(X: np.ndarray, n: np.ndarray,
     cap = L * ((n - 1) // L)                   # last lag ever examined
     rows = np.nonzero((denom > 0.0) & (n > 1))[0]
     sign = np.zeros(nw)
+    thr = np.zeros(nw)  # per-row sign-corrected threshold (threshold * r1)
     prev_val = np.full(nw, np.nan)  # last sign-corrected value per live row
     CH, k = 8, 1
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -461,31 +467,36 @@ def _first_crossing_acf(X: np.ndarray, n: np.ndarray,
                     Rs[:, j] = (sub[:, :-kk] * sub[:, kk:]).sum(axis=1) / dn
             if k == 1:
                 sign[rows] = np.sign(Rs[:, 0])
+                thr[rows] = threshold * sign[rows]
             Rs *= sign[rows, None]
             lag_of_col = np.arange(k, k1 + 1)
             Rs[lag_of_col[None, :] > cap[rows][:, None]] = np.nan
-            below = Rs < 0.0  # NaN compares False -> never a crossing
+            below = Rs < thr[rows, None]  # NaN compares False -> no crossing
             has = below.any(axis=1)
             i = below.argmax(axis=1)[has]  # first True, 0-based in chunk
             hit = rows[has]
             b = Rs[has, i]
             # a = previous sign-corrected value (tracked across adaptive
-            # chunks); at global lag 1 the guard is unreachable (|AC_1|>=0)
+            # chunks); at threshold 0 global lag 1 never crosses (|AC_1|>=0)
             a = np.where(i > 0, Rs[has, np.maximum(i - 1, 0)], prev_val[hit])
             g = k + i  # global crossing lag per hit row
             # reference chunk-boundary quirk: crossing at the first lag of
-            # a 100-lag chunk reads `a` from that chunk's LAST lag. Only
-            # L=100 rows can hit this (single-chunk rows have cap <= L),
-            # and an adaptive chunk (<=64 lags) contains at most one such
-            # boundary, so the boundary lag is shared by all bnd rows.
-            bnd = (g > 1) & ((g - 1) % L[hit] == 0)
+            # a 100-lag chunk reads `a` from that chunk's LAST lag (with a
+            # nonzero threshold this includes global lag 1). The boundary
+            # lag g - 1 + L differs per row when L < 100, so group by it.
+            bnd = (g - 1) % L[hit] == 0
             if bnd.any():
-                c = int(g[bnd][0] + 99)  # chunk end = g + L - 1, L == 100
-                br = hit[bnd]
                 a = a.copy()
-                a[bnd] = ((d[br, :W - c] * d[br, c:]).sum(axis=1)
-                          / denom[br]) * sign[br]
-            out[hit] = (g - 1) + (0.0 - a) / (b - a)
+                cs = (g + L[hit] - 1)[bnd]  # per-row chunk-end lag
+                br = hit[bnd]
+                av = np.empty(br.size)
+                for c in np.unique(cs):
+                    m = cs == c
+                    rr = br[m]
+                    av[m] = ((d[rr, :W - int(c)] * d[rr, int(c):])
+                             .sum(axis=1) / denom[rr]) * sign[rr]
+                a[bnd] = av
+            out[hit] = (g - 1) + (thr[hit] - a) / (b - a)
             rows = rows[~has]
             prev_val[rows] = Rs[~has, -1]
             rows = rows[cap[rows] > k1]  # exhausted all examined lags
@@ -501,28 +512,55 @@ def k_acf_timescale(ctx: WindowCtx) -> np.ndarray:
                                denom=ctx.get("acf_denom"))
 
 
-def k_firstcrossing(ctx: WindowCtx) -> np.ndarray:
-    """firstcrossing(x, 0): sign-corrected (by the first element) first
-    threshold crossing of the raw window with linear interpolation between
-    the bracketing samples (src/StatsBase.jl:29-42), vectorized. 1-based
-    position like the reference's array indexing; NaN when no crossing."""
-    Xn = ctx.get("xnan")
+def k_acf_timescale_at(threshold: float):
+    """firstcrossingacf(x, threshold) kernel factory — the reference's
+    threshold parameter (src/StatsBase.jl:44), sign-corrected by r1."""
+    def f(ctx: WindowCtx) -> np.ndarray:
+        return _first_crossing_acf(ctx.X, ctx.n,
+                                   d=ctx.get("demeaned"),
+                                   denom=ctx.get("acf_denom"),
+                                   threshold=float(threshold))
+    return f
+
+
+def _first_crossing(Xn: np.ndarray, threshold: float = 0.0) -> np.ndarray:
+    """firstcrossing(x, threshold) per row (src/StatsBase.jl:29-42):
+    sign-corrected (by the side of the first element) first threshold
+    crossing with linear interpolation between the bracketing samples.
+    1-based position like the reference's array indexing; position 1
+    outright when the first element EQUALS the threshold; NaN when the
+    series never crosses."""
     nw, W = Xn.shape
     out = np.full(nw, np.nan)
     with np.errstate(invalid="ignore", divide="ignore"):
-        sign = np.sign(Xn[:, 0])
-        Rs = Xn * sign[:, None]
-        below = Rs < 0.0  # NaN compares False
+        sign = np.sign(Xn[:, 0] - threshold)
+        below = (Xn - threshold) * sign[:, None] < 0.0  # NaN compares False
         has = below.any(axis=1)
         rows = np.nonzero(has)[0]
         i = below.argmax(axis=1)[rows]
-        b = Rs[rows, i]
-        a = np.where(i > 0, Rs[rows, np.maximum(i - 1, 0)], np.nan)
-        out[rows] = i + (0.0 - a) / (b - a)
+        # interpolate on the RAW values — the reference's exact float
+        # arithmetic ((threshold - a) / (b - a), src/StatsBase.jl:40-41);
+        # interpolating sign-corrected values differs in the last ULP
+        b = Xn[rows, i]
+        a = np.where(i > 0, Xn[rows, np.maximum(i - 1, 0)], np.nan)
+        out[rows] = i + (threshold - a) / (b - a)
     # first(r) == threshold -> 1 (reference src/StatsBase.jl:34: the
     # `elseif first(r) == threshold` branch returns position 1 outright)
-    out[Xn[:, 0] == 0.0] = 1.0
+    out[Xn[:, 0] == threshold] = 1.0
     return out
+
+
+def k_firstcrossing(ctx: WindowCtx) -> np.ndarray:
+    """firstcrossing(x, 0) of the raw window (src/StatsBase.jl:29-42)."""
+    return _first_crossing(ctx.get("xnan"))
+
+
+def k_firstcrossing_at(threshold: float):
+    """firstcrossing(x, threshold) kernel factory — the reference's
+    threshold parameter (src/StatsBase.jl:29)."""
+    def f(ctx: WindowCtx) -> np.ndarray:
+        return _first_crossing(ctx.get("xnan"), float(threshold))
+    return f
 
 
 def _z_finite(ctx: WindowCtx):

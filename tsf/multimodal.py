@@ -108,6 +108,16 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, META_SCHEMA)
 
 
+def _tiled_payload(blob: bytes, count: int) -> np.ndarray:
+    """First ``count`` values of the deterministic-fake decode: the
+    payload bytes tiled (an empty payload tiles a single zero byte)."""
+    payload = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size)
+    if payload.size == 0:
+        payload = np.zeros(1, dtype=np.uint8)
+    reps = -(-count // payload.size)
+    return np.tile(payload, reps)[:count]
+
+
 def decode_image(blob: bytes, max_pixels: int | None = None) -> np.ndarray:
     """Decode one image blob to (height, width, channels) uint8.
 
@@ -122,13 +132,9 @@ def decode_image(blob: bytes, max_pixels: int | None = None) -> np.ndarray:
     h, w, c = meta["height"], meta["width"], meta["channels"]
     if max_pixels is not None:
         h = max(1, min(h, max_pixels // max(w * c, 1)))
-    payload = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size)
     if _REAL_DECODE:  # pragma: no cover — explicit opt-in once a codec is wired
         raise NotImplementedError("real codec decode not wired in this sandbox")
-    if payload.size == 0:
-        payload = np.zeros(1, dtype=np.uint8)
-    reps = -(-h * w * c // payload.size)
-    return np.tile(payload, reps)[:h * w * c].reshape(h, w, c)
+    return _tiled_payload(blob, h * w * c).reshape(h, w, c)
 
 
 def decode_audio(blob: bytes) -> np.ndarray:
@@ -138,11 +144,7 @@ def decode_audio(blob: bytes) -> np.ndarray:
     if meta["media_type"] != "audio":
         raise ValueError("not an audio blob")
     n = meta["n_samples"]
-    payload = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size)
-    if payload.size == 0:
-        payload = np.zeros(1, dtype=np.uint8)
-    reps = -(-n // payload.size)
-    return (np.tile(payload, reps)[:n].astype(np.float32) - 128.0) / 128.0
+    return (_tiled_payload(blob, n).astype(np.float32) - 128.0) / 128.0
 
 
 def media_features(media: DataFrame, max_values: int = 65536) -> DataFrame:
@@ -152,7 +154,15 @@ def media_features(media: DataFrame, max_values: int = 65536) -> DataFrame:
     output schema. Stats are computed over a bounded prefix of at most
     ``max_values`` decoded values (real pipelines likewise featurize a
     resized thumbnail, not the megapixel original); ``n_values`` reports
-    the full logical size."""
+    the full logical size.
+
+    Mean/std come from EXACT integer sufficient statistics over the
+    decoded bytes (sum / sum-of-squares as int64, converted to double in
+    one fixed expression): integer sums are order-free and the float
+    formula is replayed verbatim by :func:`media_features_duckdb`, so the
+    driver value-checks this query bit-for-bit (a numpy two-pass
+    mean/std differs from the SQL formula in the last ULP, which flips
+    6-dp rounding)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -163,13 +173,20 @@ def media_features(media: DataFrame, max_values: int = 65536) -> DataFrame:
                 if mt == "image":
                     full = meta["height"] * meta["width"] * meta["channels"]
                     v = decode_image(blob, max_pixels=max_values) \
-                        .astype(np.float64).ravel()[:max_values]
+                        .ravel()[:max_values]
                 else:
                     full = meta["n_samples"]
-                    v = decode_audio(blob).astype(np.float64)[:max_values]
-                rows.append((d, mt, float(v.mean()),
-                             float(v.std(ddof=1)) if v.size > 1 else float("nan"),
-                             int(full)))
+                    v = _tiled_payload(blob, min(full, max_values))
+                m = int(v.size)
+                s = int(v.sum(dtype=np.int64))
+                ss = int((v.astype(np.int64) ** 2).sum())
+                mean = s / m
+                std = (np.sqrt(max((ss - s * s / m) / (m - 1), 0.0))
+                       if m > 1 else float("nan"))
+                if mt == "audio":  # bytes -> [-1, 1): affine, exact
+                    mean = (mean - 128.0) / 128.0
+                    std = std / 128.0
+                rows.append((d, mt, float(mean), float(std), int(full)))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type",
                                               "mean_val", "std_val", "n_values"])
     return media.mapInPandas(fn, FEATURE_SCHEMA)
@@ -194,6 +211,98 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
                     frames.append(img[fi].ravel().astype(np.int32))
             yield pd.DataFrame({"doc_id": ids, "frame_id": fids, "frame": frames})
     return media.mapInPandas(fn, "doc_id string, frame_id int, frame array<int>")
+
+
+#: shared oracle arithmetic for the deterministic-fake decode: payload =
+#: first 64 utf-8 bytes of text (ASCII fixture: byte i == ascii(char i)),
+#: values = payload tiled; prefix sums over the tiled sequence are
+#: closed-form ((x // p) * sum(pl) + sum of the first x % p payload
+#: bytes), so the oracle never materializes 65k values per row.
+_MEDIA_CTE = """
+    base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                    octet_length(encode(text)) AS bl
+             FROM documents),
+    pay AS (SELECT doc_id, bl,
+                   CASE WHEN least(bl, 64) = 0 THEN [0]
+                        ELSE list_transform(range(1, least(bl, 64) + 1),
+                                            i -> ascii(substring(text, i, 1)))
+                   END AS pl
+            FROM base),
+    p2 AS (SELECT doc_id, bl, pl, len(pl) AS p,
+                  list_sum(pl) AS tot,
+                  list_sum(list_transform(pl, v -> v * v)) AS tot2
+           FROM pay)
+"""
+
+
+def _ps(x: str, sq: bool = False) -> str:
+    """Prefix sum of the first ``x`` tiled values (or squares)."""
+    tot = "tot2" if sq else "tot"
+    vals = "list_transform(pl, v -> v * v)" if sq else "pl"
+    return (f"(({x}) // p) * {tot} "
+            f"+ coalesce(list_sum(({vals})[1:(({x}) % p)]), 0)")
+
+
+def media_features_duckdb(max_values: int = 65536) -> str:
+    """DuckDB replay of :func:`media_features` over the documents table:
+    identical header arithmetic (media_meta rules), identical value-count
+    capping, and the IDENTICAL double-precision formula over the same
+    integer sufficient statistics — value-checks the fake-decode feature
+    path end-to-end."""
+    mv = int(max_values)
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+    WITH {_MEDIA_CTE},
+    dims AS (SELECT doc_id, bl, pl, p, tot, tot2,
+                    CASE WHEN bl % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+                    (bl * 7 % 1024 + 1) * 3 AS wc,
+                    bl * 13 % 768 + 1 AS h,
+                    bl * 31 % 8000 + 1 AS ns
+             FROM p2),
+    m AS (SELECT doc_id, media_type, pl, p, tot, tot2,
+                 CASE WHEN media_type = 'image'
+                      THEN least(greatest(1, least(h, {mv} // wc)) * wc, {mv})
+                      ELSE least(ns, {mv}) END AS m,
+                 CASE WHEN media_type = 'image' THEN h * wc ELSE ns END AS fullv
+          FROM dims),
+    st AS (SELECT doc_id, media_type, m, fullv,
+                  {_ps('m')} AS s, {_ps('m', sq=True)} AS ss
+           FROM m),
+    ft AS (SELECT doc_id, media_type, fullv, m,
+                  CAST(s AS DOUBLE) / m AS mean_b,
+                  CASE WHEN m > 1 THEN sqrt(greatest(
+                       (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / m)
+                       / (m - 1), 0)) END AS std_b
+           FROM st)
+    SELECT doc_id, media_type,
+           {r6.format(x="CASE WHEN media_type = 'audio' "
+                        "THEN (mean_b - 128.0) / 128.0 ELSE mean_b END")} AS mean_val,
+           {r6.format(x="CASE WHEN media_type = 'audio' "
+                        "THEN std_b / 128.0 ELSE std_b END")} AS std_val,
+           CAST(fullv AS BIGINT) AS n_values
+    FROM ft
+    """
+
+
+def frame_sample_duckdb(every: int = 8) -> str:
+    """DuckDB replay of :func:`frame_sample` (+ the per-frame summary in
+    the driver query): every ``every``-th image row as a frame, with its
+    pixel count and exact integer pixel sum via tiled prefix sums."""
+    return f"""
+    WITH {_MEDIA_CTE},
+    img AS (SELECT doc_id, pl, p, tot,
+                   (bl * 7 % 1024 + 1) * 3 AS wc,
+                   bl * 13 % 768 + 1 AS h
+            FROM p2 WHERE bl % 2 = 0),
+    fr AS (SELECT doc_id, pl, p, tot, wc,
+                  unnest(range(0, h, {int(every)})) AS frame_id
+           FROM img)
+    SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+           CAST(wc AS INT) AS n_px,
+           CAST({_ps('frame_id * wc + wc')} - ({_ps('frame_id * wc')})
+                AS BIGINT) AS px_sum
+    FROM fr
+    """
 
 
 def media_meta_duckdb() -> str:
