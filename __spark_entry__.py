@@ -155,6 +155,24 @@ def q_series_features(spark, sf_dir):
                     F.round(_nn("ac_1"), 6).alias("ac_1"))
 
 
+def q_dim_stack(spark, sf_dir):
+    """DimStack-style multi-column map (reference src/FeatureSets.jl:99,
+    src/FeatureArrays.jl:238): one FeatureSet over TWO array columns in a
+    single Arrow pass, outputs name-prefixed per column. The second
+    column (first 100 tokens) makes the per-column values genuinely
+    distinct; the oracle replays both columns' whole-series stats."""
+    from tsf.rollup import dim_stack_features
+    seq = _seq(spark, sf_dir).where("n_tok >= 3")
+    d = seq.withColumn("head", F.expr("slice(tokens, 1, 100)"))
+    fs = catalogue()[["cnt", "mean", "std", "ac_1"]]
+    r = dim_stack_features(d, ["tokens", "head"], fs)
+    keep = ["doc_id"] + [
+        F.round(_nn(f"{c}_{n}"), 6).alias(f"{c}_{n}")
+        if n != "cnt" else F.col(f"{c}_{n}").cast("bigint").alias(f"{c}_{n}")
+        for c in ("tokens", "head") for n in fs.names]
+    return r.select(*keep)
+
+
 def q_acf_features(spark, sf_dir):
     """SQL-expressible UDF-kernel features, oracle-checked: higher-lag
     autocorrelations (lead() co-sums), regression PACF at lags 1-2
@@ -528,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_features": q_acf_features,
         "kernel_features": q_kernel_features,
         "firstcrossing": q_firstcrossing,
+        "dim_stack": q_dim_stack,
         "window_z": q_window_z,
         "events_hourly": q_events_hourly,
         "gapfill_locf": q_gapfill_locf,
@@ -566,6 +585,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------- oracles
 
 _SEQ = sequences_duckdb_cte()
+
+
+def _dim_stack_oracle() -> str:
+    """Whole-series cnt/mean/std/ac_1 per array column (tokens + its
+    first-100 prefix), replaying the series_features arithmetic once per
+    column with prefixed output names."""
+    def col_ctes(a: str, p: str) -> str:
+        return f"""
+        tok{p} AS (SELECT doc_id, CAST(unnest({a}) AS BIGINT) AS x,
+                          generate_subscripts({a}, 1) - 1 AS pos FROM f),
+        st{p} AS (SELECT doc_id, count(*) AS n, sum(x) AS s, sum(x*x) AS ss
+                  FROM tok{p} GROUP BY 1),
+        l{p} AS (SELECT t.doc_id,
+                        x - CAST(s AS DOUBLE) / n AS d,
+                        lead(x) OVER (PARTITION BY t.doc_id ORDER BY pos)
+                          - CAST(s AS DOUBLE) / n AS dn
+                 FROM tok{p} t JOIN st{p} USING (doc_id)),
+        num{p} AS (SELECT doc_id, sum(d * dn) AS sdn, sum(d * d) AS sdd
+                   FROM l{p} GROUP BY 1)"""
+
+    def col_sel(c: str, p: str) -> str:
+        return f"""
+               CAST(st{p}.n AS BIGINT) AS {c}_cnt,
+               round(CAST(st{p}.s AS DOUBLE) / st{p}.n, 6) AS {c}_mean,
+               CASE WHEN st{p}.n > 1 THEN round(sqrt(greatest(
+                    (CAST(st{p}.ss AS DOUBLE)
+                     - CAST(st{p}.s AS DOUBLE) * CAST(st{p}.s AS DOUBLE)
+                       / st{p}.n) / (st{p}.n - 1), 0)), 6)
+               END AS {c}_std,
+               round(num{p}.sdn / nullif(num{p}.sdd, 0), 6) AS {c}_ac_1"""
+
+    return f"""
+        WITH seq AS ({_SEQ}),
+        f AS (SELECT doc_id, tokens, tokens[1:100] AS head
+              FROM seq WHERE n_tok >= 3),
+        {col_ctes('tokens', 'a')},
+        {col_ctes('head', 'b')}
+        SELECT f.doc_id, {col_sel('tokens', 'a')}, {col_sel('head', 'b')}
+        FROM f
+        JOIN sta ON f.doc_id = sta.doc_id
+        JOIN numa ON f.doc_id = numa.doc_id
+        JOIN stb ON f.doc_id = stb.doc_id
+        JOIN numb ON f.doc_id = numb.doc_id
+    """
 
 _TOK20 = f"""
 seq AS ({_SEQ}),
@@ -724,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
                    round(num.sdn / nullif(num.sdd, 0), 6) AS ac_1
             FROM st JOIN num USING (doc_id)
         """,
+        "dim_stack": _dim_stack_oracle(),
         "acf_features": f"""
             WITH seq AS ({_SEQ}),
             f AS (SELECT * FROM seq WHERE n_tok >= 3 AND n_tok <= 1000),

@@ -36,6 +36,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("TSF_BENCH_DOCS", "6000"))
 MEAN_TOK = int(os.environ.get("TSF_BENCH_TOKENS", "10000"))
+#: replication factor for the scaled operator-suite pass (0 disables)
+OPS_SCALE = int(os.environ.get("TSF_BENCH_OPS_SCALE", "10"))
 
 
 def synth_sequences_jvm(spark, n_docs: int, mean_tok: int):
@@ -76,6 +78,82 @@ def materialize_corpus(spark) -> None:
      .repartition(4 * CPUS)
      .write.mode("overwrite").parquet(SCRATCH))
     marker.touch()
+
+
+def materialize_scaled_ops_fixture(spark) -> str:
+    """A one-notch-larger operator fixture: documents / embeddings /
+    events from $SPARK_GRAFT_SF_DIR replicated OPS_SCALE x with remapped
+    ids (each doc's replicas get one extra distinguishing word, so dedup
+    sees dense NEAR-duplicate groups instead of pure copies — the
+    realistic dup-heavy shape). sf-dir timings stay comparable
+    round-over-round; the scaled pass exposes plan scaling where
+    sub-second sf0.1 timings are noise."""
+    out = str(Path(__file__).resolve().parent / ".bench_scratch"
+              / f"ops_x{OPS_SCALE}")
+    marker = Path(out) / f"_gen_{OPS_SCALE}"
+    if marker.exists():
+        return out
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    k = OPS_SCALE
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (docs.crossJoin(reps)
+         .withColumn("doc_id", F.concat(F.col("doc_id").cast("string"),
+                                        F.lit("-r"), F.col("rep")))
+         .withColumn("text", F.concat(F.col("text"), F.lit(" rep"),
+                                      F.col("rep")))
+         .drop("rep")
+         .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    (emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") * k + F.col("rep"))
+        .drop("rep")
+        .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    (ev.crossJoin(reps)
+       .withColumn("user_id", F.col("user_id") * k + F.col("rep"))
+       .drop("rep")
+       .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+    marker.touch()
+    return out
+
+
+#: linear-plan queries worth re-timing on the scaled fixture (the
+#: pairwise/near-dup quadratics are excluded: within-group pair counts
+#: grow ~OPS_SCALE^2 by construction, which measures the fixture, not
+#: the plan — except the three dedup sketches, kept deliberately to
+#: watch the bucketed joins under dup-dense data)
+X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
+          "firstcrossing", "dim_stack", "window_z", "events_hourly",
+          "gapfill_linear", "dedup_exact", "dedup_minhash", "dedup_simhash",
+          "dedup_ngram_jaccard", "simhash_check", "text_quality",
+          "token_counts", "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+          "media_features", "frame_sample", "compression_roundtrip"]
+
+
+def ann_quality_extras(spark, extras: dict) -> None:
+    """Recall@10 vs exact cosine + scanned-candidate fraction for both
+    ANN families — regressions in sketch quality or probe pruning become
+    visible round-over-round instead of hiding behind green hashes."""
+    from tsf import similarity as S
+    import __spark_entry__ as em
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = em._query_vec(spark, SF_DIR)
+    total = emb.count()
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, qv, 10).collect()}
+    lsh = {r["vec_id"] for r in S.lsh_topk(emb, qv, 10).collect()}
+    ivf = {r["vec_id"] for r in S.ivf_topk(emb, qv, 10).collect()}
+    lsh_cand = S.lsh_candidates(emb, qv).count()
+    ivf_cand = S.ivf_candidates(emb, qv).count()
+    extras["ann_lsh_recall_at10"] = len(exact & lsh) / 10.0
+    extras["ann_ivf_recall_at10"] = len(exact & ivf) / 10.0
+    extras["ann_lsh_scan_frac"] = lsh_cand / total
+    extras["ann_ivf_scan_frac"] = ivf_cand / total
+    # the ANN paths must actually prune: a scan fraction at/near 1.0
+    # means the sketch degenerated into a full scan
+    assert extras["ann_lsh_scan_frac"] < 0.9, extras
+    assert extras["ann_ivf_scan_frac"] < 0.9, extras
 
 
 def main() -> None:
@@ -123,7 +201,8 @@ def main() -> None:
     # ---- operator queries on the driver's testdata ----
     qs = entrymod.queries()
     bench_qs = ["tier0_rollup", "tier1_rollup", "tier2_rollup", "retention_prune", "series_acf", "series_features", "acf_features",
-                "kernel_features", "firstcrossing", "events_hourly", "gapfill_locf",
+                "kernel_features", "firstcrossing", "dim_stack",
+                "events_hourly", "gapfill_locf",
                 "gapfill_linear", "tpch_q1", "topk_orders", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
@@ -152,6 +231,20 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = best
 
+    # ---- scaled operator pass (one rep each; separate dict so sf-dir
+    # per-query timings stay comparable round-over-round) ----
+    timings_x10: dict[str, float] = {}
+    if OPS_SCALE > 1:
+        xdir = materialize_scaled_ops_fixture(spark)
+        for name in X10_QS:
+            t0 = time.time()
+            with persist_scope():
+                qs[name](spark, xdir).count()
+            spark.catalog.clearCache()
+            timings_x10[name] = time.time() - t0
+
+    ann_quality_extras(spark, extras)
+
     total = sum(timings.values())
     out = {
         "metric": "tsf engine bench: tier0/1/2 rollup points/sec (synthetic "
@@ -159,6 +252,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries_x10": {k: round(v, 3) for k, v in timings_x10.items()},
         "sf": SF_DIR,
         "cpus": CPUS,
         # the suite TOTAL grows as operators are added round-over-round;

@@ -142,3 +142,30 @@ def test_series_features_whole_series_ragged(spark):
     for c in a.columns:
         assert np.array_equal(a[c].to_numpy(), b[c].to_numpy(),
                               equal_nan=(a[c].dtype.kind == "f")), c
+
+
+def test_dim_stack_matches_per_column_series_features(spark):
+    """DimStack-style multi-column map: each {col}_{feat} block is
+    bit-identical to series_features run on that column alone."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from tsf.registry import catalogue
+    from tsf.rollup import dim_stack_features, series_features
+
+    seq = synth_sequences(spark, 30, seed=11, longtail_max=4000) \
+        .where("n_tok >= 3")
+    d = seq.withColumn("head", F.expr("slice(tokens, 1, 50)"))
+    fs = catalogue()[["cnt", "mean", "std", "ac_1"]]
+    got = dim_stack_features(d, ["tokens", "head"], fs).toPandas() \
+        .set_index("doc_id").sort_index()
+    for col, src in [("tokens", seq),
+                     ("head", seq.withColumn(
+                         "tokens", F.expr("slice(tokens, 1, 50)"))
+                      .withColumn("n_tok", F.expr("size(tokens)")))]:
+        want = series_features(src, fs).toPandas() \
+            .set_index("doc_id").sort_index()
+        for n in fs.names:
+            a = got[f"{col}_{n}"].to_numpy()
+            b = want[n].to_numpy()
+            ok = (a == b) | (np.isnan(a) & np.isnan(b))
+            assert ok.all(), (col, n)

@@ -106,7 +106,10 @@ def write_rollup(df: DataFrame, path: str, mode: str = "overwrite",
       story's audit trail). Requires the session to be built with an
       Iceberg catalog (`spark.sql.catalog.<name>` + runtime jars on a real
       deployment; this sandbox has no jars, so the path is exercised only
-      as far as plan construction in tests).
+      as far as plan construction in tests — re-verified round 3: no
+      iceberg/delta jar among pyspark's 287 bundled jars, no ~/.ivy2 or
+      ~/.m2 offline cache, and no network to fetch one, so snapshot
+      commits / MERGE / time-travel stay untestable here by construction).
     """
     if table is not None:
         writer = df.writeTo(table).partitionedBy(

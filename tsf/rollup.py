@@ -316,6 +316,70 @@ def make_series_fn(features: FeatureSet, max_batch_cells: int):
     return fn
 
 
+def make_dim_stack_fn(features: FeatureSet, cols: tuple[str, ...],
+                      max_batch_cells: int):
+    names = features.names
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out: dict = {"doc_id": pdf["doc_id"].to_numpy(),
+                         "source": pdf["source"].to_numpy()}
+            for c in cols:
+                arrs = pdf[c].tolist()
+                lens = np.fromiter((len(a) for a in arrs),
+                                   dtype=np.int64, count=len(pdf))
+                # same per-doc pow-2 width discipline as series_features:
+                # values stay bit-identical under any partitioning
+                widths = np.maximum(1, 2 ** np.ceil(np.log2(
+                    np.maximum(lens, 1))).astype(np.int64))
+                res = {n: np.full(len(pdf), np.nan) for n in names}
+                live = np.nonzero(lens > 0)[0]
+                order = live[np.argsort(widths[live], kind="stable")]
+                for bw in np.unique(widths[live]):
+                    rows = order[widths[order] == bw]
+                    step = max(1, int(max_batch_cells // bw))
+                    for lo in range(0, len(rows), step):
+                        sel = rows[lo:lo + step]
+                        n = lens[sel]
+                        M = np.zeros((len(sel), int(bw)))
+                        for i, ri in enumerate(sel):
+                            M[i, :n[i]] = arrs[ri]
+                        vals = features.evaluate(M, n)
+                        for name, v in vals.items():
+                            res[name][sel] = v
+                for name in names:
+                    out[f"{c}_{name}"] = res[name]
+            yield pd.DataFrame(out)
+    return fn
+
+
+def dim_stack_features(df: DataFrame, value_cols: list[str],
+                       features: FeatureSet | None = None,
+                       max_batch_cells: int = 1 << 23) -> DataFrame:
+    """Apply ONE FeatureSet to SEVERAL array columns in a single call —
+    the reference's DimStack-style multi-variable map
+    (/root/reference/src/FeatureSets.jl:99, src/FeatureArrays.jl:238):
+    one output row per input row with ``{col}_{feature}``-prefixed
+    values for every (column, feature) pair.
+
+    One Arrow pass evaluates every column's matrix batch-vectorized — no
+    per-column scan, no join to re-align rows. Columns evaluate under
+    the same per-doc pow-2 width discipline as :func:`series_features`,
+    so each prefixed block is bit-identical to running series_features
+    on that column alone (pytest-pinned). A column whose array is empty
+    yields NaN for that row's block (Julia's minimum([]) error surface
+    maps to missing)."""
+    features = features or default_rollup_features()
+    cols = tuple(value_cols)
+    schema = ("doc_id string, source string, "
+              + ", ".join(f"{c}_{n} double"
+                          for c in cols for n in features.names))
+    return df.mapInPandas(
+        make_dim_stack_fn(features, cols, int(max_batch_cells)), schema)
+
+
 def series_features(seq: DataFrame,
                     features: FeatureSet | None = None,
                     max_batch_cells: int = 1 << 23,

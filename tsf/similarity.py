@@ -391,6 +391,20 @@ def ivf_cells(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     return emb.withColumn("cell", F.expr(_cell_expr(cents)).cast("int"))
 
 
+def ivf_candidates(emb: DataFrame, query: list[float],
+                   n_centroids: int = 16, nprobe: int = 4,
+                   cents: list[list[float]] | None = None) -> DataFrame:
+    """The probed IVF candidate subset (the query's ``nprobe`` closest
+    cells) — exposed so recall and scan-fraction are measurable."""
+    if cents is None:
+        cents = ivf_centroids(emb, n_centroids)
+    q = np.asarray(query, dtype=np.float64)
+    cs = np.asarray(cents, dtype=np.float64)
+    qs = (cs @ q) / (np.sqrt((cs * cs).sum(axis=1)) * np.sqrt(q @ q))
+    probes = [int(i) for i in np.argsort(-qs, kind="stable")[:nprobe]]
+    return ivf_cells(emb, cents).where(F.col("cell").isin(probes))
+
+
 def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
              cents: list[list[float]] | None = None) -> DataFrame:
@@ -399,13 +413,7 @@ def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
     recall rises with nprobe (nprobe = n_centroids degrades gracefully to
     exact search). At 100 TB: write the table bucketed/partitioned by
     `cell` so probing prunes files instead of filtering a full scan."""
-    if cents is None:
-        cents = ivf_centroids(emb, n_centroids)
-    q = np.asarray(query, dtype=np.float64)
-    cs = np.asarray(cents, dtype=np.float64)
-    qs = (cs @ q) / (np.sqrt((cs * cs).sum(axis=1)) * np.sqrt(q @ q))
-    probes = [int(i) for i in np.argsort(-qs, kind="stable")[:nprobe]]
-    cand = ivf_cells(emb, cents).where(F.col("cell").isin(probes))
+    cand = ivf_candidates(emb, query, n_centroids, nprobe, cents)
     return (cosine_scores(cand, query)
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
 
