@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import dedup, gapfill, multimodal, pairwise, similarity, textstats  # noqa: E402
+from tsf import dedup, gapfill, multimodal, pairwise, sampling, similarity, textstats  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
 from tsf.rollup import next_tier, tier0, tier0_vectors  # noqa: E402
@@ -328,6 +328,17 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup pairs -> connected components -> one keeper per group
+    (min-label propagation with pointer jumping). Edges are the EXACT
+    prefix-filtered jaccard pairs, so the DuckDB oracle's recursive-CTE
+    reachability closure over the naive all-pairs edges checks the
+    whole path: pair generation AND the distributed CC fixpoint."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    return dedup.duplicate_groups(docs, pairs)
+
+
 def q_minhash_check(spark, sf_dir):
     """Minhash signatures over SQL-replayable double-hashed LCG shingle
     hashes — value-checks the shingle->per-hash-min plumbing shared by the
@@ -340,6 +351,29 @@ def q_simhash_check(spark, sf_dir):
     hashes — value-checks shingling, bit majority, and sketch assembly
     end-to-end against the DuckDB oracle."""
     return dedup.simhash_check(_docs(spark, sf_dir))
+
+
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.3, "src3": 0.0}
+
+
+def q_mix_sample(spark, sf_dir):
+    """Deterministic per-source hash sampling for data mixing: the keep
+    decision is a pure LCG-fold function of doc_id, so the oracle replays
+    the exact sample membership (reproducible + nested across weights)."""
+    out = sampling.mix_sample(_docs(spark, sf_dir), MIX_WEIGHTS,
+                              default=0.25)
+    return out.select(F.col("doc_id").cast("string").alias("doc_id"),
+                      "source")
+
+
+def q_pack_examples(spark, sf_dir):
+    """GPT-style sequence-packing layout stats: docs concatenated in
+    deterministic (source, shard, doc_id) order, split at 512-token
+    example boundaries; per-example tokens/docs/first-doc. Whole plan is
+    JVM window cumsum + bounded explode + groupBy — replayed exactly in
+    SQL."""
+    return sampling.pack_examples(_seq(spark, sf_dir), example_len=512,
+                                  n_shards=4)
 
 
 def q_text_quality(spark, sf_dir):
@@ -557,8 +591,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_groups": q_dedup_groups,
         "simhash_check": q_simhash_check,
         "minhash_check": q_minhash_check,
+        "mix_sample": q_mix_sample,
+        "pack_examples": q_pack_examples,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -983,8 +1020,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_duckdb(0.3),
+        "dedup_groups": dedup.duplicate_groups_duckdb(0.3),
         "simhash_check": dedup.simhash_check_duckdb(),
         "minhash_check": dedup.minhash_check_duckdb(),
+        "mix_sample": sampling.mix_sample_duckdb(MIX_WEIGHTS, default=0.25),
+        "pack_examples": sampling.pack_examples_duckdb(
+            _SEQ, example_len=512, n_shards=4),
         "text_quality": textstats.text_stats_duckdb(),
         "langid": textstats.langid_duckdb(),
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),

@@ -127,7 +127,8 @@ def materialize_scaled_ops_fixture(spark) -> str:
 X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "firstcrossing", "dim_stack", "window_z", "events_hourly",
           "gapfill_linear", "dedup_exact", "dedup_minhash", "dedup_simhash",
-          "dedup_ngram_jaccard", "simhash_check", "text_quality",
+          "dedup_ngram_jaccard", "dedup_groups", "mix_sample",
+          "pack_examples", "simhash_check", "text_quality",
           "token_counts", "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
           "media_features", "frame_sample", "compression_roundtrip"]
 
@@ -205,6 +206,7 @@ def main() -> None:
                 "events_hourly", "gapfill_locf",
                 "gapfill_linear", "tpch_q1", "topk_orders", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+                "dedup_groups", "mix_sample", "pack_examples",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
                 "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
                 "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",

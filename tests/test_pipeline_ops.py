@@ -619,3 +619,40 @@ def test_persist_scope_releases_operator_caches(spark, sf001):
         dedup.ngram_jaccard_pairs(docs, threshold=0.2).count()
         dedup.simhash_near_dups(docs).count()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+
+
+def test_duplicate_groups_components(spark):
+    """Connected components over planted pair evidence: a triangle-free
+    CHAIN (pointer jumping must close it), a pair, and singletons."""
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}",) for i in range(12)], "doc_id string")
+    # chain d00-d01-...-d07 (diameter 7), pair d08-d09; d10, d11 alone
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i+1:02d}") for i in range(7)]
+        + [("d08", "d09")], "doc_a string, doc_b string")
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup.duplicate_groups(docs, pairs, max_iter=6).collect()}
+    assert all(got[f"d{i:02d}"] == "d00" for i in range(8))
+    assert got["d08"] == got["d09"] == "d08"
+    assert got["d10"] == "d10" and got["d11"] == "d11"
+    assert len(got) == 12
+
+
+def test_duplicate_groups_end_to_end_ngram(spark):
+    """Planted near-duplicate cluster flows pairs -> groups: the three
+    variants collapse onto one keeper; unrelated docs stay singleton."""
+    import random
+    rnd = random.Random(3)
+    words = [f"w{rnd.randrange(2000)}" for _ in range(50)]
+    base = " ".join(words)
+    v1 = words.copy(); v1[10] = "X"
+    v2 = words.copy(); v2[20] = "Y"; v2[30] = "Z"
+    far = " ".join(f"q{rnd.randrange(2000)}" for _ in range(50))
+    docs = spark.createDataFrame(
+        [("a", base), ("b", " ".join(v1)), ("c", " ".join(v2)), ("z", far)],
+        "doc_id string, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup.duplicate_groups(docs, pairs).collect()}
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["z"] == "z"

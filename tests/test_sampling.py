@@ -1,0 +1,91 @@
+"""Deterministic mixing + sequence-packing layout operators."""
+
+import numpy as np
+
+from tsf import sampling
+
+
+def _docs(spark, n=400):
+    rows = [(f"d{i:04d}", f"src{i % 4}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id string, source string")
+
+
+def test_mix_sample_deterministic_and_nested(spark):
+    docs = _docs(spark)
+    lo = {r["doc_id"] for r in
+          sampling.mix_sample(docs, {"src0": 0.3}, default=0.0).collect()}
+    lo2 = {r["doc_id"] for r in
+           sampling.mix_sample(docs, {"src0": 0.3}, default=0.0).collect()}
+    hi = {r["doc_id"] for r in
+          sampling.mix_sample(docs, {"src0": 0.6}, default=0.0).collect()}
+    assert lo == lo2                      # reproducible
+    assert lo <= hi                       # nested: raising weight only adds
+    assert all(d.endswith(("0", "4", "8"))  # src0 = i % 4 == 0
+               for d in lo) is False or True  # membership checked below
+    # all kept docs are src0 (default 0 drops everything else)
+    srcs = {r["source"] for r in
+            sampling.mix_sample(docs, {"src0": 0.3}, default=0.0).collect()}
+    assert srcs <= {"src0"}
+    # approximate rate on the 100-doc src0 stratum
+    assert 10 <= len(lo) <= 50 and 40 <= len(hi) <= 80
+
+
+def test_mix_sample_extremes(spark):
+    docs = _docs(spark, 100)
+    none = sampling.mix_sample(docs, {}, default=0.0).count()
+    allr = sampling.mix_sample(docs, {}, default=1.0).count()
+    assert none == 0 and allr == 100
+
+
+def test_pack_examples_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        rows.append((f"d{i:03d}", [], int(rng.integers(0, 300)),
+                     f"s{i % 2}"))
+    # empty doc: must contribute nothing
+    rows.append(("d900", [], 0, "s0"))
+    seq = spark.createDataFrame(
+        [(d, list(range(n)), n, s) for d, _, n, s in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    L = 128
+    got = sampling.pack_examples(seq, example_len=L, n_shards=1).toPandas()
+
+    # brute force: concat per source in doc_id order, split at L
+    import collections
+    want = collections.defaultdict(lambda: [0, 0, None])  # ntok, ndocs, first
+    for src in ("s0", "s1"):
+        off = 0
+        for d, _, n, s in sorted(rows):
+            if s != src or n == 0:
+                continue
+            for e in range(off // L, (off + n - 1) // L + 1):
+                k = (src, e)
+                lo, hi = max(off, e * L), min(off + n, (e + 1) * L)
+                want[k][0] += hi - lo
+                want[k][1] += 1
+                if want[k][2] is None:
+                    want[k][2] = d
+            off += n
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        w = want[(r["source"], r["example_id"])]
+        assert (r["n_tok"], r["n_docs"], r["first_doc"]) == tuple(w), r
+
+
+def test_pack_examples_sharded_full_examples(spark):
+    """Sharding preserves totals: every token lands in exactly one
+    example, and only each (source, shard) stream's LAST example may be
+    partial."""
+    seq = spark.createDataFrame(
+        [(f"d{i:03d}", list(range(i % 7 + 1)), i % 7 + 1, "s")
+         for i in range(80)],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    out = sampling.pack_examples(seq, example_len=16, n_shards=4).toPandas()
+    assert out["n_tok"].sum() == sum(i % 7 + 1 for i in range(80))
+    partial = out[out["n_tok"] < 16]
+    assert len(partial) <= out.groupby(["source", "shard"]).ngroups
+    # partial examples are each stream's last
+    for (_, sh), grp in out.groupby(["source", "shard"]):
+        g = grp.sort_values("example_id")
+        assert (g["n_tok"].iloc[:-1] == 16).all()

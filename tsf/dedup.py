@@ -401,6 +401,84 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
             .where(F.col("jaccard") >= threshold))
 
 
+def duplicate_groups(docs: DataFrame, pairs: DataFrame,
+                     max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: one row per
+    document with ``group_id`` = the lexicographically smallest doc_id in
+    its component (the canonical keeper; singletons are their own group).
+    This is the step that turns pairwise near-dup evidence into
+    actionable dedup decisions — keep one doc per group.
+
+    Algorithm: iterative min-label propagation with POINTER JUMPING
+    (label <- label of label) each round, so convergence is
+    O(log diameter) joins rather than O(diameter) — near-dup components
+    are usually near-cliques (1-2 rounds), but a chain of borderline
+    pairs cannot degrade it. All steps are equi-joins/groupBys keyed by
+    doc_id — no collect, no cross product; at 100 TB each round shuffles
+    one (doc_id, label) pair per vertex plus one message per edge.
+    Every label is itself a vertex id (min over a set containing the
+    vertex), so the pointer-jump join is total. The fixpoint test is one
+    count per round; ``localCheckpoint`` truncates the growing lineage so
+    round N's plan does not replay rounds 1..N-1."""
+    # ids are STRINGS end-to-end (labels too): mixed types would let
+    # Spark's union/join coercion silently flip min() from lexicographic
+    # to numeric and diverge from the VARCHAR oracle
+    e = pairs.select(F.col("doc_a").cast("string").alias("u"),
+                     F.col("doc_b").cast("string").alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = docs.select(F.col("doc_id").cast("string").alias("doc_id")) \
+        .withColumn("label", F.col("doc_id"))
+    for _ in range(max_iter):
+        # relax: each vertex takes the min of its own and neighbors' labels
+        msgs = (edges.join(labels.withColumnRenamed("doc_id", "u"), "u")
+                .select(F.col("v").alias("doc_id"), "label"))
+        new = (labels.unionByName(msgs)
+               .groupBy("doc_id").agg(F.min("label").alias("label")))
+        # pointer jump: label <- label's label (labels are vertex ids)
+        jump = new.select(F.col("doc_id").alias("label"),
+                          F.col("label").alias("label2"))
+        new = (new.join(jump, "label")
+               .select("doc_id", F.col("label2").alias("label"))
+               .localCheckpoint(eager=False))
+        changed = (new.withColumnRenamed("label", "new_label")
+                   .join(labels, "doc_id")
+                   .where(F.col("new_label") != F.col("label")).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("group_id"))
+
+
+def duplicate_groups_duckdb(threshold: float = 0.3, k: int = 3) -> str:
+    """DuckDB oracle: recursive-CTE reachability closure over the NAIVE
+    all-pairs jaccard edges (>= threshold), min reachable id per doc —
+    an independent definition of the same components."""
+    assert k == 3
+    w = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+    jac = ("len(list_intersect(a.ss, b.ss)) * 1.0 / nullif(len(a.ss) "
+           "+ len(b.ss) - len(list_intersect(a.ss, b.ss)), 0)")
+    return f"""
+    WITH RECURSIVE d0 AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                                 {w} AS ws FROM documents),
+    d AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(ws) - {k} + 1, 0) + 1),
+            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS ss FROM d0),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE round({jac}, 6) >= {threshold}),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM d0
+        UNION
+        SELECT e.v, reach.r FROM e JOIN reach ON reach.doc_id = e.u
+    )
+    SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id
+    """
+
+
 def ngram_jaccard_duckdb(threshold: float = 0.3, k: int = 3) -> str:
     """Naive ALL-PAIRS oracle — no prefix filter: equality with the engine
     proves the prefix filter is lossless on the fixture."""

@@ -21,6 +21,18 @@ Protocol
 Resume is therefore exact: kill the job anywhere; the next run redoes
 only un-committed buckets and the final table is bit-identical to a
 single-shot run (pytest enforces this).
+
+Layout compatibility: since round 2 the physical partition spec is
+``tier_p/batch_id/partition_id`` (batch_id = -1 for batch runs) and
+ledger rows carry ``batch_id``. A data/ledger path written by the round-1
+layout (``tier_p/partition_id``, no batch_id column) CANNOT be mixed with
+new writes — Spark's partition inference rejects the conflicting
+directory depths, and old ledger rows would read back NULL batch_id so
+streaming-mode ``load_done`` never matches them. Start new deployments on
+fresh paths; there is deliberately no in-place migration (rewriting a
+petabyte layout to move a directory level is the wrong tool — re-rolling
+from source through the ledger IS the migration, and the resume protocol
+makes it incremental).
 """
 
 from __future__ import annotations
@@ -65,7 +77,8 @@ def run_tier_with_ledger(spark: SparkSession,
                          data_path: str,
                          ledger_path: str,
                          checksum_cols: list[str] | None = None,
-                         batch_id: int | None = None) -> int:
+                         batch_id: int | None = None,
+                         checksum: bool = True) -> int:
     """Write `rollup_df` (must carry partition_id) bucket-by-bucket with
     ledger commits. Returns number of buckets processed this run.
 
@@ -83,6 +96,13 @@ def run_tier_with_ledger(spark: SparkSession,
     hash into already-written buckets APPEND new partitions instead of
     destroying earlier batches' data. Ledger rows are keyed by
     (tier, partition_id, batch_id).
+
+    ``checksum=False`` writes ledger rows with a NULL checksum: the
+    post-commit readback then scans only (partition_id, window_id, cnt)
+    — with parquet column pruning that is a small fraction of the output
+    bytes. At 100x, flip this off (or on a sampled schedule) when the
+    per-commit content hash costs more than the audit trail is worth;
+    watermark/rows/throughput lineage is kept either way.
     """
     t0 = time.time()
     csum_cols = checksum_cols or ["doc_id", "window_id", "cnt", "sum_tok", "mean"]
@@ -98,9 +118,11 @@ def run_tier_with_ledger(spark: SparkSession,
     # is actually on disk, not what we intended to write)
     written = (spark.read.parquet(data_path)
                .where((F.col("tier_p") == tier) & (F.col("batch_id") == bid)))
+    csum = (checksum_expr(csum_cols) if checksum
+            else F.lit(None).cast("string"))
     stats = (written.groupBy("partition_id")
              .agg(F.max("window_id").alias("watermark"),
-                  checksum_expr(csum_cols).alias("checksum"),
+                  csum.alias("checksum"),
                   F.count("*").alias("rows_out"),
                   F.sum("cnt").alias("points")))
     done = load_done(spark, ledger_path, tier, batch_id)

@@ -1,0 +1,137 @@
+"""Deterministic corpus mixing + sequence-packing layout operators.
+
+Two ops every large-scale training-data pipeline runs between "corpus"
+and "batches", both pure JVM plans (no UDF, no collect) with exact DuckDB
+replays:
+
+- :func:`mix_sample` — per-source deterministic hash sampling for data
+  mixing ("web at 30%, code at 100%, books at 50%"). The keep decision is
+  a pure function of doc_id (a 32-bit LCG fold, the engine's established
+  SQL-replayable hash family from :mod:`tsf.dedup`), so the sample is
+  reproducible across runs, engines, and cluster sizes — rerunning a
+  10% mix yields the SAME documents, and raising a weight only ADDS docs
+  (nested samples: the keep set at w1 < w2 is a subset of the w2 set).
+  One scan, filter pushes to the parquet read, no shuffle.
+
+- :func:`pack_examples` — GPT-style sequence packing layout: concatenate
+  each (source, shard) stream's docs in doc_id order and split at fixed
+  ``example_len`` boundaries; report per-example stats (tokens filled,
+  docs spanned, first doc). The packing ORDER is deterministic, so the
+  layout is reproducible and resumable. Scale shape: the cumulative
+  offset is a window cumsum within (source, shard) — sharding (an LCG
+  hash of doc_id) bounds each sort partition, so parallelism is
+  n_sources x n_shards, not 1; the doc -> example fan-out is a bounded
+  sequence() explode (a doc spans ceil(n_tok / L) + 1 examples at most).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from tsf.dedup import _LCG, _lcg_fold_spark
+
+_M32 = 4294967296  # 2^32
+
+
+def _hash01_spark(col: str) -> str:
+    """Deterministic [0, 1) hash of a string column (LCG fold #1)."""
+    s, m, a = _LCG[0]
+    return f"({_lcg_fold_spark(col, s, m, a)} / {float(_M32)})"
+
+
+def _hash01_duckdb(col: str) -> str:
+    s, m, a = _LCG[0]
+    return (f"(CAST(list_reduce(list_concat([CAST({s} AS HUGEINT)], "
+            f"list_transform(range(1, length({col}) + 1), "
+            f"i -> CAST(ascii(substring({col}, i, 1)) AS HUGEINT))), "
+            f"(h, c) -> (h * {m} + c + {a}) % {_M32}) AS DOUBLE) / {float(_M32)})")
+
+
+def mix_sample(docs: DataFrame, weights: dict[str, float],
+               default: float = 0.0) -> DataFrame:
+    """Keep each doc iff hash01(doc_id) < weight(source). Sources absent
+    from ``weights`` use ``default``. Weight 1.0 keeps everything,
+    0.0 nothing; nested: the kept set grows monotonically with weight."""
+    w = F.lit(float(default))
+    for src, frac in sorted(weights.items()):
+        w = F.when(F.col("source") == src, F.lit(float(frac))).otherwise(w)
+    d = docs.withColumn("_k", F.col("doc_id").cast("string"))
+    return (d.where(F.expr(_hash01_spark("_k")) < w).drop("_k"))
+
+
+def mix_sample_duckdb(weights: dict[str, float], default: float = 0.0,
+                      select: str = "CAST(doc_id AS VARCHAR) AS doc_id, "
+                                    "source") -> str:
+    cases = " ".join(f"WHEN source = '{s}' THEN {float(f)}"
+                     for s, f in sorted(weights.items()))
+    return f"""
+    SELECT {select} FROM documents
+    WHERE {_hash01_duckdb("CAST(doc_id AS VARCHAR)")}
+          < (CASE {cases} ELSE {float(default)} END)
+    """
+
+
+def pack_examples(seq: DataFrame, example_len: int = 2048,
+                  n_shards: int = 1) -> DataFrame:
+    """Per-example packing stats for the deterministic greedy-concat
+    layout: (source, shard, example_id, n_tok, n_docs, first_doc).
+
+    Docs concatenate in doc_id order within (source, shard); example e
+    covers token offsets [e*L, (e+1)*L). n_tok < L only on each stream's
+    final example. Empty docs never contribute an example row (they span
+    zero tokens)."""
+    L = int(example_len)
+    d = seq.select("doc_id", "source", F.col("n_tok").cast("long").alias("n"))
+    if n_shards > 1:
+        d = d.withColumn("shard", (F.expr(_hash01_spark("doc_id"))
+                                   * n_shards).cast("int"))
+    else:
+        d = d.withColumn("shard", F.lit(0))
+    w = Window.partitionBy("source", "shard").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (d.where(F.col("n") > 0)
+         .withColumn("end_off", F.sum("n").over(w))
+         .withColumn("start_off", F.col("end_off") - F.col("n")))
+    # every example this doc overlaps: floor(start/L) .. floor((end-1)/L)
+    d = d.withColumn("example_id", F.explode(F.expr(
+        f"sequence(start_off div {L}, (end_off - 1) div {L})")))
+    lo = F.greatest(F.col("start_off"), F.col("example_id") * L)
+    hi = F.least(F.col("end_off"), (F.col("example_id") + 1) * L)
+    return (d.withColumn("tok_in_ex", hi - lo)
+            .groupBy("source", "shard", "example_id")
+            .agg(F.sum("tok_in_ex").alias("n_tok"),
+                 F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+def pack_examples_duckdb(seq_cte: str, example_len: int = 2048,
+                         n_shards: int = 1) -> str:
+    """DuckDB replay of :func:`pack_examples` over the tokenized
+    sequences CTE (identical ordering, cumsum, and overlap arithmetic)."""
+    L = int(example_len)
+    # floor() explicitly: DuckDB's double->INT cast ROUNDS where Spark's
+    # cast truncates
+    shard = (f"CAST(floor({_hash01_duckdb('doc_id')} * {n_shards}) AS INT)"
+             if n_shards > 1 else "0")
+    return f"""
+    WITH seq AS ({seq_cte}),
+    d0 AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n,
+                  {shard} AS shard
+           FROM seq WHERE n_tok > 0),
+    d AS (SELECT *, CAST(sum(n) OVER (PARTITION BY source, shard
+                                      ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS end_off
+          FROM d0),
+    e AS (SELECT doc_id, source, shard, end_off, end_off - n AS start_off,
+                 unnest(generate_series((end_off - n) // {L},
+                                        (end_off - 1) // {L})) AS example_id
+          FROM d)
+    SELECT source, CAST(shard AS INT) AS shard,
+           CAST(example_id AS BIGINT) AS example_id,
+           CAST(sum(least(end_off, (example_id + 1) * {L})
+                    - greatest(start_off, example_id * {L})) AS BIGINT)
+               AS n_tok,
+           count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM e GROUP BY 1, 2, 3
+    """
