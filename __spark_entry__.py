@@ -2,13 +2,15 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 39 queries, 31 value-hash-checked against `oracle_sql()`
+pipeline ops): 46 queries, 40 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
-full LCG simhash/minhash sketch arithmetic, LSH bucket membership, the
-tier-2 cascade, and retention pruning); the 8 rows-only queries cover
-surfaces with no SQL equivalent (Hilbert transform, xxhash64 sketches,
-the documented fake media decode) and are bit-exactness-tested in pytest
-instead.
+threshold firstcrossings, full LCG simhash/minhash sketch arithmetic,
+LSH/IVF probe membership incl. the partition-pruned indexed scans,
+recursive-CTE duplicate groups, deterministic mix sampling, sequence
+packing, tiled-prefix-sum media decode, the tier-2 cascade, and
+retention pruning); the 6 rows-only queries cover surfaces with no SQL
+equivalent (Hilbert transform, KSG kNN, xxhash64 sketches) and are
+bit-exactness-tested in pytest instead.
 
 Column-name / rounding discipline: every float column is rounded to 6
 decimals (4 for large money sums) on BOTH sides, NaN is mapped to NULL,

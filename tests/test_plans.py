@@ -84,3 +84,57 @@ def test_cosine_topk_uses_take_ordered(spark, sf001):
     p = _plan(similarity.cosine_topk(emb, q, 10))
     assert "TakeOrderedAndProject" in p, p
     assert "Sort " not in p.replace("TakeOrderedAndProject", ""), p
+
+
+def test_mix_sample_is_a_pushed_scan_filter(spark, sf001):
+    """Deterministic mix sampling = scan + one JVM filter: no Exchange,
+    no Python, no join — the cheapest possible pass at 100 TB."""
+    from tsf import sampling
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    out = sampling.mix_sample(docs, {"src0": 0.5}, default=0.1)
+    p = _plan(out)
+    assert "Exchange" not in p, p
+    assert "Join" not in p and "InPandas" not in p, p
+
+
+def test_dim_stack_is_single_pass_no_shuffle(spark, sf001):
+    """Multi-column DimStack map: ONE mapInPandas over the scan — no
+    Exchange, no per-column re-scan (exactly one FileScan)."""
+    from pyspark.sql import functions as F
+    from tsf.rollup import dim_stack_features
+    seq = sequences_from_documents(spark, sf001).where("n_tok >= 3")
+    d = seq.withColumn("head", F.expr("slice(tokens, 1, 50)"))
+    out = dim_stack_features(d, ["tokens", "head"],
+                             catalogue()[["cnt", "mean"]])
+    p = _plan(out)
+    assert "Exchange" not in p, p
+    assert p.count("FileScan") == 1, p
+
+
+def test_pack_examples_single_width_shuffle(spark, sf001):
+    """Sequence packing: the only wide operations are keyed by
+    (source, shard[, example_id]) — no token/text column ever crosses an
+    Exchange (the cumsum and the final aggregate move offsets, not
+    payloads)."""
+    from tsf import sampling
+    seq = sequences_from_documents(spark, sf001)
+    out = sampling.pack_examples(seq, example_len=512, n_shards=4)
+    p = _plan(out)
+    ex = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert ex, "expected the window/groupBy shuffles"
+    assert all("tokens" not in ln and "text" not in ln for ln in ex), ex
+
+
+def test_duplicate_groups_no_cartesian(spark):
+    """CC propagation: every round is an equi-join — no
+    CartesianProduct / BroadcastNestedLoopJoin in the fixpoint plan."""
+    from tsf import dedup
+    docs = spark.createDataFrame([(f"d{i}",) for i in range(30)],
+                                 "doc_id string")
+    pairs = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}") for i in range(0, 28, 2)],
+        "doc_a string, doc_b string")
+    out = dedup.duplicate_groups(docs, pairs, max_iter=4)
+    p = _plan(out)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
