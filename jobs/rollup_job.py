@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> None:
                         " would expire windows with no coarser-tier coverage"
                         " (see tsf/retention.py), --force-retain overrides")
     p.add_argument("--force-retain", action="store_true")
+    p.add_argument("--no-checksum", action="store_true",
+                   help="skip the per-bucket content checksum in ledger "
+                        "rows (the readback then scans 3 columns; "
+                        "watermark/rows/throughput lineage kept)")
     args = p.parse_args(argv)
     retain_policy = None
     if args.retain:
@@ -82,7 +86,8 @@ def main(argv: list[str] | None = None) -> None:
                   .withColumn("partition_id",
                               F.pmod(F.xxhash64("doc_id"),
                                      F.lit(args.buckets)).cast("int")))
-        n = L.run_tier_with_ledger(spark, rolled, 0, args.output, args.ledger)
+        n = L.run_tier_with_ledger(spark, rolled, 0, args.output, args.ledger,
+                                   checksum=not args.no_checksum)
         print(f"tier 0: committed {n} buckets")
 
     prev = (spark.read.parquet(args.output)
@@ -95,7 +100,8 @@ def main(argv: list[str] | None = None) -> None:
         done = L.load_done(spark, args.ledger, t)
         if done is not None:
             nxt = nxt.join(F.broadcast(done), "partition_id", "left_anti")
-        n = L.run_tier_with_ledger(spark, nxt, t, args.output, args.ledger)
+        n = L.run_tier_with_ledger(spark, nxt, t, args.output, args.ledger,
+                                   checksum=not args.no_checksum)
         print(f"tier {t}: committed {n} buckets")
         prev = (spark.read.parquet(args.output)
                 .where(F.col("tier_p") == t).drop("tier_p", "partition_id"))

@@ -252,3 +252,36 @@ def test_stateful_out_of_order_chunks_buffered_not_dropped(spark, tmp_path):
     assert list(got["window_id"]) == [0, 1, 2]
     want = [sum(toks[i * W:(i + 1) * W]) for i in range(3)]
     assert [int(x) for x in got["sum_tok"]] == want
+
+
+def test_stream_exact_dedup_first_wins_across_batches(spark, tmp_path):
+    """Streaming exact dedup: each distinct text emits exactly one keeper
+    row, on its FIRST arrival; later copies (same or later batches) are
+    silent; keeper = min doc_id within the first-arrival batch."""
+    schema = "doc_id string, text string"
+    d = str(tmp_path / "docs")
+    out_dir, ckpt = str(tmp_path / "dd_out"), str(tmp_path / "dd_ck")
+
+    b1 = [("d3", "alpha beta"), ("d1", "alpha beta"), ("d5", "gamma")]
+    b2 = [("d0", "alpha beta"), ("d2", "delta"), ("d9", "gamma")]
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (streaming.stream_exact_dedup(stream)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(d)
+    drain()
+    got1 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got1["keep_doc_id"]) == ["d1", "d5"]
+
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(d)
+    drain()
+    got2 = spark.read.parquet(out_dir).toPandas()
+    # only the genuinely-new text emits; d0's "alpha beta" copy is silent
+    # (first-wins: the keeper emitted in batch 1 stands)
+    assert sorted(got2["keep_doc_id"]) == ["d1", "d2", "d5"]
+    assert not got2.duplicated("content_hash").any()

@@ -122,6 +122,55 @@ def stream_source_counts(events: DataFrame, watermark: str = "10 minutes",
                     "event_type", "cnt", "sum_value"))
 
 
+# ------------------------------------------------------- streaming dedup
+
+#: per-content-hash state: how many copies have been consumed so far
+DEDUP_STATE_SCHEMA = "seen bigint"
+
+
+def make_stream_dedup_fn():
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        (content_hash,) = key
+        seen = state.get[0] if state.exists else 0
+        first_doc, n_batch = None, 0
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            n_batch += len(pdf)
+            m = pdf["doc_id"].astype(str).min()
+            first_doc = m if first_doc is None else min(first_doc, m)
+        state.update((seen + n_batch,))
+        if seen == 0 and first_doc is not None:
+            yield pd.DataFrame({"content_hash": [content_hash],
+                                "keep_doc_id": [first_doc]})
+    return fn
+
+
+def stream_exact_dedup(docs_stream: DataFrame) -> DataFrame:
+    """Streaming exact deduplication: one (content_hash, keep_doc_id) row
+    the FIRST time each distinct text is seen — across micro-batches —
+    via per-hash GroupState. Copies arriving in later batches emit
+    nothing (their state row already exists); the keeper is the smallest
+    doc_id within the batch that first carried the text (the earliest
+    arrival, matching streaming first-wins semantics — a later batch
+    cannot retroactively change an already-emitted keeper).
+
+    Scale shape: state is ONE small row per distinct content hash — the
+    floor for any streaming exact dedup — and the shuffle key is the
+    64-bit hash, never the text."""
+    d = docs_stream.withColumn("content_hash", F.xxhash64("text"))
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return (d.groupBy("content_hash")
+            .applyInPandasWithState(
+                make_stream_dedup_fn(),
+                outputStructType="content_hash bigint, keep_doc_id string",
+                stateStructType=DEDUP_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 # ------------------------------------------------------- stateful assembly
 
 CHUNK_SCHEMA = ("doc_id string, source string, chunk_off bigint, "
