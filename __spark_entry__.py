@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 46 queries, 40 value-hash-checked against `oracle_sql()`
+pipeline ops): 47 queries, 41 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 threshold firstcrossings, full LCG simhash/minhash sketch arithmetic,
 LSH/IVF probe membership incl. the partition-pruned indexed scans,
@@ -440,6 +440,16 @@ def _query_vec(spark, sf_dir) -> list[float]:
     return [float(x) for x in row[0]]
 
 
+def q_pairwise_super_check(spark, sf_dir):
+    """Exact-integer twin of the SuperPairwise spine (same super pass +
+    self-equi-join as pairwise_featureset, exact sufficient statistics
+    instead of float leaves) — hash-checks the window extraction,
+    full-window filter, and pair alignment that the non-SQL Hilbert/KSG
+    leaves ride on."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 64")
+    return pairwise.pairwise_super_check(seq, window=64)
+
+
 def q_cosine_threshold(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_threshold(emb, _query_vec(spark, sf_dir), 0.15)
@@ -606,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_phase_sync": q_pairwise_phase_sync,
         "pairwise_mi": q_pairwise_mi,
         "pairwise_featureset": q_pairwise_featureset,
+        "pairwise_super_check": q_pairwise_super_check,
         "cosine_threshold": q_cosine_threshold,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1060,6 +1071,8 @@ def oracle_sql() -> dict[str, str]:
                          / 100.0, 6) AS cov
             FROM g
         """,
+        "pairwise_super_check": pairwise.pairwise_super_check_duckdb(
+            _SEQ, window=64),
         "cosine_threshold": """
             WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                        FROM embeddings WHERE vec_id = 0),

@@ -241,7 +241,7 @@ def main() -> None:
                 "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",
                 "pairwise_pearson",
                 "series_pairwise_pearson", "pairwise_phase_sync",
-                "pairwise_mi", "pairwise_featureset",
+                "pairwise_mi", "pairwise_featureset", "pairwise_super_check",
                 "token_counts", "media_meta", "media_features",
                 "frame_sample", "compression_roundtrip"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x

@@ -309,3 +309,63 @@ def pairwise_features(seq: DataFrame,
             .agg(F.count("*").alias("n_windows"),
                  *[F.round(F.avg(f), 6).alias(f) for f in feat_names])
             .where(F.col("n_windows") >= min_windows))
+
+
+def pairwise_super_check(seq: DataFrame, window: int = 64) -> DataFrame:
+    """SQL-replayable twin of the SuperPairwise spine: the SAME super
+    pass (:func:`make_super_fn`) and the SAME self-equi-join as
+    :func:`pairwise_features`, but reporting EXACT integer sufficient
+    statistics per pair (aligned-window count; sums over aligned windows
+    of the cross dot product and each side's window sums) instead of
+    float leaf averages. Token sums/products stay below 2^53, so every
+    value is exact and order-free — a DuckDB oracle replays the chunked
+    window extraction, the full-window filter, and the join alignment
+    bit-for-bit. The Hilbert/KSG leaves (not SQL-expressible) share this
+    exact spine, so a green hash here pins the plumbing under them."""
+    W = int(window)
+    chunked = chunk_sequences(seq.where(F.col("n_tok") >= W), W,
+                              DEFAULT_CHUNK_WINDOWS)
+    schema = ("doc_id string, source string, window_id bigint, "
+              "t array<double>, sm double, sq double")
+    sw = scoped_persist(chunked.mapInPandas(
+        make_super_fn(W, need_phase=False, need_toks=True), schema))
+    a, b = sw.alias("a"), sw.alias("b")
+    joined = a.join(b, (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.window_id") == F.col("b.window_id"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+    dab = F.expr(_dot("a.t", "b.t"))
+    return (joined.groupBy(F.col("a.source").alias("source"),
+                           F.col("a.doc_id").alias("doc_a"),
+                           F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_windows"),
+                 F.sum(dab).cast("bigint").alias("s_dab"),
+                 F.sum("a.sm").cast("bigint").alias("s_a"),
+                 F.sum("b.sm").cast("bigint").alias("s_b"),
+                 F.sum("a.sq").cast("bigint").alias("s_qa"),
+                 F.sum("b.sq").cast("bigint").alias("s_qb")))
+
+
+def pairwise_super_check_duckdb(seq_cte: str, window: int = 64) -> str:
+    """DuckDB replay of :func:`pairwise_super_check`."""
+    W = int(window)
+    return f"""
+    WITH seq AS ({seq_cte}),
+    f AS (SELECT * FROM seq WHERE n_tok >= {W}),
+    tok AS (SELECT doc_id, source, CAST(unnest(tokens) AS BIGINT) AS x,
+                   generate_subscripts(tokens, 1) - 1 AS pos FROM f),
+    w AS (SELECT doc_id, source, pos // {W} AS window_id,
+                 count(*) AS n, sum(x) AS sm, sum(x * x) AS sq,
+                 list(x ORDER BY pos) AS t
+          FROM tok GROUP BY 1, 2, 3 HAVING count(*) = {W})
+    SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_windows,
+           CAST(sum(list_dot_product(a.t, b.t)) AS BIGINT) AS s_dab,
+           CAST(sum(a.sm) AS BIGINT) AS s_a,
+           CAST(sum(b.sm) AS BIGINT) AS s_b,
+           CAST(sum(a.sq) AS BIGINT) AS s_qa,
+           CAST(sum(b.sq) AS BIGINT) AS s_qb
+    FROM w a JOIN w b ON a.source = b.source
+                     AND a.window_id = b.window_id
+                     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3
+    """
