@@ -169,3 +169,40 @@ def test_dim_stack_matches_per_column_series_features(spark):
             b = want[n].to_numpy()
             ok = (a == b) | (np.isnan(a) & np.isnan(b))
             assert ok.all(), (col, n)
+
+
+def test_tier0_survives_dirty_rows_and_extreme_longtail(spark):
+    """Production-shaped dirt: a NULL tokens array degrades to an empty
+    doc (no crash, no row), a stale n_tok neither drops nor fabricates
+    windows (chunking trusts size(tokens)), and a 2M-token long-tail doc
+    streams through the chunked kernel without one hot batch."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from tsf.registry import catalogue
+
+    fs = catalogue()[["cnt", "sum_tok", "mean"]]
+    big = np.arange(2_000_000, dtype=np.int64) % 1000
+    rows = [
+        ("ok", list(range(250)), 250, "s"),
+        ("nulltok", None, 10, "s"),
+        ("stale_small", list(range(300)), 5, "s"),    # n_tok lies low
+        ("stale_big", list(range(40)), 99999, "s"),   # n_tok lies high
+        ("long", [int(x) for x in big], 2_000_000, "s"),
+    ]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    out = tier0(seq, fs, window=100, blocks=False).toPandas()
+    got = out.groupby("doc_id").agg(n=("window_id", "count"),
+                                    cnt=("cnt", "sum"))
+    assert "nulltok" not in got.index              # degraded, not crashed
+    assert got.loc["ok", "n"] == 3                 # 250 -> 2 full + 1 partial
+    assert got.loc["stale_small", "n"] == 3        # all 300 tokens windowed
+    assert got.loc["stale_big", "n"] == 1          # only the real 40
+    assert got.loc["stale_big", "cnt"] == 40
+    assert got.loc["long", "n"] == 20_000
+    assert got.loc["long", "cnt"] == 2_000_000
+    # window values of the long doc are correct at both ends
+    w = out[out["doc_id"] == "long"].sort_values("window_id")
+    assert int(w["sum_tok"].iloc[0]) == sum(range(100))
+    last = [int(x) for x in big[-100:]]
+    assert int(w["sum_tok"].iloc[-1]) == sum(last)

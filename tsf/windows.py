@@ -31,15 +31,25 @@ def chunk_sequences(df: DataFrame, window: int = DEFAULT_WINDOW,
     Docs shorter than one chunk pass through with chunk_id=0 (the common
     case: ``sequence(0,0)`` explodes to a single row, no data copied by
     ``slice`` beyond the array's true length).
+
+    Dirty-row robustness (a 100-TB table always has some): a NULL tokens
+    array degrades to an empty doc (zero windows) instead of crashing the
+    Arrow kernel, and the chunk count derives from ``size(tokens)`` — the
+    array itself — not the ``n_tok`` column, so a stale/corrupt n_tok can
+    neither silently drop a tail chunk nor fabricate empty ones
+    (``_assemble_windows`` already measures true lengths for the same
+    reason).
     """
     chunk = window * chunk_windows
-    n_chunks = F.greatest(F.lit(1), F.ceil(F.col("n_tok") / F.lit(chunk)))
+    toks = F.coalesce(F.col("tokens"), F.expr("array()"))
+    n_chunks = F.greatest(F.lit(1), F.ceil(F.size(toks) / F.lit(chunk)))
     return (
-        df.withColumn("chunk_id",
-                      F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))))
+        df.withColumn("_toks", toks)
+        .withColumn("chunk_id",
+                    F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))))
         .withColumn("chunk_off", (F.col("chunk_id").cast("long") * chunk))
         .withColumn("chunk_toks",
-                    F.slice(F.col("tokens"), F.col("chunk_id") * chunk + 1, chunk))
+                    F.slice(F.col("_toks"), F.col("chunk_id") * chunk + 1, chunk))
         .select("doc_id", "source", "chunk_id", "chunk_off", "chunk_toks")
     )
 
