@@ -206,11 +206,19 @@ def compress_float_rows(M: np.ndarray, counts: np.ndarray) -> list[bytes]:
             continue
         trail = (orall & -orall).bit_length() - 1
         width = orall.bit_length() - trail
-        shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
-        bits = (((xored >> np.uint64(trail))[:, :, None] >> shifts[None, None, :])
-                & np.uint64(1)).astype(np.uint8)
-        bits = bits.reshape(len(rows), (c - 1) * width)
-        packed = np.packbits(bits, axis=1)  # pads each row to a byte boundary
+        # byte-aligned width (round up to whole bytes): for width = 8k the
+        # bit-packed wire format is EXACTLY each value's big-endian low k
+        # bytes, so packing becomes a direct byte view — no per-bit
+        # expansion (the old (rows, c-1, width)-uint8 blow-up streamed
+        # ~70 bytes of DRAM per stored byte and dominated the tier-0
+        # block-encode stage). Costs <= 7 bits/value of ratio, in line
+        # with the documented per-block-window deviation; decoders are
+        # unchanged (width stays a plain bit count on the wire).
+        wb = -(-width // 8)
+        width = wb * 8
+        vals = (xored >> np.uint64(trail)).astype(">u8")
+        payload = vals.view(np.uint8).reshape(len(rows), c - 1, 8)[:, :, 8 - wb:]
+        packed = np.ascontiguousarray(payload).reshape(len(rows), (c - 1) * wb)
         tw = struct.pack("<BB", trail, width)
         for i, r in enumerate(rows):
             out[r] = (struct.pack("<BIQ", _MAGIC_FLOAT, c, int(U[i, 0]))
@@ -256,10 +264,20 @@ def decompress_float_rows(blocks: list[bytes]) -> list[np.ndarray]:
             payload = np.frombuffer(
                 b"".join(blocks[i][15:15 + nbytes] for i in idx),
                 dtype=np.uint8).reshape(len(idx), nbytes)
-            bits = np.unpackbits(payload, axis=1)[:, :(n - 1) * width]
-            arr = bits.reshape(len(idx), n - 1, width).astype(np.uint64)
-            shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
-            xored = (arr << shifts[None, None, :]).sum(axis=2, dtype=np.uint64)
+            if width % 8 == 0:
+                # byte-aligned blocks (compress_float_rows): values are
+                # whole big-endian bytes — assemble without per-bit work
+                wb = width // 8
+                by = payload.reshape(len(idx), n - 1, wb)
+                xored = np.zeros((len(idx), n - 1), dtype=np.uint64)
+                for k in range(wb):
+                    xored = (xored << np.uint64(8)) | by[:, :, k]
+            else:
+                bits = np.unpackbits(payload, axis=1)[:, :(n - 1) * width]
+                arr = bits.reshape(len(idx), n - 1, width).astype(np.uint64)
+                shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+                xored = (arr << shifts[None, None, :]).sum(axis=2,
+                                                           dtype=np.uint64)
             xored <<= np.uint64(trail)
             np.bitwise_xor.accumulate(xored, axis=1, out=xored)
             u[:, 1:] = u[:, :1] ^ xored
