@@ -218,11 +218,21 @@ def compress_float_rows(M: np.ndarray, counts: np.ndarray) -> list[bytes]:
         width = wb * 8
         vals = (xored >> np.uint64(trail)).astype(">u8")
         payload = vals.view(np.uint8).reshape(len(rows), c - 1, 8)[:, :, 8 - wb:]
-        packed = np.ascontiguousarray(payload).reshape(len(rows), (c - 1) * wb)
-        tw = struct.pack("<BB", trail, width)
+        # assemble EVERY block of the group in one uint8 matrix (header
+        # fields as vectorized views), then slice the single backing
+        # buffer: a per-row struct.pack + bytes-concat loop costs ~10us
+        # per block and dominated the encode at ~1M blocks
+        blocklen = 15 + (c - 1) * wb
+        buf = np.empty((len(rows), blocklen), dtype=np.uint8)
+        buf[:, 0] = _MAGIC_FLOAT
+        buf[:, 1:5] = np.frombuffer(struct.pack("<I", c), np.uint8)
+        buf[:, 5:13] = U[:, 0].astype("<u8").view(np.uint8).reshape(-1, 8)
+        buf[:, 13] = trail
+        buf[:, 14] = width
+        buf[:, 15:] = payload.reshape(len(rows), (c - 1) * wb)
+        raw = buf.tobytes()
         for i, r in enumerate(rows):
-            out[r] = (struct.pack("<BIQ", _MAGIC_FLOAT, c, int(U[i, 0]))
-                      + tw + packed[i].tobytes())
+            out[r] = raw[i * blocklen:(i + 1) * blocklen]
     return out
 
 
