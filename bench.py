@@ -291,7 +291,15 @@ def main() -> None:
         # and per-query timings, not on `value`
         "extras": {**{k: (round(v, 3) if isinstance(v, float) else v)
                       for k, v in extras.items()},
-                   "n_queries": len(bench_qs)},
+                   "n_queries": len(bench_qs),
+                   # round-3 methodology change: caches are cleared
+                   # BETWEEN best-of-2 reps (round-2 ADVICE: rep 2 of
+                   # cache-using queries ran partially cached and 'best'
+                   # understated real latency), so r3 per-query timings
+                   # are honest cold runs — compare r2->r3 deltas against
+                   # host_gflops/host_memcpy_gbps, not at face value
+                   "timing_note": "best-of-2 cold (clearCache between "
+                                  "reps since r3)"},
     }
     print(json.dumps(out))
     spark.stop()

@@ -122,9 +122,16 @@ def main() -> None:
 
     curve: dict[int, dict] = {}
     effs = []
-    for _ in range(3):
-        lo_r = run_child(n, bench.SCRATCH)
-        hi_r = run_child(4 * n, bench.SCRATCH)
+    # 5 pairs, ALTERNATING within-pair order (N,4N / 4N,N / ...): the
+    # host's throughput drifts monotonically over minutes at times, and
+    # a fixed order would systematically hand the later slot's slowdown
+    # to one side (observed: adjacent pairs 0.76 vs 1.02 purely from a
+    # slow window landing on the 4N run). Alternation cancels linear
+    # drift in the median.
+    for p in range(5):
+        sizes = (n, 4 * n) if p % 2 == 0 else (4 * n, n)
+        rs = {c: run_child(c, bench.SCRATCH) for c in sizes}
+        lo_r, hi_r = rs[n], rs[4 * n]
         effs.append((lo_r["tier0_sec"] / hi_r["tier0_sec"]) / 4.0)
         for c, r in ((n, lo_r), (4 * n, hi_r)):
             if c not in curve or r["tier0_sec"] < curve[c]["tier0_sec"]:
@@ -165,8 +172,10 @@ Arrow serializers and python workers, the engine shipped to executors as
 4N={4 * n} executors over the same parquet corpus ({docs} docs,
 {lo['tokens']:,} tokens, ~1% long-tail 20x skew). Each cluster is pinned
 with ``taskset`` to exactly its core budget. The host VM's throughput
-drifts minute-to-minute, so the two sizes ran back-to-back in three
-adjacent pairs; the reported efficiency is the conservative median of the
+drifts minute-to-minute (adjacent same-code pairs have measured 0.76 vs
+1.02), so the two sizes ran back-to-back in five adjacent pairs with
+ALTERNATING within-pair order (N,4N / 4N,N / ...) to cancel monotonic
+drift; the reported efficiency is the conservative median of the
 per-pair values {"; ".join(f"{e:.3f}" for e in effs)}. Per-size time is
 best-of-2 after a warm-up rep; table rows are each size's best pair.
 

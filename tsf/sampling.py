@@ -81,7 +81,8 @@ def pack_examples(seq: DataFrame, example_len: int = 2048,
     final example. Empty docs never contribute an example row (they span
     zero tokens)."""
     L = int(example_len)
-    d = seq.select("doc_id", "source", F.col("n_tok").cast("long").alias("n"))
+    d = seq.select(F.col("doc_id").cast("string").alias("doc_id"),
+                   "source", F.col("n_tok").cast("long").alias("n"))
     if n_shards > 1:
         d = d.withColumn("shard", (F.expr(_hash01_spark("doc_id"))
                                    * n_shards).cast("int"))
