@@ -129,6 +129,59 @@ def q_retention_prune(spark, sf_dir):
     return retention.retention_filter(roll, {0: 2})
 
 
+def _icelite_tmp() -> str:
+    import tempfile
+    return tempfile.mkdtemp(prefix="tsf_icelite_")
+
+
+def q_icelite_roundtrip(spark, sf_dir):
+    """Tier-0 rollup through the Iceberg-style snapshot layer
+    (tsf/icelite.py): two snapshot commits (create + append, split on
+    source), read back the CURRENT snapshot. Value-checks the whole
+    write->manifest->scan path against the plain tier0 oracle — commit
+    atomicity / time travel / pruning are pytest-pinned in
+    tests/test_icelite.py."""
+    from tsf import icelite
+    roll = _rollup_select(tier0(_seq(spark, sf_dir), _stats_fs(),
+                                window=20, blocks=False))
+    path = _icelite_tmp()
+    icelite.create(roll.where("source < 'src2'"), path,
+                   [("identity", "source"), ("bucket", "doc_id", 8)])
+    icelite.append(roll.where("source >= 'src2'"), path)
+    return icelite.scan(spark, path).select(*roll.columns)
+
+
+def q_icelite_time_travel(spark, sf_dir):
+    """Snapshot-1 time-travel read of the same table: must see ONLY the
+    create-commit's rows (source < 'src2') even though CURRENT holds
+    both commits."""
+    from tsf import icelite
+    roll = _rollup_select(tier0(_seq(spark, sf_dir), _stats_fs(),
+                                window=20, blocks=False))
+    path = _icelite_tmp()
+    icelite.create(roll.where("source < 'src2'"), path,
+                   [("identity", "source"), ("bucket", "doc_id", 8)])
+    icelite.append(roll.where("source >= 'src2'"), path)
+    return icelite.scan(spark, path, snapshot_id=1).select(*roll.columns)
+
+
+def q_icelite_retention(spark, sf_dir):
+    """Retention expiry as ONE atomic snapshot commit: the two-tier
+    cascade goes into an icelite table partitioned by (tier,
+    bucket(doc_id)), apply_retention({0: 2}) swaps tier-0's files in a
+    single commit, and the read-back must equal the logical
+    retention_filter (same oracle as retention_prune)."""
+    from tsf import icelite
+    t0 = tier0(_seq(spark, sf_dir), _stats_fs(), window=20)
+    t1 = next_tier(t0, 0, _stats_fs(), window=20)
+    roll = _rollup_select_t1(t0).unionByName(_rollup_select_t1(t1))
+    path = _icelite_tmp()
+    icelite.create(roll, path, [("identity", "tier"),
+                                ("bucket", "doc_id", 16)])
+    icelite.apply_retention(spark, path, {0: 2})
+    return icelite.scan(spark, path).select(*roll.columns)
+
+
 def q_series_acf(spark, sf_dir):
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["cnt", "mean", "std", "ac_1"]]
@@ -587,6 +640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier1_rollup": q_tier1_rollup,
         "tier2_rollup": q_tier2_rollup,
         "retention_prune": q_retention_prune,
+        "icelite_roundtrip": q_icelite_roundtrip,
+        "icelite_time_travel": q_icelite_time_travel,
+        "icelite_retention": q_icelite_retention,
         "series_acf": q_series_acf,
         "series_features": q_series_features,
         "acf_features": q_acf_features,
@@ -688,6 +744,19 @@ tok AS (SELECT doc_id, source, CAST(unnest(tokens) AS BIGINT) AS x,
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # the icelite queries route existing rollup semantics through the
+    # snapshot layer — their oracles are the SAME SQL (plus the commit
+    # split filter for the time-travel read), so a hash match proves the
+    # storage round-trip is lossless
+    d["icelite_roundtrip"] = d["tier0_rollup"]
+    d["icelite_time_travel"] = (
+        f"SELECT * FROM ({d['tier0_rollup']}) WHERE source < 'src2'")
+    d["icelite_retention"] = d["retention_prune"]
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "seq_source_stats": f"""
             WITH seq AS ({_SEQ})

@@ -230,7 +230,9 @@ def main() -> None:
 
     # ---- operator queries on the driver's testdata ----
     qs = entrymod.queries()
-    bench_qs = ["tier0_rollup", "tier1_rollup", "tier2_rollup", "retention_prune", "series_acf", "series_features", "acf_features",
+    bench_qs = ["tier0_rollup", "tier1_rollup", "tier2_rollup", "retention_prune",
+                "icelite_roundtrip", "icelite_retention",
+                "series_acf", "series_features", "acf_features",
                 "kernel_features", "firstcrossing", "dim_stack",
                 "events_hourly", "gapfill_locf",
                 "gapfill_linear", "tpch_q1", "topk_orders", "dedup_exact",

@@ -1,0 +1,219 @@
+"""Iceberg-style snapshot semantics (tsf.icelite): atomic commits, time
+travel, crash windows, hidden-partition + stats pruning, snapshot
+expiry, and one-commit retention expiry."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsf import icelite
+from tsf.io import synth_sequences
+from tsf.retention import retention_filter
+from tsf.rollup import next_tier, tier0
+from tsf.registry import catalogue
+
+STATS = ["cnt", "sum_tok", "min_tok", "max_tok", "mean", "std"]
+
+
+def _rollup(spark, n_docs=40, seed=7):
+    seq = synth_sequences(spark, n_docs, seed=seed)
+    fs = catalogue()[STATS]
+    t0 = tier0(seq, fs, window=20, blocks=False)
+    return t0.select("doc_id", "source", "tier", "window_id", "win_start",
+                     "cnt", "sum_tok", "mean")
+
+
+def _sorted_pdf(df):
+    pdf = df.toPandas()
+    return (pdf.sort_values(list(pdf.columns))
+               .reset_index(drop=True)[sorted(pdf.columns)])
+
+
+def _assert_same(a, b):
+    import pandas as pd
+    pd.testing.assert_frame_equal(_sorted_pdf(a), _sorted_pdf(b),
+                                  check_dtype=False)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """A created table with one append on top (2 snapshots)."""
+    roll = _rollup(spark).cache()
+    path = str(tmp_path / "tbl")
+    icelite.create(roll.where(F.col("doc_id") < "w"), path,
+                   [("identity", "source"), ("bucket", "doc_id", 8)])
+    icelite.append(roll.where(F.col("doc_id") >= "w"), path)
+    yield path, roll
+    roll.unpersist()
+
+
+def test_roundtrip_and_history(spark, table):
+    path, roll = table
+    _assert_same(icelite.scan(spark, path), roll)
+    h = icelite.history(path)
+    assert [s["operation"] for s in h] == ["create", "append"]
+    assert h[1]["parent_id"] == h[0]["snapshot_id"]
+    assert h[1]["rows"] == roll.count()
+
+
+def test_time_travel(spark, table):
+    path, roll = table
+    first = icelite.scan(spark, path, snapshot_id=1)
+    _assert_same(first, roll.where(F.col("doc_id") < "w"))
+    with pytest.raises(LookupError):
+        icelite.scan(spark, path, snapshot_id=99)
+
+
+def test_overwrite_partitions_is_scoped_and_time_travelable(spark, table):
+    path, roll = table
+    one_src = roll.select("source").first()[0]
+    patched = (roll.where(F.col("source") == one_src)
+                   .withColumn("mean", F.lit(0.0)))
+    icelite.overwrite_partitions(patched, path)
+    now = icelite.scan(spark, path)
+    # overwritten partition has the patch, the rest is untouched
+    _assert_same(now.where(F.col("source") == one_src), patched)
+    _assert_same(now.where(F.col("source") != one_src),
+                 roll.where(F.col("source") != one_src))
+    # pre-overwrite snapshot still reads the original rows
+    _assert_same(icelite.scan(spark, path, snapshot_id=2), roll)
+
+
+def test_crash_windows_leave_table_readable(spark, table):
+    """Data files staged without a commit are invisible; a claimed-but-
+    unpointed metadata version (crash between claim and pointer swing)
+    neither corrupts reads nor blocks the next commit."""
+    path, roll = table
+    before = _sorted_pdf(icelite.scan(spark, path))
+    # crash window 1: staged data files, no commit
+    icelite._write_data_files(roll.limit(5), path,
+                              [["identity", "source"]])
+    # crash window 2: dead claimed metadata version, CURRENT not moved
+    dead = icelite._snap_path(path, 3)
+    os.link(icelite._snap_path(path, 2), dead)
+    after = _sorted_pdf(icelite.scan(spark, path))
+    assert before.equals(after)
+    # next commit skips the dead version and lands cleanly
+    snap = icelite.append(roll.limit(0), path)
+    assert snap["snapshot_id"] == 4 and snap["parent_id"] == 2
+    assert _sorted_pdf(icelite.scan(spark, path)).equals(before)
+
+
+def test_identity_partition_pruning(spark, table):
+    path, roll = table
+    one_src = roll.select("source").first()[0]
+    planned = icelite.plan_files(path, [("source", "==", one_src)])
+    allf = icelite.plan_files(path)
+    assert 0 < len(planned) < len(allf)
+    assert all(f["partition"]["source"] == one_src for f in planned)
+    got = icelite.scan(spark, path, [("source", "==", one_src)])
+    # the physical scan reads ONLY the pruned file set
+    assert len(got.inputFiles()) == len(planned)
+    _assert_same(got, roll.where(F.col("source") == one_src))
+
+
+def test_bucket_pruning_hidden_partition(spark, table):
+    path, roll = table
+    doc = roll.select("doc_id").first()[0]
+    planned = icelite.plan_files(path, [("doc_id", "==", doc)],
+                                 spark=spark)
+    allf = icelite.plan_files(path)
+    b = icelite.bucket_of(spark, doc, 8)
+    assert 0 < len(planned) < len(allf)
+    assert all(int(f["partition"]["bucket_doc_id"]) == b for f in planned)
+    _assert_same(icelite.scan(spark, path, [("doc_id", "==", doc)]),
+                 roll.where(F.col("doc_id") == doc))
+
+
+def test_stats_pruning(spark, table):
+    path, roll = table
+    hi = roll.agg(F.max("window_id")).first()[0]
+    # beyond every file's max -> manifest proves the scan empty
+    assert icelite.plan_files(path, [("window_id", ">", hi)]) == []
+    assert icelite.scan(spark, path,
+                        [("window_id", ">", hi)]).count() == 0
+    # a selective range keeps a real subset and stays exact
+    sub = icelite.plan_files(path, [("window_id", ">=", hi)])
+    assert 0 < len(sub) < len(icelite.plan_files(path))
+    _assert_same(icelite.scan(spark, path, [("window_id", ">=", hi)]),
+                 roll.where(F.col("window_id") >= hi))
+
+
+def test_expire_snapshots(spark, table):
+    path, roll = table
+    one_src = roll.select("source").first()[0]
+    icelite.overwrite_partitions(
+        roll.where(F.col("source") == one_src)
+            .withColumn("mean", F.lit(0.0)), path)   # snapshot 3
+    now = _sorted_pdf(icelite.scan(spark, path))
+    res = icelite.expire_snapshots(path, keep_last=1)
+    assert res["expired_snapshots"] == 2 and res["removed_files"] > 0
+    # current read unaffected, expired snapshots unreachable
+    assert _sorted_pdf(icelite.scan(spark, path)).equals(now)
+    with pytest.raises(LookupError):
+        icelite.scan(spark, path, snapshot_id=1)
+    # every surviving data file is referenced by the kept snapshot
+    kept = {f["path"] for f in icelite.plan_files(path)}
+    on_disk = {os.path.relpath(os.path.join(r, n), path)
+               for r, _, ns in os.walk(os.path.join(path, "data"))
+               for n in ns if n.endswith(".parquet")}
+    assert on_disk == kept
+
+
+def test_commit_conflict_exhaustion(spark, table, monkeypatch):
+    path, roll = table
+    # every version this writer tries is always already claimed
+    real_link = os.link
+    monkeypatch.setattr(
+        icelite.os, "link",
+        lambda src, dst: (_ for _ in ()).throw(FileExistsError(dst)))
+    with pytest.raises(icelite.CommitConflict):
+        icelite._commit(path, "append", [])
+    monkeypatch.setattr(icelite.os, "link", real_link)
+
+
+def test_retention_single_commit(spark, tmp_path):
+    """Retention expiry through the snapshot layer: one atomic commit,
+    logical equivalence with retention_filter, pre-retention time
+    travel, and the coverage-safety interlock."""
+    seq = synth_sequences(spark, 30, seed=11)
+    fs = catalogue()[STATS]  # noqa: F841 — same set as the fixture
+    t0 = tier0(seq, fs, window=20, blocks=True)
+    t1 = next_tier(t0, 0, fs, window=20)
+    cols = ["doc_id", "source", "tier", "window_id", "win_start",
+            "cnt", "mean"]
+    roll = t0.select(*cols).unionByName(t1.select(*cols)).cache()
+    path = str(tmp_path / "ret")
+    icelite.create(roll, path, [("identity", "tier"),
+                                ("bucket", "doc_id", 4)])
+    # unsafe policy (tier-1 pruned to nothing that covers tier-0 drops)
+    with pytest.raises(ValueError, match="unsafe retention"):
+        icelite.apply_retention(spark, path, {0: 1, 1: 1})
+    n_before = len(icelite.history(path))
+    out = icelite.apply_retention(spark, path, {0: 2})
+    assert set(out) == {0}
+    h = icelite.history(path)
+    assert len(h) == n_before + 1 and h[-1]["operation"] == "retention"
+    _assert_same(icelite.scan(spark, path),
+                 retention_filter(roll, {0: 2}))
+    # the pre-retention snapshot still holds every row
+    _assert_same(icelite.scan(spark, path, snapshot_id=1), roll)
+    roll.unpersist()
+
+
+def test_manifest_shape(table):
+    """Manifest entries carry what 100x planning needs: rows, bytes,
+    partition tuple, min/max stats for plain columns."""
+    path, _ = table
+    files = icelite.plan_files(path)
+    for f in files:
+        assert f["rows"] > 0 and f["bytes"] > 0
+        assert set(f["partition"]) == {"source", "bucket_doc_id"}
+        assert "window_id" in f["stats"]
+        lo, hi = f["stats"]["window_id"]
+        assert lo <= hi
+    # metadata is valid standalone JSON (no pickle, no code)
+    with open(icelite._snap_path(path, 1)) as fh:
+        assert json.load(fh)["format_version"] == 1
