@@ -47,6 +47,15 @@ def main(argv: list[str] | None = None) -> None:
                         " would expire windows with no coarser-tier coverage"
                         " (see tsf/retention.py), --force-retain overrides")
     p.add_argument("--force-retain", action="store_true")
+    p.add_argument("--publish", default=None,
+                   help="icelite table path: after the cascade (and "
+                        "retention), publish ALL tiers as ONE atomic "
+                        "snapshot commit — consumers get snapshot "
+                        "isolation and a time-travelable run history "
+                        "(see tsf/icelite.py; on a real cluster use "
+                        "write_rollup(table=...) -> Iceberg proper)")
+    p.add_argument("--publish-buckets", type=int, default=64,
+                   help="bucket(doc_id) width of the published table")
     p.add_argument("--no-checksum", action="store_true",
                    help="skip the per-bucket content checksum in ledger "
                         "rows (the readback then scans 3 columns; "
@@ -112,6 +121,21 @@ def main(argv: list[str] | None = None) -> None:
                                          force=args.force_retain)
         for t, nrows in sorted(kept.items()):
             print(f"retention tier {t}: kept {nrows} rows")
+
+    if args.publish:
+        from tsf import icelite
+        pub = (spark.read.parquet(args.output)
+               .drop("tier_p", "batch_id", "partition_id"))
+        try:
+            snap = icelite.replace(pub, args.publish)
+        except LookupError:
+            snap = icelite.create(
+                pub, args.publish,
+                [("identity", "tier"),
+                 ("bucket", "doc_id", args.publish_buckets)])
+        print(f"published snapshot {snap['snapshot_id']} "
+              f"({sum(f['rows'] for f in snap['files'])} rows) "
+              f"to {args.publish}")
 
     led = spark.read.parquet(args.ledger)
     led.groupBy("tier").agg(

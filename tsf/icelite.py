@@ -364,6 +364,18 @@ def overwrite_partitions(df: DataFrame, path: str) -> dict:
         in touched)
 
 
+def replace(df: DataFrame, path: str) -> dict:
+    """Full-table replace as one snapshot: drops every previous file and
+    adds ``df``'s. The publish primitive — a consumer mid-scan keeps the
+    old snapshot; the pre-replace state stays time-travelable until
+    expired."""
+    cur = _read_current(path)
+    if cur is None:
+        raise LookupError(f"no table at {path} (create() first)")
+    files = _write_data_files(df, path, cur["partition_spec"])
+    return _commit(path, "replace", files, remove_pred=lambda f: True)
+
+
 # ------------------------------------------------------------ reads
 
 _OPS = {
