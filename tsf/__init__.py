@@ -27,6 +27,12 @@ Spark engine over tables of pre-tokenized sequences
                      language-ID / quality scoring / token counting).
 - ``tsf.multimodal`` binary media columns: typed metadata, stub decode,
                      batch feature extraction, frame-sampling plumbing.
+- ``tsf.icelite``    Iceberg-style snapshot table format over parquet
+                     (atomic commits, time travel, snapshot expiry,
+                     hidden identity/bucket partitioning, manifest
+                     min/max file pruning, one-commit retention expiry)
+                     — the sandbox stand-in for the jar-less Iceberg
+                     seam in ``tsf.io.write_rollup(table=...)``.
 """
 
 from tsf.registry import Feature, FeatureSet  # noqa: F401
