@@ -182,6 +182,24 @@ def q_icelite_retention(spark, sf_dir):
     return icelite.scan(spark, path).select(*roll.columns)
 
 
+def q_icelite_merge(spark, sf_dir):
+    """Copy-on-write MERGE through the snapshot layer: upsert source
+    src3's tier-0 windows with mean forced to -1 (same keys -> replace)
+    — only files in src3's partitions rewrite, everything else carries
+    over by manifest reference. Oracle: tier0 with a CASE on source."""
+    from tsf import icelite
+    roll = _rollup_select(tier0(_seq(spark, sf_dir), _stats_fs(),
+                                window=20, blocks=False))
+    path = _icelite_tmp()
+    icelite.create(roll, path,
+                   [("identity", "source"), ("bucket", "doc_id", 8)])
+    updates = (roll.where("source = 'src3'")
+                   .withColumn("mean", F.lit(-1.0)))
+    icelite.merge_into(spark, path, updates,
+                       keys=["doc_id", "window_id"])
+    return icelite.scan(spark, path).select(*roll.columns)
+
+
 def q_series_acf(spark, sf_dir):
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["cnt", "mean", "std", "ac_1"]]
@@ -643,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icelite_roundtrip": q_icelite_roundtrip,
         "icelite_time_travel": q_icelite_time_travel,
         "icelite_retention": q_icelite_retention,
+        "icelite_merge": q_icelite_merge,
         "series_acf": q_series_acf,
         "series_features": q_series_features,
         "acf_features": q_acf_features,
@@ -753,6 +772,11 @@ def oracle_sql() -> dict[str, str]:
     d["icelite_time_travel"] = (
         f"SELECT * FROM ({d['tier0_rollup']}) WHERE source < 'src2'")
     d["icelite_retention"] = d["retention_prune"]
+    d["icelite_merge"] = (
+        f"SELECT doc_id, source, tier, window_id, win_start, cnt, "
+        f"sum_tok, min_tok, max_tok, "
+        f"CASE WHEN source = 'src3' THEN -1.0 ELSE mean END AS mean, "
+        f"std FROM ({d['tier0_rollup']})")
     return d
 
 

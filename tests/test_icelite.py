@@ -217,3 +217,36 @@ def test_manifest_shape(table):
     # metadata is valid standalone JSON (no pickle, no code)
     with open(icelite._snap_path(path, 1)) as fh:
         assert json.load(fh)["format_version"] == 1
+
+
+def test_merge_into_cow(spark, table):
+    """Copy-on-write MERGE: same-key rows replaced, new keys appended,
+    ONE commit, and files outside the touched partitions carry over by
+    manifest reference (no rewrite)."""
+    path, roll = table
+    one_src = roll.select("source").orderBy("source").first()[0]
+    # updates: overwrite one source's rows (mean -> -1) + one new doc
+    upd = (roll.where(F.col("source") == one_src)
+               .withColumn("mean", F.lit(-1.0)))
+    new_row = (roll.limit(1)
+               .withColumn("doc_id", F.lit("zzz-new-00000"))
+               .withColumn("source", F.lit(one_src)))
+    updates = upd.unionByName(new_row)
+    before = {f["path"]: f for f in icelite.plan_files(path)}
+    untouched_before = {p for p, f in before.items()
+                        if f["partition"]["source"] != one_src}
+    snap = icelite.merge_into(spark, path, updates,
+                              keys=["doc_id", "window_id"])
+    assert snap["operation"] == "merge"
+    after = {f["path"] for f in icelite.plan_files(path)}
+    # untouched partitions: identical manifest entries, no rewrite
+    assert untouched_before <= after
+    # touched partition's old files are gone from the current snapshot
+    assert not any(p in after for p, f in before.items()
+                   if f["partition"]["source"] == one_src)
+    # value semantics: upsert
+    want = (roll.where(F.col("source") != one_src)
+                .unionByName(updates))
+    _assert_same(icelite.scan(spark, path), want)
+    # pre-merge snapshot intact
+    _assert_same(icelite.scan(spark, path, snapshot_id=2), roll)

@@ -364,6 +364,47 @@ def overwrite_partitions(df: DataFrame, path: str) -> dict:
         in touched)
 
 
+def merge_into(spark: SparkSession, path: str, updates: DataFrame,
+               keys: list[str]) -> dict:
+    """Copy-on-write MERGE (upsert): ``updates`` rows replace same-key
+    rows, new keys append — ONE atomic snapshot.
+
+    Only files whose partition tuple appears in ``updates`` are
+    rewritten (candidates found by applying the table's partition
+    transforms to ``updates`` and collecting the distinct tuples — a
+    bounded set, it is a partitioning); every other file carries over
+    into the new snapshot UNTOUCHED, by manifest reference, with no IO.
+    That is Iceberg's copy-on-write MERGE shape: write amplification is
+    proportional to the partitions hit, not the table."""
+    cur = _read_current(path)
+    if cur is None:
+        raise LookupError(f"no table at {path} (create() first)")
+    spec = [tuple(s) for s in cur["partition_spec"]]
+    pcols = _spec_cols(spec)
+    hit = {
+        tuple(str(r[c]) for c in pcols)
+        for r in _with_partition_cols(updates, spec)
+                 .select(*pcols).distinct().collect()}
+
+    def touched(f: dict) -> bool:
+        part = f["partition"]
+        return tuple(
+            str(part.get(c[len(_PHELP):])) for c in pcols) in hit
+
+    cand = [f for f in cur["files"] if touched(f)]
+    schema = StructType.fromJson(json.loads(cur["schema"]))
+    if cand:
+        existing = spark.read.schema(schema).parquet(
+            *[os.path.join(path, f["path"]) for f in cand])
+        survivors = existing.join(
+            updates.select(*keys).distinct(), keys, "left_anti")
+        merged = survivors.unionByName(updates.select(*existing.columns))
+    else:
+        merged = updates.select(*[f.name for f in schema.fields])
+    new_files = _write_data_files(merged, path, spec)
+    return _commit(path, "merge", new_files, remove_pred=touched)
+
+
 def replace(df: DataFrame, path: str) -> dict:
     """Full-table replace as one snapshot: drops every previous file and
     adds ``df``'s. The publish primitive — a consumer mid-scan keeps the
