@@ -20,6 +20,7 @@ order-insensitive value hash matches bit-for-bit.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -130,8 +131,15 @@ def q_retention_prune(spark, sf_dir):
 
 
 def _icelite_tmp() -> str:
+    """Fresh table path per call; prior calls' tables are reclaimed
+    (safe: the driver/bench fully consumes each query's result before
+    invoking the next one, so no live plan still reads an old dir)."""
+    import shutil
     import tempfile
-    return tempfile.mkdtemp(prefix="tsf_icelite_")
+    parent = os.path.join(tempfile.gettempdir(), "tsf_icelite_q")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    return tempfile.mkdtemp(dir=parent)
 
 
 def q_icelite_roundtrip(spark, sf_dir):

@@ -154,6 +154,30 @@ def ann_quality_extras(spark, extras: dict) -> None:
     extras["ann_ivf_recall_at10"] = len(exact & ivf) / 10.0
     extras["ann_lsh_scan_frac"] = lsh_cand / total
     extras["ann_ivf_scan_frac"] = ivf_cand / total
+    # The raw recall above is measured on the driver's embeddings table,
+    # whose vectors are mutually near-orthogonal (top-10 cosines ~0.3-
+    # 0.4 vs a ~0.3 background): in that regime NO sublinear ANN can
+    # rank the "neighbors", so raw recall is a property of the data,
+    # not the sketch. The planted metrics below measure the regime ANN
+    # exists for: 10 true near neighbors (cos ~0.97) of the query are
+    # unioned in, and recall counts how many the sketch surfaces.
+    import numpy as np
+    rng = np.random.default_rng(17)
+    q = np.asarray(qv, dtype=np.float64)
+    u = q / np.linalg.norm(q)
+    dim = len(qv)
+    planted_ids = list(range(10_000_000, 10_000_010))
+    rows = [(pid,
+             [float(x) for x in
+              (u + 0.25 * rng.standard_normal(dim) / np.sqrt(dim))],
+             -1) for pid in planted_ids]
+    emb_p = emb.unionByName(spark.createDataFrame(rows, emb.schema))
+    lsh_p = {r["vec_id"] for r in S.lsh_topk(emb_p, qv, 10).collect()}
+    ivf_p = {r["vec_id"] for r in S.ivf_topk(emb_p, qv, 10).collect()}
+    extras["ann_lsh_recall_planted"] = len(set(planted_ids) & lsh_p) / 10.0
+    extras["ann_ivf_recall_planted"] = len(set(planted_ids) & ivf_p) / 10.0
+    assert extras["ann_lsh_recall_planted"] >= 0.9, extras
+    assert extras["ann_ivf_recall_planted"] >= 0.9, extras
     # the ANN paths must actually prune: a scan fraction at/near 1.0
     # means the sketch degenerated into a full scan
     assert extras["ann_lsh_scan_frac"] < 0.9, extras

@@ -138,3 +138,31 @@ def test_duplicate_groups_no_cartesian(spark):
     p = _plan(out)
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_icelite_scan_pushes_residual_filters(spark, tmp_path):
+    """icelite.scan reads an explicit pruned file list, and the residual
+    predicate still reaches the parquet reader (PushedFilters) — manifest
+    pruning and row-group pushdown compose rather than compete."""
+    from pyspark.sql import functions as F
+
+    from tsf import icelite
+    from tsf.io import synth_sequences
+    from tsf.registry import catalogue
+    from tsf.rollup import tier0
+
+    seq = synth_sequences(spark, 20, seed=5)
+    roll = tier0(seq, catalogue()[["cnt", "mean"]], window=20,
+                 blocks=False).select("doc_id", "source", "tier",
+                                      "window_id", "cnt", "mean")
+    path = str(tmp_path / "tbl")
+    icelite.create(roll, path, [("identity", "source")])
+    df = icelite.scan(spark, path, where=[("source", "==", "web"),
+                                          ("window_id", "<=", 3)])
+    df.count()
+    p = _plan(df)
+    scan = [ln for ln in p.splitlines() if "FileScan parquet" in ln][0]
+    assert "PushedFilters" in scan and "window_id" in scan.split(
+        "PushedFilters")[1], scan
+    # manifest pruning already excluded the other sources' files
+    assert all("_p_source=web" in f for f in df.inputFiles())

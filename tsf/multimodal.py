@@ -137,6 +137,27 @@ def decode_image(blob: bytes, max_pixels: int | None = None) -> np.ndarray:
     return _tiled_payload(blob, h * w * c).reshape(h, w, c)
 
 
+def decode_image_rows(blob: bytes, row_ids: np.ndarray) -> np.ndarray:
+    """Decode ONLY the requested image rows to (len(row_ids), width *
+    channels) uint8 — the frame-sampling fast path (a real video codec
+    seeks to the sampled keyframes instead of decoding every frame; the
+    fake decode does the same by indexing the tiled payload closed-form).
+    Bit-identical to ``decode_image(blob)[row_ids]``."""
+    meta = parse_header(blob)
+    if meta["media_type"] != "image":
+        raise ValueError("not an image blob")
+    w, c = meta["width"], meta["channels"]
+    if _REAL_DECODE:  # pragma: no cover — explicit opt-in, see decode_image
+        raise NotImplementedError("real codec decode not wired in this sandbox")
+    payload = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size)
+    if payload.size == 0:
+        payload = np.zeros(1, dtype=np.uint8)
+    wc = w * c
+    idx = (np.asarray(row_ids, dtype=np.int64)[:, None] * wc
+           + np.arange(wc, dtype=np.int64)[None, :]) % payload.size
+    return payload[idx]
+
+
 def decode_audio(blob: bytes) -> np.ndarray:
     """Decode one audio blob to (n_samples,) float32 in [-1, 1) — same
     deterministic-fake contract as :func:`decode_image`."""
@@ -145,6 +166,20 @@ def decode_audio(blob: bytes) -> np.ndarray:
         raise ValueError("not an audio blob")
     n = meta["n_samples"]
     return (_tiled_payload(blob, n).astype(np.float32) - 128.0) / 128.0
+
+
+def _spread(media: DataFrame) -> DataFrame:
+    """Repartition a media frame to the session's parallelism before a
+    decode-heavy UDF stage. Decoded output is ~4 orders of magnitude
+    larger than the blob column, so Spark's file-size-based splitting
+    under-partitions badly (one 0.6 MB parquet = ONE task doing ALL the
+    decoding); the pre-UDF exchange moves only the small undecoded
+    blobs. No-op when the input is already split at least that wide."""
+    sc = media.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if media.rdd.getNumPartitions() >= target:
+        return media
+    return media.repartition(target, "doc_id")
 
 
 def media_features(media: DataFrame, max_values: int = 65536) -> DataFrame:
@@ -189,7 +224,7 @@ def media_features(media: DataFrame, max_values: int = 65536) -> DataFrame:
                 rows.append((d, mt, float(mean), float(std), int(full)))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type",
                                               "mean_val", "std_val", "n_values"])
-    return media.mapInPandas(fn, FEATURE_SCHEMA)
+    return _spread(media).mapInPandas(fn, FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
@@ -202,15 +237,24 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
             ids, fids, frames = [], [], []
             for d, b in zip(pdf["doc_id"].astype(str), pdf["media"]):
                 blob = bytes(b)
-                if parse_header(blob)["media_type"] != "image":
+                meta = parse_header(blob)
+                if meta["media_type"] != "image":
                     continue
-                img = decode_image(blob)
-                for fi in range(0, img.shape[0], every):
-                    ids.append(d)
-                    fids.append(fi)
-                    frames.append(img[fi].ravel().astype(np.int32))
-            yield pd.DataFrame({"doc_id": ids, "frame_id": fids, "frame": frames})
-    return media.mapInPandas(fn, "doc_id string, frame_id int, frame array<int>")
+                # decode only the sampled rows (a real video codec seeks
+                # to the sampled keyframes instead of decoding every
+                # frame): ~``every``x less decode work per blob
+                fi = np.arange(0, meta["height"], every)
+                rows = decode_image_rows(blob, fi).astype(np.int32)
+                ids.extend([d] * len(fi))
+                fids.extend(fi.tolist())
+                frames.extend(list(rows))
+            # object dtype keeps an EMPTY partition's column out of
+            # numpy-float space (Arrow can't cast that to list<int32>)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype=object),
+                                "frame_id": pd.Series(fids, dtype="int64"),
+                                "frame": pd.Series(frames, dtype=object)})
+    return _spread(media).mapInPandas(
+        fn, "doc_id string, frame_id int, frame array<int>")
 
 
 #: shared oracle arithmetic for the deterministic-fake decode: payload =
