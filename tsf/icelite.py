@@ -225,6 +225,7 @@ def history(path: str) -> list[dict]:
                     "parent_id": s["parent_id"],
                     "operation": s["operation"],
                     "committed_ms": s["committed_ms"],
+                    "extra": s.get("extra", {}),
                     "n_files": len(s["files"]),
                     "rows": sum(f["rows"] for f in s["files"])})
     return out
@@ -261,7 +262,8 @@ def _write_data_files(df: DataFrame, path: str,
 
 def _commit(path: str, operation: str, new_files: list[dict],
             remove_pred=None, spec: list[tuple] | None = None,
-            schema_json: str | None = None, retries: int = 3) -> dict:
+            schema_json: str | None = None, retries: int = 3,
+            extra: dict | None = None) -> dict:
     """Optimistic snapshot commit. Derives the file list from the
     CURRENT snapshot (minus ``remove_pred`` matches, plus ``new_files``),
     claims the next metadata version with a hard-link (EEXIST = another
@@ -288,6 +290,7 @@ def _commit(path: str, operation: str, new_files: list[dict],
                                else (cur["partition_spec"] if cur else [])),
             "schema": (schema_json if schema_json is not None
                        else (cur["schema"] if cur else None)),
+            "extra": extra or {},
             "files": base + new_files,
         }
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
@@ -328,22 +331,49 @@ def _advance_current(path: str, version: int) -> None:
 
 # ------------------------------------------------------------ public writes
 
-def create(df: DataFrame, path: str, partition_by: list[tuple]) -> dict:
+def create(df: DataFrame, path: str, partition_by: list[tuple],
+           extra: dict | None = None) -> dict:
     """Create the table with an initial snapshot of ``df``.
-    ``partition_by``: ``("identity", col)`` / ``("bucket", col, n)``."""
+    ``partition_by``: ``("identity", col)`` / ``("bucket", col, n)``.
+    ``extra``: JSON-plain metadata recorded on the snapshot (e.g. a
+    streaming micro-batch id for exactly-once idempotence checks)."""
     os.makedirs(path, exist_ok=True)
     files = _write_data_files(df, path, partition_by)
     return _commit(path, "create", files, spec=partition_by,
-                   schema_json=df.schema.json())
+                   schema_json=df.schema.json(), extra=extra)
 
 
-def append(df: DataFrame, path: str) -> dict:
+def append(df: DataFrame, path: str, extra: dict | None = None) -> dict:
     """Snapshot-append ``df`` (schema must match the table's)."""
     cur = _read_current(path)
     if cur is None:
         raise LookupError(f"no table at {path} (create() first)")
     files = _write_data_files(df, path, cur["partition_spec"])
-    return _commit(path, "append", files)
+    return _commit(path, "append", files, extra=extra)
+
+
+def lineage(path: str) -> list[dict]:
+    """CURRENT's ancestor chain (oldest first): the snapshots whose
+    changes are actually IN the current table state. This deliberately
+    excludes claimed-but-never-pointed metadata versions (a writer that
+    died between claim and pointer advance): their changes are NOT in
+    the table, so e.g. a replayed streaming batch must not treat them
+    as committed. Stops at the oldest retained ancestor."""
+    out = []
+    snap = _read_current(path)
+    while snap is not None:
+        out.append({"snapshot_id": snap["snapshot_id"],
+                    "operation": snap["operation"],
+                    "extra": snap.get("extra", {})})
+        pid = snap["parent_id"]
+        if pid is None:
+            break
+        try:
+            snap = _read_snapshot(path, pid)
+        except LookupError:      # expired ancestor
+            break
+    out.reverse()
+    return out
 
 
 def overwrite_partitions(df: DataFrame, path: str) -> dict:

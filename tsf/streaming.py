@@ -108,6 +108,55 @@ def stream_tier0_with_ledger(spark: SparkSession, input_dir: str,
             .trigger(availableNow=True).start())
 
 
+def stream_tier0_to_icelite(spark: SparkSession, input_dir: str,
+                            table_path: str, checkpoint_dir: str,
+                            features: FeatureSet | None = None,
+                            window: int = DEFAULT_WINDOW,
+                            doc_buckets: int = 16) -> StreamingQuery:
+    """Streaming tier-0 rollup published EXACTLY-ONCE into an
+    Iceberg-style snapshot table (:mod:`tsf.icelite`).
+
+    foreachBatch is at-least-once: after a crash between sink write and
+    streaming-checkpoint advance, the same micro-batch replays. Here the
+    sink write is one ATOMIC snapshot commit carrying ``batch_id`` in
+    its metadata, and a replayed batch is skipped iff its batch_id
+    appears in the CURRENT snapshot's ancestor :func:`tsf.icelite.
+    lineage` — NOT in the raw metadata listing, because a writer that
+    died between metadata claim and pointer advance left a version
+    whose rows are not in the table (treating that as done would lose
+    the batch; lineage excludes it, so the replay re-commits).
+    Atomic commit + lineage-gated idempotence = exactly-once table
+    state, the Spark->Iceberg streaming-sink contract."""
+    from tsf import icelite
+
+    feats = features or default_rollup_features()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            done = {s["extra"].get("batch_id")
+                    for s in icelite.lineage(table_path)}
+        except (LookupError, FileNotFoundError):
+            done = set()
+        if batch_id in done:
+            return          # replayed, already atomically committed
+        rolled = tier0_stream_df(batch_df, feats, window)
+        try:
+            icelite.append(rolled, table_path,
+                           extra={"batch_id": batch_id})
+        except LookupError:
+            icelite.create(rolled, table_path,
+                           [("identity", "source"),
+                            ("bucket", "doc_id", doc_buckets)],
+                           extra={"batch_id": batch_id})
+
+    return (read_sequence_stream(spark, input_dir)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 def stream_source_counts(events: DataFrame, watermark: str = "10 minutes",
                          window_len: str = "1 hour") -> DataFrame:
     """Watermarked event-time tumbling-window aggregate over a streaming
