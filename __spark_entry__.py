@@ -153,8 +153,12 @@ def q_icelite_roundtrip(spark, sf_dir):
     roll = _rollup_select(tier0(_seq(spark, sf_dir), _stats_fs(),
                                 window=20, blocks=False))
     path = _icelite_tmp()
+    # bucket-only spec: an identity(source) dir layout here would write
+    # n_sources * n_buckets tiny files per commit (the small-file
+    # anti-pattern); the identity-partition pruning demo lives in
+    # icelite_merge and the pytest suite
     icelite.create(roll.where("source < 'src2'"), path,
-                   [("identity", "source"), ("bucket", "doc_id", 8)])
+                   [("bucket", "doc_id", 8)])
     icelite.append(roll.where("source >= 'src2'"), path)
     return icelite.scan(spark, path).select(*roll.columns)
 
@@ -168,7 +172,7 @@ def q_icelite_time_travel(spark, sf_dir):
                                 window=20, blocks=False))
     path = _icelite_tmp()
     icelite.create(roll.where("source < 'src2'"), path,
-                   [("identity", "source"), ("bucket", "doc_id", 8)])
+                   [("bucket", "doc_id", 8)])
     icelite.append(roll.where("source >= 'src2'"), path)
     return icelite.scan(spark, path, snapshot_id=1).select(*roll.columns)
 
