@@ -388,14 +388,27 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]))
+    # verify-join strategy: d has one row per DOC, cand one per PAIR —
+    # on dup-dense corpora cand is orders of magnitude larger, and a
+    # shuffle-join chain re-shuffles the pair table with a ~|ss|*8B
+    # array payload attached (measured 14+ GB at the x10 fixture).
+    # Broadcast the doc side when its array payload fits comfortably
+    # (driver-side estimate from the persisted sketch — Spark's static
+    # 10MB autoBroadcast threshold can't see this); beyond that, fall
+    # back to the shuffle join (the 100x path).
+    st = d.agg(F.count("*").alias("n"), F.sum("sz").alias("cells")).first()
+    est_bytes = int(st["cells"] or 0) * 8 + int(st["n"] or 0) * 64
+    side = F.broadcast if est_bytes < (256 << 20) else (lambda x: x)
     verify = (cand
-              .join(d.select(F.col("doc_id").alias("doc_a"),
-                             F.col("ss").alias("sa")), "doc_a")
-              .join(d.select(F.col("doc_id").alias("doc_b"),
-                             F.col("ss").alias("sb")), "doc_b"))
-    # sorted-array intersect sizes on int64 arrays (hash order irrelevant)
+              .join(side(d.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("ss").alias("sa"))), "doc_a")
+              .join(side(d.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("ss").alias("sb"))), "doc_b"))
+    # hash-set intersect size on int64 arrays; union size by arithmetic
+    # (|a| + |b| - |a∩b| — ss arrays are DISTINCT by construction), which
+    # skips materializing an array_union array per candidate pair
     inter = F.expr("size(array_intersect(sa, sb))").cast("double")
-    un = F.expr("size(array_union(sa, sb))").cast("double")
+    un = (F.size("sa") + F.size("sb")).cast("double") - inter
     return (verify.select("doc_a", "doc_b",
                           F.round(inter / un, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
