@@ -250,3 +250,39 @@ def test_merge_into_cow(spark, table):
     _assert_same(icelite.scan(spark, path), want)
     # pre-merge snapshot intact
     _assert_same(icelite.scan(spark, path, snapshot_id=2), roll)
+
+
+def test_concurrent_appends_both_land(spark, table):
+    """Two writers committing concurrently from the same parent: the
+    loser of each version race retries against the winner's snapshot, so
+    BOTH appends land (serialized, neither lost) — optimistic
+    concurrency, Iceberg's commit-retry contract."""
+    import threading
+
+    path, roll = table
+    rows_before = icelite.scan(spark, path).count()
+    a = roll.limit(3).withColumn("doc_id", F.concat(F.lit("wa-"), "doc_id"))
+    b = roll.limit(4).withColumn("doc_id", F.concat(F.lit("wb-"), "doc_id"))
+    # pre-stage both writers' data files so the racing section is the
+    # metadata commit itself (threads share one SparkSession safely, but
+    # staging first maximizes claim-collision likelihood)
+    fa = icelite._write_data_files(a, path, [["identity", "source"]])
+    fb = icelite._write_data_files(b, path, [["identity", "source"]])
+    errs = []
+
+    def commit(files):
+        try:
+            icelite._commit(path, "append", files, retries=10)
+        except Exception as exc:  # pragma: no cover - failure surface
+            errs.append(exc)
+
+    t1 = threading.Thread(target=commit, args=(fa,))
+    t2 = threading.Thread(target=commit, args=(fb,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert icelite.scan(spark, path).count() == rows_before + 7
+    lin = icelite.lineage(path)
+    # strictly serialized history: each commit's parent is the previous
+    for prev, cur in zip(lin, lin[1:]):
+        assert icelite._read_snapshot(path, cur["snapshot_id"])[
+            "parent_id"] == prev["snapshot_id"]

@@ -273,6 +273,25 @@ def _commit(path: str, operation: str, new_files: list[dict],
     re-applied against the new base, as Iceberg does."""
     mdir = _meta_dir(path)
     os.makedirs(mdir, exist_ok=True)
+    import fcntl
+    with open(os.path.join(mdir, ".commit.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        return _commit_locked(path, operation, new_files, remove_pred,
+                              spec, schema_json, retries, extra)
+
+
+def _commit_locked(path: str, operation: str, new_files: list[dict],
+                   remove_pred, spec, schema_json, retries: int,
+                   extra: dict | None) -> dict:
+    """The read-derive-claim-advance sequence, under the table's commit
+    lock. The lock serializes WRITERS (readers never take it): without
+    it, a writer could derive its file list from a stale CURRENT while
+    claiming a version number scanned AFTER a competitor's claim — and
+    silently drop that competitor's committed changes. Iceberg gets this
+    serialization from the catalog's atomic compare-and-swap; on this FS
+    the flock is that primitive. The claim-link EEXIST retry remains for
+    versions orphaned by CRASHED writers (claimed, never pointed)."""
+    mdir = _meta_dir(path)
     for _ in range(retries):
         cur = _read_current(path)
         base = [f for f in (cur["files"] if cur else [])
@@ -311,22 +330,19 @@ def _commit(path: str, operation: str, new_files: list[dict],
 
 
 def _advance_current(path: str, version: int) -> None:
-    """Move the CURRENT pointer forward, never backward (two winners of
-    successive versions may race the pointer swing; the lock file
-    serializes it on this FS — a real deployment gets this from the
-    catalog)."""
-    import fcntl
+    """Move the CURRENT pointer forward, never backward. Callers hold
+    the commit lock (see _commit), so the read-compare-replace below is
+    race-free; the os.replace keeps the pointer swap atomic for
+    lock-free READERS."""
     mdir = _meta_dir(path)
-    with open(os.path.join(mdir, ".commit.lock"), "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
-        cur = _read_current(path)
-        if cur is None or cur["snapshot_id"] < version:
-            tmp = os.path.join(mdir, f".cur-{uuid.uuid4().hex}")
-            with open(tmp, "w") as fh:
-                fh.write(os.path.basename(_snap_path(path, version)))
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(tmp, os.path.join(mdir, _CURRENT))
+    cur = _read_current(path)
+    if cur is None or cur["snapshot_id"] < version:
+        tmp = os.path.join(mdir, f".cur-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(_snap_path(path, version)))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(mdir, _CURRENT))
 
 
 # ------------------------------------------------------------ public writes
