@@ -38,7 +38,7 @@ def tune_malloc() -> None:
 def get_spark(app_name: str = "tsf",
               cores: int | None = None,
               shuffle_partitions: int | None = None,
-              arrow_batch_rows: int = 512,
+              arrow_batch_rows: int = 1024,
               extra: dict[str, str] | None = None) -> SparkSession:
     tune_malloc()  # before the JVM (and its python workers) are launched
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -56,7 +56,9 @@ def get_spark(app_name: str = "tsf",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow everywhere; bounded batches so long token arrays cannot
-        # blow up the Python worker (512 rows x ~100KB chunk ~= 50MB).
+        # blow up the Python worker (1024 rows x ~100KB chunk ~= 100MB
+        # peak per worker — measured ~10% faster tier-0 than 512 in an
+        # interleaved A/B, and 2048 gains nothing further).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         # 32MB file splits (not the 128MB default): the tier-0 UDF stage
