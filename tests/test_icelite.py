@@ -286,3 +286,25 @@ def test_concurrent_appends_both_land(spark, table):
     for prev, cur in zip(lin, lin[1:]):
         assert icelite._read_snapshot(path, cur["snapshot_id"])[
             "parent_id"] == prev["snapshot_id"]
+
+
+def test_compact_bin_packs_without_changing_state(spark, table):
+    """compact() merges each partition's file shards into fewer files in
+    ONE commit; table state is value-identical, untouched big files stay
+    by reference, and the pre-compaction snapshot time-travels."""
+    path, roll = table
+    before_pdf = _sorted_pdf(icelite.scan(spark, path))
+    files_before = icelite.plan_files(path)
+    pre_snap = icelite._read_current(path)["snapshot_id"]
+    res = icelite.compact(spark, path, target_bytes=1 << 30)
+    assert res["compacted_partitions"] > 0
+    assert res["files_after"] < res["files_before"]
+    files_after = icelite.plan_files(path)
+    assert len(files_after) < len(files_before)
+    assert _sorted_pdf(icelite.scan(spark, path)).equals(before_pdf)
+    assert _sorted_pdf(
+        icelite.scan(spark, path, snapshot_id=pre_snap)).equals(before_pdf)
+    # idempotent: a second pass finds nothing worth rewriting at this
+    # shard count
+    res2 = icelite.compact(spark, path, target_bytes=1 << 30)
+    assert res2["compacted_partitions"] == 0

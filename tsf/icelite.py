@@ -563,6 +563,54 @@ def scan(spark: SparkSession, path: str, where: list[tuple] | None = None,
 
 # ------------------------------------------------------------ maintenance
 
+def compact(spark: SparkSession, path: str,
+            target_bytes: int = 128 << 20,
+            min_files: int = 2) -> dict:
+    """Bin-pack small data files into ~``target_bytes`` files, one
+    atomic commit — Iceberg's ``rewrite_data_files`` maintenance action
+    (the small-file problem: every append/streaming commit adds files,
+    and scan cost grows with file COUNT even when pruning is perfect).
+
+    Partition-local: only partitions holding >= ``min_files`` files
+    whose combined size undershoots target_bytes-per-file get rewritten
+    (coalesced to ceil(bytes/target) files via a repartition on the
+    partition's rows); all other files carry over by manifest reference.
+    Table state is value-identical before and after — compaction is
+    pure physical reorganization, and the pre-compaction snapshot stays
+    time-travelable."""
+    cur = _read_current(path)
+    if cur is None:
+        raise LookupError(f"no table at {path}")
+    by_part: dict[tuple, list[dict]] = {}
+    for f in cur["files"]:
+        by_part.setdefault(tuple(sorted(f["partition"].items())), []).append(f)
+    todo = {p: fs for p, fs in by_part.items()
+            if len(fs) >= min_files
+            and sum(f["bytes"] for f in fs) < target_bytes * (len(fs) - 1)}
+    if not todo:
+        return {"compacted_partitions": 0, "files_before": 0,
+                "files_after": 0}
+    schema = StructType.fromJson(json.loads(cur["schema"]))
+    victims = [f for fs in todo.values() for f in fs]
+    victim_paths = {f["path"] for f in victims}
+    rows = spark.read.schema(schema).parquet(
+        *[os.path.join(path, f["path"]) for f in victims])
+    n_out = max(1, -(-sum(f["bytes"] for f in victims) // target_bytes))
+    pcols = _spec_cols([tuple(s) for s in cur["partition_spec"]])
+    # repartition by the partition tuple so each output file holds one
+    # partition's rows (the write's partitionBy re-derives the dirs)
+    packed = _with_partition_cols(rows, [tuple(s) for s in
+                                         cur["partition_spec"]])
+    packed = packed.repartition(int(n_out), *pcols) if pcols \
+        else packed.repartition(int(n_out))
+    new_files = _write_data_files(packed.drop(*pcols), path,
+                                  [tuple(s) for s in cur["partition_spec"]])
+    _commit(path, "compact", new_files,
+            remove_pred=lambda f: f["path"] in victim_paths)
+    return {"compacted_partitions": len(todo),
+            "files_before": len(victims), "files_after": len(new_files)}
+
+
 def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     """Garbage-collect: keep the newest ``keep_last`` snapshots (always
     including CURRENT), delete older metadata and any data file no
