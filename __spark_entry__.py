@@ -212,6 +212,25 @@ def q_icelite_merge(spark, sf_dir):
     return icelite.scan(spark, path).select(*roll.columns)
 
 
+def q_icelite_compact(spark, sf_dir):
+    """Small-file compaction is value-neutral: 4 append commits leave
+    shards per bucket, compact() bin-packs them in one atomic commit,
+    and the read-back still hashes identical to the plain tier0 oracle."""
+    from tsf import icelite
+    roll = _rollup_select(tier0(_seq(spark, sf_dir), _stats_fs(),
+                                window=20, blocks=False))
+    path = _icelite_tmp()
+    icelite.create(roll.where("source < 'src13'"), path,
+                   [("bucket", "doc_id", 4)])
+    for lo, hi in (("src13", "src17"), ("src17", "src4"), ("src4", "srcZ")):
+        icelite.append(
+            roll.where(f"source >= '{lo}' AND source < '{hi}'"), path)
+    before = len(icelite.plan_files(path))
+    res = icelite.compact(spark, path, target_bytes=1 << 30)
+    assert res["files_after"] < before, res
+    return icelite.scan(spark, path).select(*roll.columns)
+
+
 def q_series_acf(spark, sf_dir):
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["cnt", "mean", "std", "ac_1"]]
@@ -674,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icelite_time_travel": q_icelite_time_travel,
         "icelite_retention": q_icelite_retention,
         "icelite_merge": q_icelite_merge,
+        "icelite_compact": q_icelite_compact,
         "series_acf": q_series_acf,
         "series_features": q_series_features,
         "acf_features": q_acf_features,
@@ -784,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
     d["icelite_time_travel"] = (
         f"SELECT * FROM ({d['tier0_rollup']}) WHERE source < 'src2'")
     d["icelite_retention"] = d["retention_prune"]
+    d["icelite_compact"] = d["tier0_rollup"]
     d["icelite_merge"] = (
         f"SELECT doc_id, source, tier, window_id, win_start, cnt, "
         f"sum_tok, min_tok, max_tok, "
