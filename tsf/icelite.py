@@ -611,12 +611,22 @@ def compact(spark: SparkSession, path: str,
             "files_before": len(victims), "files_after": len(new_files)}
 
 
-def expire_snapshots(path: str, keep_last: int = 2) -> dict:
+def expire_snapshots(path: str, keep_last: int = 2,
+                     orphan_grace_sec: float = 0.0) -> dict:
     """Garbage-collect: keep the newest ``keep_last`` snapshots (always
     including CURRENT), delete older metadata and any data file no
     retained snapshot references. Time travel to an expired snapshot
     then raises LookupError — exactly Iceberg's expire_snapshots
-    contract."""
+    contract.
+
+    ``orphan_grace_sec``: unreferenced data files YOUNGER than this are
+    kept — a concurrent writer stages its data files BEFORE taking the
+    commit lock, so with live writers an aggressive sweep could delete
+    a commit-in-flight's files (the reason Iceberg's remove_orphan_files
+    defaults to a 3-day age threshold). The 0 default suits the
+    single-writer sandbox; pass a real grace when writers overlap."""
+    import time as _time
+    now = _time.time()
     mdir = _meta_dir(path)
     snaps = sorted(n for n in os.listdir(mdir)
                    if n.endswith(".metadata.json"))
@@ -631,7 +641,8 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
         for name in names:
             fp = os.path.join(root, name)
             if (name.endswith(".parquet")
-                    and os.path.relpath(fp, path) not in referenced):
+                    and os.path.relpath(fp, path) not in referenced
+                    and now - os.path.getmtime(fp) >= orphan_grace_sec):
                 os.unlink(fp)
                 removed_files += 1
         if not os.listdir(root):
