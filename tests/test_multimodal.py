@@ -96,3 +96,16 @@ def test_frame_sample_shapes(spark, sf001):
             m = meta.loc[r["doc_id"]]
             assert r["frame_id"] % 16 == 0 and r["frame_id"] < m["height"]
             assert len(r["frame"]) == m["width"] * m["channels"]
+
+
+def test_decode_stages_spread_partitions(spark, sf001):
+    """The decode-heavy UDF stages must not inherit the input's
+    file-size-based split count: a 0.6MB parquet is ONE split, but the
+    decode expands ~10^4x, so media_features/frame_sample repartition to
+    the session parallelism first (regression: 40s single-task stage)."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    media = mm.synth_media(docs)
+    target = spark.sparkContext.defaultParallelism
+    for op in (mm.media_features(media),
+               mm.frame_sample(media, every=8)):
+        assert op.rdd.getNumPartitions() >= target
