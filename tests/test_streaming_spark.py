@@ -341,3 +341,36 @@ def test_stream_to_icelite_exactly_once(spark, tmp_path, seq_batches):
     icelite.append(icelite.scan(spark, tbl).limit(0), tbl,
                    extra={"batch_id": 99})
     assert icelite.lineage(tbl)[-1]["extra"]["batch_id"] == 99
+
+
+def test_stream_cascade_to_icelite_equals_batch(spark, tmp_path, seq_batches):
+    """Multi-tier streaming: each micro-batch cascades tier 0->1->2
+    in-batch (docs arrive whole, so windows never span batches) and all
+    tiers land in ONE snapshot; the final table equals the batch cascade
+    over everything."""
+    from tsf import icelite
+    from tsf.rollup import cascade
+
+    d, s1, s2 = seq_batches
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    s1.write.mode("append").parquet(d)
+    q = streaming.stream_tier0_to_icelite(spark, d, tbl, ckpt, _fs(),
+                                          window=100, tiers=3)
+    q.awaitTermination(120)
+    s2.write.mode("append").parquet(d)
+    q = streaming.stream_tier0_to_icelite(spark, d, tbl, ckpt, _fs(),
+                                          window=100, tiers=3)
+    q.awaitTermination(120)
+    want = None
+    for t in cascade(spark.read.parquet(d), tiers=3, features=_fs(),
+                     window=100):
+        tp = t.toPandas()
+        want = tp if want is None else __import__("pandas").concat(
+            [want, tp], ignore_index=True)
+    got = icelite.scan(spark, tbl).toPandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    _assert_same(got, want)
+    # tier partition pruning works on the streamed table
+    assert 0 < icelite.scan(spark, tbl,
+                            where=[("tier", "==", 2)]).count() < len(got)

@@ -112,7 +112,8 @@ def stream_tier0_to_icelite(spark: SparkSession, input_dir: str,
                             table_path: str, checkpoint_dir: str,
                             features: FeatureSet | None = None,
                             window: int = DEFAULT_WINDOW,
-                            doc_buckets: int = 16) -> StreamingQuery:
+                            doc_buckets: int = 16,
+                            tiers: int = 1) -> StreamingQuery:
     """Streaming tier-0 rollup published EXACTLY-ONCE into an
     Iceberg-style snapshot table (:mod:`tsf.icelite`).
 
@@ -126,8 +127,18 @@ def stream_tier0_to_icelite(spark: SparkSession, input_dir: str,
     whose rows are not in the table (treating that as done would lose
     the batch; lineage excludes it, so the replay re-commits).
     Atomic commit + lineage-gated idempotence = exactly-once table
-    state, the Spark->Iceberg streaming-sink contract."""
+    state, the Spark->Iceberg streaming-sink contract.
+
+    ``tiers > 1`` cascades WITHIN the micro-batch (tier 1..N-1 derived
+    from tier-0 compressed blocks) and commits all tiers in the same
+    snapshot. This is exact because this reader delivers each doc's
+    sequence row whole in one batch and windows never span docs — a
+    CHUNKED arrival stream (stream_tier0_stateful) must instead flush
+    tier 0 first and derive higher tiers from the flushed table."""
+    from functools import reduce
+
     from tsf import icelite
+    from tsf.rollup import next_tier
 
     feats = features or default_rollup_features()
 
@@ -142,13 +153,21 @@ def stream_tier0_to_icelite(spark: SparkSession, input_dir: str,
         if batch_id in done:
             return          # replayed, already atomically committed
         rolled = tier0_stream_df(batch_df, feats, window)
+        if tiers > 1:
+            frames = [rolled]
+            for t in range(1, tiers):
+                frames.append(next_tier(frames[-1], t - 1, feats,
+                                        window=window))
+            rolled = reduce(lambda a, b: a.unionByName(b), frames)
         try:
             icelite.append(rolled, table_path,
                            extra={"batch_id": batch_id})
         except LookupError:
-            icelite.create(rolled, table_path,
-                           [("identity", "source"),
-                            ("bucket", "doc_id", doc_buckets)],
+            spec = [("identity", "source"),
+                    ("bucket", "doc_id", doc_buckets)]
+            if tiers > 1:
+                spec = [("identity", "tier")] + spec
+            icelite.create(rolled, table_path, spec,
                            extra={"batch_id": batch_id})
 
     return (read_sequence_stream(spark, input_dir)
