@@ -536,6 +536,28 @@ def q_pairwise_featureset(spark, sf_dir):
         seq, ("pearson", "cov", "plv", "ppc", "mi"), window=64, k_mi=20)
 
 
+def q_rad_check(spark, sf_dir):
+    """Whole-series RAD(τ=1) in both variants (doAbs / raw, reference
+    src/StatsBase.jl:81-107) with a FULL DuckDB value oracle: every
+    intermediate (median split, |x-med| values, ddof-1 side stds,
+    Δ-std) is an exact multiple of 0.25 under bigint tokens, so
+    explicit-sum SQL replays the numpy kernel bit-for-bit. Engine ±inf
+    (a zero side-std) and NaN both map to NULL; DuckDB's
+    division-by-zero NULL matches."""
+    from tsf.rollup import series_features
+    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
+    fs = catalogue()[["rad", "rad_raw"]]
+    r = series_features(seq, fs)
+
+    def fin(c):
+        col = F.col(c)
+        return F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)
+
+    return r.select("doc_id",
+                    F.round(fin("rad"), 6).alias("rad"),
+                    F.round(fin("rad_raw"), 6).alias("rad_raw"))
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
@@ -699,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_features": q_acf_features,
         "kernel_features": q_kernel_features,
         "firstcrossing": q_firstcrossing,
+        "rad_check": q_rad_check,
         "dim_stack": q_dim_stack,
         "window_z": q_window_z,
         "events_hourly": q_events_hourly,
@@ -962,6 +985,46 @@ def _oracle_sql_base() -> dict[str, str]:
                         / (n - 1), 0)), 6) END AS std,
                    round(num.sdn / nullif(num.sdd, 0), 6) AS ac_1
             FROM st JOIN num USING (doc_id)
+        """,
+        "rad_check": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 3 AND n_tok <= 1000),
+            tok AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos FROM f),
+            st AS (SELECT doc_id, count(*) AS n, median(x) AS med
+                   FROM tok GROUP BY 1),
+            z AS (SELECT t.doc_id, pos, n,
+                         abs(x - med) AS za, CAST(x AS DOUBLE) AS zr
+                  FROM tok t JOIN st USING (doc_id)),
+            p AS (SELECT doc_id, pos, n, za, zr,
+                         lead(za) OVER (PARTITION BY doc_id ORDER BY pos) AS ya,
+                         lead(zr) OVER (PARTITION BY doc_id ORDER BY pos) AS yr
+                  FROM z),
+            q AS (SELECT * FROM p WHERE pos < n - 1),
+            mx AS (SELECT doc_id, median(za) AS mxa, median(zr) AS mxr
+                   FROM q GROUP BY 1),
+            s AS (SELECT q.doc_id, count(*) AS c,
+                   count(CASE WHEN za < mxa THEN 1 END) AS c_sub_a,
+                   sum(CASE WHEN za < mxa THEN za ELSE 0 END) AS s_sub_a,
+                   sum(CASE WHEN za < mxa THEN za*za ELSE 0 END) AS ss_sub_a,
+                   count(CASE WHEN za >= mxa THEN 1 END) AS c_sup_a,
+                   sum(CASE WHEN za >= mxa THEN za ELSE 0 END) AS s_sup_a,
+                   sum(CASE WHEN za >= mxa THEN za*za ELSE 0 END) AS ss_sup_a,
+                   sum(ya - za) AS sd_a, sum((ya - za)*(ya - za)) AS ssd_a,
+                   count(CASE WHEN zr < mxr THEN 1 END) AS c_sub_r,
+                   sum(CASE WHEN zr < mxr THEN zr ELSE 0 END) AS s_sub_r,
+                   sum(CASE WHEN zr < mxr THEN zr*zr ELSE 0 END) AS ss_sub_r,
+                   count(CASE WHEN zr >= mxr THEN 1 END) AS c_sup_r,
+                   sum(CASE WHEN zr >= mxr THEN zr ELSE 0 END) AS s_sup_r,
+                   sum(CASE WHEN zr >= mxr THEN zr*zr ELSE 0 END) AS ss_sup_r,
+                   sum(yr - zr) AS sd_r, sum((yr - zr)*(yr - zr)) AS ssd_r
+                  FROM q JOIN mx USING (doc_id) GROUP BY 1)
+            SELECT doc_id,
+                   CASE WHEN isfinite((CASE WHEN c >= 2 THEN sqrt(greatest((ssd_a - sd_a * sd_a / c) / (c - 1), 0)) END) * (1.0 / nullif((CASE WHEN c_sup_a >= 2 THEN sqrt(greatest((ss_sup_a - s_sup_a * s_sup_a / c_sup_a) / (c_sup_a - 1), 0)) END), 0.0) - 1.0 / nullif((CASE WHEN c_sub_a >= 2 THEN sqrt(greatest((ss_sub_a - s_sub_a * s_sub_a / c_sub_a) / (c_sub_a - 1), 0)) END), 0.0)))
+                        THEN round((CASE WHEN c >= 2 THEN sqrt(greatest((ssd_a - sd_a * sd_a / c) / (c - 1), 0)) END) * (1.0 / nullif((CASE WHEN c_sup_a >= 2 THEN sqrt(greatest((ss_sup_a - s_sup_a * s_sup_a / c_sup_a) / (c_sup_a - 1), 0)) END), 0.0) - 1.0 / nullif((CASE WHEN c_sub_a >= 2 THEN sqrt(greatest((ss_sub_a - s_sub_a * s_sub_a / c_sub_a) / (c_sub_a - 1), 0)) END), 0.0)), 6) END AS rad,
+                   CASE WHEN isfinite((CASE WHEN c >= 2 THEN sqrt(greatest((ssd_r - sd_r * sd_r / c) / (c - 1), 0)) END) * (1.0 / nullif((CASE WHEN c_sup_r >= 2 THEN sqrt(greatest((ss_sup_r - s_sup_r * s_sup_r / c_sup_r) / (c_sup_r - 1), 0)) END), 0.0) - 1.0 / nullif((CASE WHEN c_sub_r >= 2 THEN sqrt(greatest((ss_sub_r - s_sub_r * s_sub_r / c_sub_r) / (c_sub_r - 1), 0)) END), 0.0)))
+                        THEN round((CASE WHEN c >= 2 THEN sqrt(greatest((ssd_r - sd_r * sd_r / c) / (c - 1), 0)) END) * (1.0 / nullif((CASE WHEN c_sup_r >= 2 THEN sqrt(greatest((ss_sup_r - s_sup_r * s_sup_r / c_sup_r) / (c_sup_r - 1), 0)) END), 0.0) - 1.0 / nullif((CASE WHEN c_sub_r >= 2 THEN sqrt(greatest((ss_sub_r - s_sub_r * s_sub_r / c_sub_r) / (c_sub_r - 1), 0)) END), 0.0)), 6) END AS rad_raw
+            FROM s
         """,
         "dim_stack": _dim_stack_oracle(),
         "acf_features": f"""
