@@ -558,6 +558,23 @@ def q_rad_check(spark, sf_dir):
                     F.round(fin("rad_raw"), 6).alias("rad_raw"))
 
 
+def q_acf_timescale_check(spark, sf_dir):
+    """Whole-series firstcrossingacf(x, 0) (reference src/StatsBase.jl:
+    44-64) with a full DuckDB oracle replaying the chunked-lag scan:
+    sign correction by sign(AC_1), the L = min(100, n-1) lag chunks with
+    cap = L*((n-1) div L) (the trailing partial chunk is never scanned),
+    linear interpolation between bracketing lags, AND the reference's
+    chunk-boundary quirk (a crossing at the first lag of a chunk reads
+    `a` from that chunk's LAST lag). n_tok <= 300 bounds the oracle's
+    O(n * lags) lag-join."""
+    from tsf.rollup import series_features
+    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 300")
+    fs = catalogue()[["acf_timescale"]]
+    r = series_features(seq, fs)
+    return r.select("doc_id",
+                    F.round(_nn("acf_timescale"), 6).alias("acf_timescale"))
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
@@ -722,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_features": q_kernel_features,
         "firstcrossing": q_firstcrossing,
         "rad_check": q_rad_check,
+        "acf_timescale_check": q_acf_timescale_check,
         "dim_stack": q_dim_stack,
         "window_z": q_window_z,
         "events_hourly": q_events_hourly,
@@ -1025,6 +1043,48 @@ def _oracle_sql_base() -> dict[str, str]:
                    CASE WHEN isfinite((CASE WHEN c >= 2 THEN sqrt(greatest((ssd_r - sd_r * sd_r / c) / (c - 1), 0)) END) * (1.0 / nullif((CASE WHEN c_sup_r >= 2 THEN sqrt(greatest((ss_sup_r - s_sup_r * s_sup_r / c_sup_r) / (c_sup_r - 1), 0)) END), 0.0) - 1.0 / nullif((CASE WHEN c_sub_r >= 2 THEN sqrt(greatest((ss_sub_r - s_sub_r * s_sub_r / c_sub_r) / (c_sub_r - 1), 0)) END), 0.0)))
                         THEN round((CASE WHEN c >= 2 THEN sqrt(greatest((ssd_r - sd_r * sd_r / c) / (c - 1), 0)) END) * (1.0 / nullif((CASE WHEN c_sup_r >= 2 THEN sqrt(greatest((ss_sup_r - s_sup_r * s_sup_r / c_sup_r) / (c_sup_r - 1), 0)) END), 0.0) - 1.0 / nullif((CASE WHEN c_sub_r >= 2 THEN sqrt(greatest((ss_sub_r - s_sub_r * s_sub_r / c_sub_r) / (c_sub_r - 1), 0)) END), 0.0)), 6) END AS rad_raw
             FROM s
+        """,
+        "acf_timescale_check": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 3 AND n_tok <= 300),
+            tok AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos FROM f),
+            st AS (SELECT doc_id, count(*) AS n, sum(x) AS s FROM tok
+                   GROUP BY 1),
+            dv AS (SELECT t.doc_id, pos, n,
+                          x - CAST(s AS DOUBLE) / n AS d
+                   FROM tok t JOIN st USING (doc_id)),
+            dn AS (SELECT doc_id, n, sum(d * d) AS denom,
+                          least(100, n - 1) AS L,
+                          least(100, n - 1) * ((n - 1) // least(100, n - 1))
+                            AS cap
+                   FROM dv GROUP BY doc_id, n),
+            ks AS (SELECT doc_id, denom, L, cap,
+                          unnest(range(1, cap + 1)) AS k
+                   FROM dn WHERE denom > 0),
+            r AS (SELECT a.doc_id, a.k, a.denom, a.L, a.cap,
+                         sum(x.d * y.d) / a.denom AS r
+                  FROM ks a
+                  JOIN dv x ON x.doc_id = a.doc_id
+                  JOIN dv y ON y.doc_id = a.doc_id AND y.pos = x.pos + a.k
+                  GROUP BY a.doc_id, a.k, a.denom, a.L, a.cap),
+            sgn AS (SELECT doc_id, sign(r) AS sg FROM r WHERE k = 1),
+            v AS (SELECT r.doc_id, k, L, cap, r * sg AS v
+                  FROM r JOIN sgn USING (doc_id)),
+            hit AS (SELECT doc_id, min(k) AS idx FROM v
+                    WHERE v < 0 GROUP BY 1),
+            ab AS (SELECT h.doc_id, h.idx, bv.v AS b, bv.L,
+                          CASE WHEN (h.idx - 1) % bv.L = 0
+                               THEN h.idx + bv.L - 1
+                               ELSE h.idx - 1 END AS a_lag
+                   FROM hit h JOIN v bv ON bv.doc_id = h.doc_id
+                                       AND bv.k = h.idx)
+            SELECT f.doc_id,
+                   round((ab.idx - 1) + (0 - av.v) / (ab.b - av.v), 6)
+                     AS acf_timescale
+            FROM f
+            LEFT JOIN ab ON ab.doc_id = f.doc_id
+            LEFT JOIN v av ON av.doc_id = ab.doc_id AND av.k = ab.a_lag
         """,
         "dim_stack": _dim_stack_oracle(),
         "acf_features": f"""
