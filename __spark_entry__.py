@@ -575,6 +575,24 @@ def q_acf_timescale_check(spark, sf_dir):
                     F.round(_nn("acf_timescale"), 6).alias("acf_timescale"))
 
 
+def q_pairwise_mi_check(spark, sf_dir):
+    """MI_Kraskov_NN_20 with a FULL DuckDB oracle: the KSG1 estimator
+    (Kraskov 2004 eq. 8) is replayed in SQL — max-norm joint distances
+    are exact integers under bigint tokens, the k-th-NN radius is an
+    order statistic (row_number over the 64x64 per-window distance
+    join), the strict-ball counts are integer-exact, and digamma at
+    integer arguments is the harmonic sum H_{m-1} - gamma (engine's
+    asymptotic digamma agrees to ~1e-12, far inside 6-dp rounding).
+    A degenerate window (>= k identical joint points, eps = 0) poisons
+    the pair to NaN engine-side and NULL oracle-side. The n_tok cap
+    bounds the oracle's O(pairs * windows * W^2) join."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 64 AND n_tok <= 512")
+    r = pairwise.pairwise_mi(seq, window=64, k=20)
+    return r.select("source", "doc_a", "doc_b",
+                    F.col("n_windows").cast("bigint").alias("n_windows"),
+                    _nn("mi").alias("mi"))
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
@@ -740,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "firstcrossing": q_firstcrossing,
         "rad_check": q_rad_check,
         "acf_timescale_check": q_acf_timescale_check,
+        "pairwise_mi_check": q_pairwise_mi_check,
         "dim_stack": q_dim_stack,
         "window_z": q_window_z,
         "events_hourly": q_events_hourly,
@@ -1085,6 +1104,57 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM f
             LEFT JOIN ab ON ab.doc_id = f.doc_id
             LEFT JOIN v av ON av.doc_id = ab.doc_id AND av.k = ab.a_lag
+        """,
+        "pairwise_mi_check": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 64 AND n_tok <= 512),
+            tok AS (SELECT doc_id, source,
+                           CAST(unnest(tokens) AS BIGINT) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos,
+                           n_tok FROM f),
+            pt AS (SELECT doc_id, source, pos // 64 AS w, pos % 64 AS i,
+                          CAST(x AS DOUBLE) AS x
+                   FROM tok WHERE pos // 64 < n_tok // 64),
+            pw AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.w, a.i, a.x AS xa, b.x AS xb
+                   FROM pt a JOIN pt b
+                     ON a.source = b.source AND a.w = b.w AND a.i = b.i
+                        AND a.doc_id < b.doc_id),
+            d AS (SELECT p.source, p.doc_a, p.doc_b, p.w, p.i,
+                         abs(p.xa - q.xa) AS dxx, abs(p.xb - q.xb) AS dyy,
+                         greatest(abs(p.xa - q.xa), abs(p.xb - q.xb)) AS dz
+                  FROM pw p JOIN pw q
+                    ON p.source = q.source AND p.doc_a = q.doc_a
+                       AND p.doc_b = q.doc_b AND p.w = q.w AND p.i <> q.i),
+            e AS (SELECT source, doc_a, doc_b, w, i, dz AS eps FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY source, doc_a, doc_b, w, i
+                        ORDER BY dz) AS rn FROM d) WHERE rn = 20),
+            cnt AS (SELECT d.source, d.doc_a, d.doc_b, d.w, d.i,
+                           any_value(e.eps) AS eps,
+                           count(CASE WHEN d.dxx < e.eps THEN 1 END) AS nx,
+                           count(CASE WHEN d.dyy < e.eps THEN 1 END) AS ny
+                    FROM d JOIN e USING (source, doc_a, doc_b, w, i)
+                    GROUP BY d.source, d.doc_a, d.doc_b, d.w, d.i),
+            hs AS (SELECT g1.m, sum(CASE WHEN g2.j < g1.m
+                                         THEN 1.0 / g2.j ELSE 0 END)
+                            - 0.5772156649015329 AS psi
+                   FROM range(1, 66) g1(m), range(1, 66) g2(j)
+                   GROUP BY g1.m),
+            mw AS (SELECT c.source, c.doc_a, c.doc_b, c.w,
+                          CASE WHEN min(c.eps) > 0 THEN
+                            (SELECT psi FROM hs WHERE m = 20)
+                            + (SELECT psi FROM hs WHERE m = 64)
+                            - avg(px.psi + py.psi)
+                          END AS mi
+                   FROM cnt c JOIN hs px ON px.m = c.nx + 1
+                              JOIN hs py ON py.m = c.ny + 1
+                   GROUP BY c.source, c.doc_a, c.doc_b, c.w)
+            SELECT source, doc_a, doc_b,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CASE WHEN count(CASE WHEN mi IS NULL THEN 1 END) = 0
+                        THEN round(avg(mi), 6) END AS mi
+            FROM mw GROUP BY 1, 2, 3
         """,
         "dim_stack": _dim_stack_oracle(),
         "acf_features": f"""
