@@ -593,6 +593,23 @@ def q_pairwise_mi_check(spark, sf_dir):
                     _nn("mi").alias("mi"))
 
 
+def q_phase_sync_check(spark, sf_dir):
+    """Two-series PLV/PPC of the analytic phase difference with a FULL
+    DuckDB oracle: the FFT Hilbert transform is replayed as its
+    closed-form circular convolution — for even W the analytic signal's
+    imaginary part is x (*) hk with hk(d) = (2/W) * sum_{k=1}^{W/2-1}
+    sin(2 pi k d / W) and its real part is exactly x, so phases are
+    atan2(im, x) per point and the PLV/PPC dot-product identities run in
+    plain SQL. Engine FFT vs oracle direct-sum agree to ~1e-12 — far
+    inside 6-dp rounding (a tolerance, unlike the bit-exact integer
+    oracles; noted here explicitly)."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 50 AND n_tok <= 512")
+    r = pairwise.pairwise_phase_sync(seq, window=50)
+    return r.select("source", "doc_a", "doc_b",
+                    F.col("n_windows").cast("bigint").alias("n_windows"),
+                    _nn("plv").alias("plv"), _nn("ppc").alias("ppc"))
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
@@ -759,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rad_check": q_rad_check,
         "acf_timescale_check": q_acf_timescale_check,
         "pairwise_mi_check": q_pairwise_mi_check,
+        "phase_sync_check": q_phase_sync_check,
         "dim_stack": q_dim_stack,
         "window_z": q_window_z,
         "events_hourly": q_events_hourly,
@@ -1155,6 +1173,49 @@ def _oracle_sql_base() -> dict[str, str]:
                    CASE WHEN count(CASE WHEN mi IS NULL THEN 1 END) = 0
                         THEN round(avg(mi), 6) END AS mi
             FROM mw GROUP BY 1, 2, 3
+        """,
+        "phase_sync_check": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 50 AND n_tok <= 512),
+            tok AS (SELECT doc_id, source,
+                           CAST(unnest(tokens) AS BIGINT) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos,
+                           n_tok FROM f),
+            pt AS (SELECT doc_id, source, pos // 50 AS w, pos % 50 AS i,
+                          CAST(x AS DOUBLE) AS x
+                   FROM tok WHERE pos // 50 < n_tok // 50),
+            hk AS (SELECT d.d,
+                          2.0 / 50.0 * sum(sin(2 * pi() * k.k * d.d / 50.0))
+                            AS h
+                   FROM range(0, 50) d(d), range(1, 25) k(k)
+                   GROUP BY d.d),
+            ph AS (SELECT a.doc_id, a.source, a.w, a.i AS m,
+                          atan2(imv.im, a.x) AS p
+                   FROM pt a JOIN (
+                     SELECT j.doc_id, j.w, mm.m AS m,
+                            sum(j.x * hk.h) AS im
+                     FROM pt j
+                     JOIN range(0, 50) mm(m) ON true
+                     JOIN hk ON hk.d = ((mm.m - j.i) % 50 + 50) % 50
+                     GROUP BY j.doc_id, j.w, mm.m
+                   ) imv ON imv.doc_id = a.doc_id AND imv.w = a.w
+                        AND imv.m = a.i),
+            cs AS (SELECT pa.source, pa.doc_id AS doc_a,
+                          pb.doc_id AS doc_b, pa.w,
+                          sum(cos(pb.p) * cos(pa.p)
+                              + sin(pb.p) * sin(pa.p)) AS c,
+                          sum(sin(pb.p) * cos(pa.p)
+                              - cos(pb.p) * sin(pa.p)) AS s
+                   FROM ph pa JOIN ph pb
+                     ON pa.source = pb.source AND pa.w = pb.w
+                        AND pa.m = pb.m AND pa.doc_id < pb.doc_id
+                   GROUP BY 1, 2, 3, 4)
+            SELECT source, doc_a, doc_b,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   round(avg(sqrt(c * c + s * s) / 50.0), 6) AS plv,
+                   round(avg((c * c + s * s - 50.0) / (50.0 * 49.0)), 6)
+                     AS ppc
+            FROM cs GROUP BY 1, 2, 3
         """,
         "dim_stack": _dim_stack_oracle(),
         "acf_features": f"""
