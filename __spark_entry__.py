@@ -610,6 +610,22 @@ def q_phase_sync_check(spark, sf_dir):
                     _nn("plv").alias("plv"), _nn("ppc").alias("ppc"))
 
 
+def q_pairwise_featureset_check(spark, sf_dir):
+    """The whole SuperPairwiseFeatureSet (pearson/cov/plv/ppc/mi in ONE
+    super pass + ONE join) against a combined DuckDB oracle assembled
+    from the proven pieces: exact-integer sufficient statistics for
+    pearson/cov, the closed-form DFT Hilbert convolution for plv/ppc,
+    and the order-statistic KSG1 replay for mi — every pairwise leaf
+    value-checked in a single query."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 64 AND n_tok <= 512")
+    r = pairwise.pairwise_features(
+        seq, ("pearson", "cov", "plv", "ppc", "mi"), window=64, k_mi=20)
+    return r.select("source", "doc_a", "doc_b",
+                    F.col("n_windows").cast("bigint").alias("n_windows"),
+                    *[_nn(c).alias(c)
+                      for c in ("pearson", "cov", "plv", "ppc", "mi")])
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
@@ -777,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_timescale_check": q_acf_timescale_check,
         "pairwise_mi_check": q_pairwise_mi_check,
         "phase_sync_check": q_phase_sync_check,
+        "pairwise_featureset_check": q_pairwise_featureset_check,
         "dim_stack": q_dim_stack,
         "window_z": q_window_z,
         "events_hourly": q_events_hourly,
@@ -1216,6 +1233,113 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(avg((c * c + s * s - 50.0) / (50.0 * 49.0)), 6)
                      AS ppc
             FROM cs GROUP BY 1, 2, 3
+        """,
+        "pairwise_featureset_check": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 64 AND n_tok <= 512),
+            tok AS (SELECT doc_id, source,
+                           CAST(unnest(tokens) AS BIGINT) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos,
+                           n_tok FROM f),
+            pt AS (SELECT doc_id, source, pos // 64 AS w, pos % 64 AS i,
+                          CAST(x AS DOUBLE) AS x
+                   FROM tok WHERE pos // 64 < n_tok // 64),
+            -- pearson / cov: exact integer sufficient stats per window
+            ds AS (SELECT doc_id, source, w, sum(x) AS sm, sum(x * x) AS sq
+                   FROM pt GROUP BY 1, 2, 3),
+            pw AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.w, a.i, a.x AS xa, b.x AS xb
+                   FROM pt a JOIN pt b
+                     ON a.source = b.source AND a.w = b.w AND a.i = b.i
+                        AND a.doc_id < b.doc_id),
+            pc AS (SELECT p.source, p.doc_a, p.doc_b, p.w,
+                          sum(p.xa * p.xb) AS dab,
+                          any_value(da.sm) AS sa, any_value(da.sq) AS qa,
+                          any_value(db.sm) AS sb, any_value(db.sq) AS qb
+                   FROM pw p
+                   JOIN ds da ON da.doc_id = p.doc_a AND da.w = p.w
+                   JOIN ds db ON db.doc_id = p.doc_b AND db.w = p.w
+                   GROUP BY 1, 2, 3, 4),
+            -- plv / ppc: closed-form DFT Hilbert phases
+            hk AS (SELECT d.d,
+                          2.0 / 64.0 * sum(sin(2 * pi() * k.k * d.d / 64.0))
+                            AS h
+                   FROM range(0, 64) d(d), range(1, 32) k(k)
+                   GROUP BY d.d),
+            ph AS (SELECT a.doc_id, a.source, a.w, a.i AS m,
+                          atan2(imv.im, a.x) AS p
+                   FROM pt a JOIN (
+                     SELECT j.doc_id, j.w, mm.m AS m,
+                            sum(j.x * hk.h) AS im
+                     FROM pt j
+                     JOIN range(0, 64) mm(m) ON true
+                     JOIN hk ON hk.d = ((mm.m - j.i) % 64 + 64) % 64
+                     GROUP BY j.doc_id, j.w, mm.m
+                   ) imv ON imv.doc_id = a.doc_id AND imv.w = a.w
+                        AND imv.m = a.i),
+            cs AS (SELECT pa.source, pa.doc_id AS doc_a,
+                          pb.doc_id AS doc_b, pa.w,
+                          sum(cos(pb.p) * cos(pa.p)
+                              + sin(pb.p) * sin(pa.p)) AS c,
+                          sum(sin(pb.p) * cos(pa.p)
+                              - cos(pb.p) * sin(pa.p)) AS s
+                   FROM ph pa JOIN ph pb
+                     ON pa.source = pb.source AND pa.w = pb.w
+                        AND pa.m = pb.m AND pa.doc_id < pb.doc_id
+                   GROUP BY 1, 2, 3, 4),
+            -- mi: order-statistic KSG1 replay
+            d AS (SELECT p.source, p.doc_a, p.doc_b, p.w, p.i,
+                         abs(p.xa - q.xa) AS dxx, abs(p.xb - q.xb) AS dyy,
+                         greatest(abs(p.xa - q.xa), abs(p.xb - q.xb)) AS dz
+                  FROM pw p JOIN pw q
+                    ON p.source = q.source AND p.doc_a = q.doc_a
+                       AND p.doc_b = q.doc_b AND p.w = q.w AND p.i <> q.i),
+            e AS (SELECT source, doc_a, doc_b, w, i, dz AS eps FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY source, doc_a, doc_b, w, i
+                        ORDER BY dz) AS rn FROM d) WHERE rn = 20),
+            cnt AS (SELECT d.source, d.doc_a, d.doc_b, d.w, d.i,
+                           any_value(e.eps) AS eps,
+                           count(CASE WHEN d.dxx < e.eps THEN 1 END) AS nx,
+                           count(CASE WHEN d.dyy < e.eps THEN 1 END) AS ny
+                    FROM d JOIN e USING (source, doc_a, doc_b, w, i)
+                    GROUP BY d.source, d.doc_a, d.doc_b, d.w, d.i),
+            hs AS (SELECT g1.m, sum(CASE WHEN g2.j < g1.m
+                                         THEN 1.0 / g2.j ELSE 0 END)
+                            - 0.5772156649015329 AS psi
+                   FROM range(1, 66) g1(m), range(1, 66) g2(j)
+                   GROUP BY g1.m),
+            mw AS (SELECT c.source, c.doc_a, c.doc_b, c.w,
+                          CASE WHEN min(c.eps) > 0 THEN
+                            (SELECT psi FROM hs WHERE m = 20)
+                            + (SELECT psi FROM hs WHERE m = 64)
+                            - avg(px.psi + py.psi)
+                          END AS mi
+                   FROM cnt c JOIN hs px ON px.m = c.nx + 1
+                              JOIN hs py ON py.m = c.ny + 1
+                   GROUP BY c.source, c.doc_a, c.doc_b, c.w),
+            allw AS (SELECT pc.source, pc.doc_a, pc.doc_b, pc.w,
+                            (64.0 * dab - sa * sb)
+                              / nullif(sqrt((64.0 * qa - sa * sa)
+                                            * (64.0 * qb - sb * sb)), 0)
+                              AS pearson,
+                            (dab - sa * sb / 64.0) / 63.0 AS cov,
+                            sqrt(cs.c * cs.c + cs.s * cs.s) / 64.0 AS plv,
+                            (cs.c * cs.c + cs.s * cs.s - 64.0)
+                              / (64.0 * 63.0) AS ppc,
+                            mw.mi AS mi
+                     FROM pc
+                     JOIN cs USING (source, doc_a, doc_b, w)
+                     JOIN mw USING (source, doc_a, doc_b, w))
+            SELECT source, doc_a, doc_b,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   round(avg(pearson), 6) AS pearson,
+                   round(avg(cov), 6) AS cov,
+                   round(avg(plv), 6) AS plv,
+                   round(avg(ppc), 6) AS ppc,
+                   CASE WHEN count(CASE WHEN mi IS NULL THEN 1 END) = 0
+                        THEN round(avg(mi), 6) END AS mi
+            FROM allw GROUP BY 1, 2, 3
         """,
         "dim_stack": _dim_stack_oracle(),
         "acf_features": f"""
