@@ -626,6 +626,24 @@ def q_pairwise_featureset_check(spark, sf_dir):
                       for c in ("pearson", "cov", "plv", "ppc", "mi")])
 
 
+def q_hilbert_series_check(spark, sf_dir):
+    """The four single-series Hilbert leaves (amplitude mean/std, PLV,
+    PPC of the analytic phase) over whole ragged series, against the
+    closed-form DFT-convolution oracle generalized to per-doc length n
+    (hk(n,d) = (2/n) * sum_{k=1}^{ceil(n/2)-1} sin(2 pi k d / n), both
+    parities). Tolerance oracle (FFT vs direct sums ~1e-12, inside 6-dp
+    rounding); n_tok <= 256 bounds the O(n^2)-per-doc convolution."""
+    from tsf.rollup import series_features
+    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 256")
+    fs = catalogue()[["analytic_amp_mean", "analytic_amp_std",
+                      "plv_phase", "ppc_phase"]]
+    r = series_features(seq, fs)
+    return r.select("doc_id",
+                    *[F.round(_nn(c), 6).alias(c)
+                      for c in ("analytic_amp_mean", "analytic_amp_std",
+                                "plv_phase", "ppc_phase")])
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
@@ -794,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_mi_check": q_pairwise_mi_check,
         "phase_sync_check": q_phase_sync_check,
         "pairwise_featureset_check": q_pairwise_featureset_check,
+        "hilbert_series_check": q_hilbert_series_check,
         "dim_stack": q_dim_stack,
         "window_z": q_window_z,
         "events_hourly": q_events_hourly,
@@ -1340,6 +1359,54 @@ def _oracle_sql_base() -> dict[str, str]:
                    CASE WHEN count(CASE WHEN mi IS NULL THEN 1 END) = 0
                         THEN round(avg(mi), 6) END AS mi
             FROM allw GROUP BY 1, 2, 3
+        """,
+        "hilbert_series_check": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 3 AND n_tok <= 256),
+            tok AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos,
+                           n_tok AS n,
+                           -- the engine evaluates whole series in
+                           -- next-pow2-padded buckets; its FFT Hilbert
+                           -- therefore runs at length N2 with zero
+                           -- padding (analytic real part is still
+                           -- exactly x at positions < n)
+                           CAST(power(2, ceiling(log2(n_tok)))
+                                AS BIGINT) AS n2 FROM f),
+            hk AS (SELECT t.doc_id, d.d,
+                          2.0 / t.n2 * sum(sin(2 * pi() * k.k * d.d
+                                               / t.n2)) AS h
+                   FROM (SELECT DISTINCT doc_id, n2 FROM tok) t
+                   JOIN range(0, 256) d(d) ON d.d < t.n2
+                   JOIN range(1, 129) k(k) ON k.k < (t.n2 + 1) // 2
+                   GROUP BY t.doc_id, t.n2, d.d),
+            an AS (SELECT a.doc_id, a.pos, a.x,
+                          sqrt(a.x * a.x + imv.im * imv.im) AS amp,
+                          atan2(imv.im, CAST(a.x AS DOUBLE)) AS p
+                   FROM tok a JOIN (
+                     SELECT j.doc_id, mm.pos AS pos, sum(j.x * hk.h) AS im
+                     FROM tok j
+                     JOIN (SELECT DISTINCT doc_id, pos FROM tok) mm
+                       ON mm.doc_id = j.doc_id
+                     JOIN hk ON hk.doc_id = j.doc_id
+                            AND hk.d = ((mm.pos - j.pos) % j.n2 + j.n2)
+                                       % j.n2
+                     GROUP BY j.doc_id, mm.pos
+                   ) imv ON imv.doc_id = a.doc_id AND imv.pos = a.pos),
+            agg AS (SELECT doc_id, count(*) AS n,
+                           sum(amp) AS sa, sum(amp * amp) AS qa,
+                           sum(cos(p)) AS c, sum(sin(p)) AS s
+                    FROM an GROUP BY 1)
+            SELECT doc_id,
+                   round(sa / n, 6) AS analytic_amp_mean,
+                   CASE WHEN n > 1 THEN round(sqrt(greatest(
+                        (qa - sa * sa / n) / (n - 1), 0)), 6) END
+                     AS analytic_amp_std,
+                   round(sqrt(c * c + s * s) / n, 6) AS plv_phase,
+                   CASE WHEN n > 1 THEN round(
+                        (c * c + s * s - n) / (n * (n - 1.0)), 6) END
+                     AS ppc_phase
+            FROM agg
         """,
         "dim_stack": _dim_stack_oracle(),
         "acf_features": f"""
