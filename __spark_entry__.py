@@ -291,11 +291,12 @@ def q_acf_features(spark, sf_dir):
 
 
 def q_kernel_features(spark, sf_dir):
-    """UDF-kernel features with no practical SQL equivalent (rows-only
-    driver check): bit-exactness vs the numpy oracle + independent scalar
-    reimplementations is enforced in pytest instead. (firstcrossing is
-    SQL-expressible and split out into the oracle-checked
-    q_firstcrossing.)"""
+    """UDF-kernel bundle, rows-only as a WHOLE — but every member now
+    has an oracle-checked standalone twin: q_firstcrossing, q_rad_check
+    (rad/rad_raw), q_acf_timescale_check, q_hilbert_series_check
+    (analytic amp + plv/ppc of the phase). Only rad_tau's composition
+    (banker's-rounded ACF crossing feeding the delay embed) rests on
+    pytest alone; its two halves are each oracle-checked."""
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["acf_timescale", "rad", "rad_raw",
                       "rad_tau", "plv_phase", "ppc_phase",
@@ -509,8 +510,10 @@ def q_series_pairwise_pearson(spark, sf_dir):
 def q_pairwise_phase_sync(spark, sf_dir):
     """Two-series SuperPairwise PLV/PPC of the analytic phase difference
     (reference ext/DSPExt.jl:26-31,41-44 + PairwiseFeatures.jl:48-60) —
-    rows-only: the Hilbert transform has no SQL equivalent; pytest proves
-    equality with the O(N^2) pair-sum definition."""
+    rows-only here (uncapped n_tok); the capped twin `phase_sync_check`
+    IS oracle-checked — the FFT Hilbert transform replayed as its
+    closed-form DFT convolution. Pytest additionally proves equality
+    with the O(N^2) pair-sum definition."""
     seq = _seq(spark, sf_dir).where("n_tok >= 50")
     return pairwise.pairwise_phase_sync(seq, window=50)
 
@@ -518,9 +521,10 @@ def q_pairwise_phase_sync(spark, sf_dir):
 def q_pairwise_mi(spark, sf_dir):
     """MI_Kraskov_NN_20 pairwise mutual information (reference
     ext/AssociationsExt.jl:5-10, KSG estimator 1 from Kraskov 2004) —
-    rows-only: kNN density estimation has no SQL equivalent; pytest pins
-    the kernel to the analytic bivariate-Gaussian MI and a brute-force
-    scalar reimplementation."""
+    rows-only here (uncapped n_tok); the capped twin `pairwise_mi_check`
+    IS oracle-checked — the KSG1 estimator replayed in SQL. Pytest
+    additionally pins the kernel to the analytic bivariate-Gaussian MI
+    and a brute-force scalar reimplementation."""
     seq = _seq(spark, sf_dir).where("n_tok >= 64")
     return pairwise.pairwise_mi(seq, window=64, k=20)
 
