@@ -294,9 +294,9 @@ def q_kernel_features(spark, sf_dir):
     """UDF-kernel bundle, rows-only as a WHOLE — but every member now
     has an oracle-checked standalone twin: q_firstcrossing, q_rad_check
     (rad/rad_raw), q_acf_timescale_check, q_hilbert_series_check
-    (analytic amp + plv/ppc of the phase). Only rad_tau's composition
-    (banker's-rounded ACF crossing feeding the delay embed) rests on
-    pytest alone; its two halves are each oracle-checked."""
+    (analytic amp + plv/ppc of the phase). rad_tau's full composition is oracle-checked too
+    (q_rad_tau_check), so every member of this bundle is SQL-verified
+    standalone."""
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["acf_timescale", "rad", "rad_raw",
                       "rad_tau", "plv_phase", "ppc_phase",
@@ -648,6 +648,28 @@ def q_hilbert_series_check(spark, sf_dir):
                                 "plv_phase", "ppc_phase")])
 
 
+def q_rad_tau_check(spark, sf_dir):
+    """RAD(x, :τ, true) — the full composition, oracle-checked: the ACF
+    first-zero-crossing runs on the CENTERED-ABS series, its value is
+    banker's-rounded to the embedding delay τ (SQL: round-half-to-even
+    via floor + parity at exact .5, plain round elsewhere — identical to
+    np.rint away from ties), and the RAD median-split/std machinery
+    embeds at per-doc delay τ. The crossing is the tolerance piece
+    (~1e-12), but it only feeds an INTEGER τ, so the composition is
+    effectively exact. Docs with no crossing are NULL (the reference's
+    round(Int, nothing) raise -> engine NaN)."""
+    from tsf.rollup import series_features
+    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 300")
+    fs = catalogue()[["rad_tau"]]
+    r = series_features(seq, fs)
+
+    def fin(c):
+        col = F.col(c)
+        return F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)
+
+    return r.select("doc_id", F.round(fin("rad_tau"), 6).alias("rad_tau"))
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
@@ -817,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phase_sync_check": q_phase_sync_check,
         "pairwise_featureset_check": q_pairwise_featureset_check,
         "hilbert_series_check": q_hilbert_series_check,
+        "rad_tau_check": q_rad_tau_check,
         "dim_stack": q_dim_stack,
         "window_z": q_window_z,
         "events_hourly": q_events_hourly,
@@ -1411,6 +1434,99 @@ def _oracle_sql_base() -> dict[str, str]:
                         (c * c + s * s - n) / (n * (n - 1.0)), 6) END
                      AS ppc_phase
             FROM agg
+        """,
+        "rad_tau_check": f"""
+            WITH seq AS ({_SEQ}),
+            f AS (SELECT * FROM seq WHERE n_tok >= 3 AND n_tok <= 300),
+            tok AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS x,
+                           generate_subscripts(tokens, 1) - 1 AS pos,
+                           n_tok AS n FROM f),
+            med0 AS (SELECT doc_id, median(x) AS med FROM tok GROUP BY 1),
+            z AS (SELECT t.doc_id, pos, n, abs(x - med) AS za
+                  FROM tok t JOIN med0 USING (doc_id)),
+            -- ACF first zero crossing of the centered-abs series
+            zst AS (SELECT doc_id, n, sum(za) AS s FROM z GROUP BY 1, 2),
+            dvv AS (SELECT z.doc_id, pos,
+                           za - CAST(s AS DOUBLE) / z.n AS d
+                    FROM z JOIN zst USING (doc_id)),
+            dn AS (SELECT doc_id, n, sum(d * d) AS denom,
+                          least(100, n - 1) AS L,
+                          least(100, n - 1) * ((n - 1) // least(100, n - 1))
+                            AS cap
+                   FROM dvv JOIN zst USING (doc_id) GROUP BY doc_id, n,
+                        least(100, n - 1),
+                        least(100, n - 1) * ((n - 1) // least(100, n - 1))),
+            ks AS (SELECT doc_id, denom, L, cap,
+                          unnest(range(1, cap + 1)) AS k
+                   FROM dn WHERE denom > 0),
+            r AS (SELECT a.doc_id, a.k, a.L,
+                         sum(x.d * y.d) / a.denom AS r
+                  FROM ks a
+                  JOIN dvv x ON x.doc_id = a.doc_id
+                  JOIN dvv y ON y.doc_id = a.doc_id
+                            AND y.pos = x.pos + a.k
+                  GROUP BY a.doc_id, a.k, a.L, a.denom),
+            sgn AS (SELECT doc_id, sign(r) AS sg FROM r WHERE k = 1),
+            v AS (SELECT r.doc_id, k, L, r * sg AS v
+                  FROM r JOIN sgn USING (doc_id)),
+            hit AS (SELECT doc_id, min(k) AS idx FROM v WHERE v < 0
+                    GROUP BY 1),
+            ab AS (SELECT h.doc_id, h.idx, bv.v AS b,
+                          CASE WHEN (h.idx - 1) % bv.L = 0
+                               THEN h.idx + bv.L - 1
+                               ELSE h.idx - 1 END AS a_lag
+                   FROM hit h JOIN v bv ON bv.doc_id = h.doc_id
+                                       AND bv.k = h.idx),
+            cr AS (SELECT ab.doc_id,
+                          (ab.idx - 1) + (0 - av.v) / (ab.b - av.v) AS c
+                   FROM ab JOIN v av ON av.doc_id = ab.doc_id
+                                    AND av.k = ab.a_lag),
+            tau AS (SELECT doc_id,
+                           CASE WHEN c - floor(c) = 0.5
+                                THEN CAST(floor(c) AS BIGINT)
+                                     + CAST(floor(c) AS BIGINT) % 2
+                                ELSE CAST(round(c) AS BIGINT) END AS t
+                    FROM cr),
+            -- RAD at per-doc delay t over the centered-abs series
+            emb AS (SELECT zx.doc_id, zx.za AS xv, zy.za AS yv
+                    FROM z zx
+                    JOIN tau USING (doc_id)
+                    JOIN z zy ON zy.doc_id = zx.doc_id
+                             AND zy.pos = zx.pos + tau.t
+                    WHERE zx.pos < zx.n - tau.t),
+            mx AS (SELECT doc_id, median(xv) AS mx FROM emb GROUP BY 1),
+            ss AS (SELECT e.doc_id, count(*) AS c,
+                          count(CASE WHEN xv < mx THEN 1 END) AS c_sub,
+                          sum(CASE WHEN xv < mx THEN xv ELSE 0 END) AS s_sub,
+                          sum(CASE WHEN xv < mx THEN xv*xv ELSE 0 END)
+                            AS ss_sub,
+                          count(CASE WHEN xv >= mx THEN 1 END) AS c_sup,
+                          sum(CASE WHEN xv >= mx THEN xv ELSE 0 END) AS s_sup,
+                          sum(CASE WHEN xv >= mx THEN xv*xv ELSE 0 END)
+                            AS ss_sup,
+                          sum(yv - xv) AS sd, sum((yv - xv)*(yv - xv)) AS ssd
+                   FROM emb e JOIN mx USING (doc_id) GROUP BY e.doc_id)
+            SELECT f.doc_id,
+                   CASE WHEN isfinite(
+                     (CASE WHEN c >= 2 THEN sqrt(greatest(
+                        (ssd - sd * sd / c) / (c - 1), 0)) END)
+                     * (1.0 / nullif((CASE WHEN c_sup >= 2 THEN
+                          sqrt(greatest((ss_sup - s_sup * s_sup / c_sup)
+                                        / (c_sup - 1), 0)) END), 0.0)
+                        - 1.0 / nullif((CASE WHEN c_sub >= 2 THEN
+                          sqrt(greatest((ss_sub - s_sub * s_sub / c_sub)
+                                        / (c_sub - 1), 0)) END), 0.0)))
+                   THEN round(
+                     (CASE WHEN c >= 2 THEN sqrt(greatest(
+                        (ssd - sd * sd / c) / (c - 1), 0)) END)
+                     * (1.0 / nullif((CASE WHEN c_sup >= 2 THEN
+                          sqrt(greatest((ss_sup - s_sup * s_sup / c_sup)
+                                        / (c_sup - 1), 0)) END), 0.0)
+                        - 1.0 / nullif((CASE WHEN c_sub >= 2 THEN
+                          sqrt(greatest((ss_sub - s_sub * s_sub / c_sub)
+                                        / (c_sub - 1), 0)) END), 0.0)), 6)
+                   END AS rad_tau
+            FROM f LEFT JOIN ss ON ss.doc_id = f.doc_id
         """,
         "dim_stack": _dim_stack_oracle(),
         "acf_features": f"""
