@@ -308,3 +308,23 @@ def test_compact_bin_packs_without_changing_state(spark, table):
     # shard count
     res2 = icelite.compact(spark, path, target_bytes=1 << 30)
     assert res2["compacted_partitions"] == 0
+
+
+def test_rewrite_conflict_detected(spark, table):
+    """A rewrite-style op (compact/merge) whose victim files were
+    concurrently replaced must FAIL its commit instead of resurrecting
+    the stale rows it rewrote (Iceberg's rewrite_data_files
+    validation)."""
+    path, roll = table
+    victims = {f["path"] for f in icelite.plan_files(path)}
+    # concurrent writer replaces everything between the rewrite's read
+    # and its commit
+    icelite.replace(roll.limit(10), path)
+    with pytest.raises(icelite.CommitConflict, match="concurrent update"):
+        icelite._commit(path, "compact", [],
+                        remove_pred=lambda f: f["path"] in victims,
+                        require_removed=victims)
+    # a fresh compact against the NEW state succeeds
+    before = _sorted_pdf(icelite.scan(spark, path))
+    icelite.compact(spark, path, target_bytes=1 << 30)
+    assert _sorted_pdf(icelite.scan(spark, path)).equals(before)

@@ -263,7 +263,8 @@ def _write_data_files(df: DataFrame, path: str,
 def _commit(path: str, operation: str, new_files: list[dict],
             remove_pred=None, spec: list[tuple] | None = None,
             schema_json: str | None = None, retries: int = 3,
-            extra: dict | None = None) -> dict:
+            extra: dict | None = None,
+            require_removed: set | None = None) -> dict:
     """Optimistic snapshot commit. Derives the file list from the
     CURRENT snapshot (minus ``remove_pred`` matches, plus ``new_files``),
     claims the next metadata version with a hard-link (EEXIST = another
@@ -277,12 +278,14 @@ def _commit(path: str, operation: str, new_files: list[dict],
     with open(os.path.join(mdir, ".commit.lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         return _commit_locked(path, operation, new_files, remove_pred,
-                              spec, schema_json, retries, extra)
+                              spec, schema_json, retries, extra,
+                              require_removed)
 
 
 def _commit_locked(path: str, operation: str, new_files: list[dict],
                    remove_pred, spec, schema_json, retries: int,
-                   extra: dict | None) -> dict:
+                   extra: dict | None,
+                   require_removed: set | None = None) -> dict:
     """The read-derive-claim-advance sequence, under the table's commit
     lock. The lock serializes WRITERS (readers never take it): without
     it, a writer could derive its file list from a stale CURRENT while
@@ -294,6 +297,21 @@ def _commit_locked(path: str, operation: str, new_files: list[dict],
     mdir = _meta_dir(path)
     for _ in range(retries):
         cur = _read_current(path)
+        if require_removed is not None:
+            # rewrite-style ops (compact, merge) replace SPECIFIC files
+            # they read before taking the lock; if a concurrent commit
+            # already replaced any of them, re-adding the rewritten copy
+            # would resurrect stale rows next to the newer ones. Iceberg
+            # fails rewrite_data_files the same way (validation against
+            # the commit's starting snapshot); the caller re-reads and
+            # retries.
+            live = {f["path"] for f in (cur["files"] if cur else [])}
+            gone = require_removed - live
+            if gone:
+                raise CommitConflict(
+                    f"concurrent update replaced {len(gone)} file(s) "
+                    f"this {operation} rewrote (e.g. {sorted(gone)[0]}); "
+                    f"re-read and retry")
         base = [f for f in (cur["files"] if cur else [])
                 if not (remove_pred and remove_pred(f))]
         existing = [int(n[1:9]) for n in os.listdir(mdir)
@@ -448,7 +466,8 @@ def merge_into(spark: SparkSession, path: str, updates: DataFrame,
     else:
         merged = updates.select(*[f.name for f in schema.fields])
     new_files = _write_data_files(merged, path, spec)
-    return _commit(path, "merge", new_files, remove_pred=touched)
+    return _commit(path, "merge", new_files, remove_pred=touched,
+                   require_removed={f["path"] for f in cand})
 
 
 def replace(df: DataFrame, path: str) -> dict:
@@ -606,7 +625,8 @@ def compact(spark: SparkSession, path: str,
     new_files = _write_data_files(packed.drop(*pcols), path,
                                   [tuple(s) for s in cur["partition_spec"]])
     _commit(path, "compact", new_files,
-            remove_pred=lambda f: f["path"] in victim_paths)
+            remove_pred=lambda f: f["path"] in victim_paths,
+            require_removed=victim_paths)
     return {"compacted_partitions": len(todo),
             "files_before": len(victims), "files_after": len(new_files)}
 
