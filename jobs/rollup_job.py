@@ -133,9 +133,9 @@ def main(argv: list[str] | None = None) -> None:
                 pub, args.publish,
                 [("identity", "tier"),
                  ("bucket", "doc_id", args.publish_buckets)])
+        n_rows = sum(r["rows"] for r in snap["manifests"])
         print(f"published snapshot {snap['snapshot_id']} "
-              f"({sum(f['rows'] for f in snap['files'])} rows) "
-              f"to {args.publish}")
+              f"({n_rows} rows) to {args.publish}")
 
     led = spark.read.parquet(args.ledger)
     led.groupBy("tier").agg(

@@ -214,9 +214,14 @@ def test_manifest_shape(table):
         assert "window_id" in f["stats"]
         lo, hi = f["stats"]["window_id"]
         assert lo <= hi
-    # metadata is valid standalone JSON (no pickle, no code)
+    # metadata is valid standalone JSON (no pickle, no code), and the
+    # snapshot holds manifest REFS (with summaries), not inline files
     with open(icelite._snap_path(path, 1)) as fh:
-        assert json.load(fh)["format_version"] == 1
+        snap = json.load(fh)
+    assert snap["format_version"] == 2
+    assert "files" not in snap
+    for ref in snap["manifests"]:
+        assert ref["n_files"] > 0 and ref["rows"] > 0
 
 
 def test_merge_into_cow(spark, table):
@@ -328,3 +333,99 @@ def test_rewrite_conflict_detected(spark, table):
     before = _sorted_pdf(icelite.scan(spark, path))
     icelite.compact(spark, path, target_bytes=1 << 30)
     assert _sorted_pdf(icelite.scan(spark, path)).equals(before)
+
+def test_append_reuses_parent_manifests(spark, table):
+    """An append carries every parent manifest by REFERENCE (O(new
+    files) metadata), it never rewrites the existing file list."""
+    path, roll = table
+    v1 = icelite._read_snapshot(path, 1)
+    v2 = icelite._read_snapshot(path, 2)
+    names1 = {r["name"] for r in v1["manifests"]}
+    names2 = {r["name"] for r in v2["manifests"]}
+    assert names1 < names2          # strict superset: old refs + new
+
+
+def test_expire_keeps_current_despite_newer_orphan(spark, table):
+    """A claimed-but-never-pointed version NEWER than CURRENT (writer
+    crashed between hard-link claim and pointer advance) must not count
+    toward keep_last: CURRENT survives expiry and the orphan is removed,
+    never resurrected by _read_current's fallback."""
+    path, roll = table
+    now = _sorted_pdf(icelite.scan(spark, path))
+    dead = icelite._snap_path(path, 3)          # orphan newer than v2
+    os.link(icelite._snap_path(path, 2), dead)
+    res = icelite.expire_snapshots(path, keep_last=1)
+    # dropped: lineage ancestor v1 AND the orphan v3 — never CURRENT
+    assert res["expired_snapshots"] == 2
+    assert os.path.exists(icelite._snap_path(path, 2))
+    assert not os.path.exists(dead)
+    assert icelite._read_current(path)["snapshot_id"] == 2
+    assert _sorted_pdf(icelite.scan(spark, path)).equals(now)
+
+
+def test_retention_conflicts_with_concurrent_append(spark, tmp_path,
+                                                    monkeypatch):
+    """A concurrent append into a pruned tier between retention's scan
+    and its commit fails the commit (CommitConflict) instead of being
+    silently dropped by the tier-wide remove predicate."""
+    from tsf import retention as ret_mod
+    roll = _rollup(spark, n_docs=12).withColumn(
+        "tier", F.lit(0)).cache()
+    path = str(tmp_path / "race")
+    icelite.create(roll, path, [("identity", "tier")])
+    real_keep = ret_mod._keep_last
+    fired = {"done": False}
+
+    def keep_and_race(df, k):
+        if not fired["done"]:
+            fired["done"] = True       # concurrent writer lands here
+            icelite.append(roll.limit(3), path)
+        return real_keep(df, k)
+
+    monkeypatch.setattr(ret_mod, "_keep_last", keep_and_race)
+    with pytest.raises(icelite.CommitConflict, match="pruned tiers"):
+        icelite.apply_retention(spark, path, {0: 2}, force=True)
+    roll.unpersist()
+
+
+def test_bucket_pruning_integer_column(spark, tmp_path):
+    """Bucket pruning on a non-long column: the pruning literal is cast
+    to the STORED column type before hashing (xxhash64 is
+    type-dependent), so == predicates keep the right file instead of
+    silently pruning everything."""
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).alias("v"))
+    path = str(tmp_path / "ints")
+    icelite.create(df, path, [("bucket", "k", 8)])
+    planned = icelite.plan_files(path, [("k", "==", 7)], spark=spark)
+    assert 0 < len(planned) < len(icelite.plan_files(path))
+    got = icelite.scan(spark, path, [("k", "==", 7)]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(7, 14)]
+
+
+def test_plan_files_scales_to_10k_entries(spark, tmp_path):
+    """Pin the documented driver-side planning bound: a 10k-file
+    snapshot plans in interactive time and pruning still applies."""
+    import time as _t
+    path = str(tmp_path / "big")
+    icelite.create(spark.range(1).select(
+        F.col("id").alias("window_id"),
+        F.lit("a").alias("source")), path, [("identity", "source")])
+    entries = [{"path": f"data/x/{i}.parquet", "rows": 10, "bytes": 100,
+                "partition": {"source": f"s{i % 50}"},
+                "stats": {"window_id": [i, i + 5]}}
+               for i in range(10_000)]
+    ref = icelite._write_manifest(path, entries)
+    snap = icelite._read_snapshot(path, 1)
+    snap["manifests"] = [ref]
+    snap["snapshot_id"] = 99
+    with open(icelite._snap_path(path, 99), "w") as fh:
+        json.dump(snap, fh)
+    t0 = _t.time()
+    hit = icelite.plan_files(path, [("source", "==", "s7"),
+                                    ("window_id", "<", 1000)],
+                             snapshot_id=99)
+    dt = _t.time() - t0
+    assert len(hit) == 20           # 200 in s7, 1/10 under the stat cut
+    assert dt < 2.0, f"10k-entry planning took {dt:.2f}s"

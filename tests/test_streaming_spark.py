@@ -374,3 +374,36 @@ def test_stream_cascade_to_icelite_equals_batch(spark, tmp_path, seq_batches):
     # tier partition pruning works on the streamed table
     assert 0 < icelite.scan(spark, tbl,
                             where=[("tier", "==", 2)]).count() < len(got)
+
+def test_stateful_finalize_refuses_token_loss():
+    """An end-of-doc marker that disagrees with the assembled tokens
+    (chunks buffered past the declared end, or the frontier overshooting
+    it) must FAIL the finalize, not silently drop real tokens."""
+    import pandas as pd
+    import pytest as _pytest
+    from tsf.registry import catalogue
+    from tsf.streaming import make_stateful_tier0_fn
+
+    class FakeState:
+        exists = False
+        def update(self, v): self.exists, self._v = True, v
+        def remove(self): self.exists = False
+        @property
+        def get(self): return self._v
+
+    fn = make_stateful_tier0_fn(catalogue()[["cnt", "mean"]], W=4)
+
+    def run(rows):
+        pdf = pd.DataFrame(rows, columns=["chunk_off", "chunk_toks",
+                                          "source"])
+        return list(fn(("d0",), iter([pdf]), FakeState()))
+
+    # sane: 6 tokens, marker at 6 -> one full + one partial window
+    out = run([(0, list(range(6)), "s"), (6, [], "s")])
+    assert sum(len(o) for o in out) == 2
+    # chunk buffered past a gap beyond the declared end
+    with _pytest.raises(ValueError, match="refusing to finalize"):
+        run([(0, [1, 2, 3], "s"), (9, [7, 7], "s"), (3, [], "s")])
+    # frontier overshoots the declared length
+    with _pytest.raises(ValueError, match="refusing to finalize"):
+        run([(0, list(range(8)), "s"), (5, [], "s")])

@@ -35,18 +35,23 @@ depends on — so they can be exercised end-to-end:
   manifest; :func:`plan_files` proves files out of a scan with them
   (what Iceberg manifests' ``lower_bounds``/``upper_bounds`` do).
 
-Scale notes (what changes at 100x, and what already holds):
-- One manifest JSON holds the whole file list — O(#files) driver-side,
-  exactly like a single Iceberg manifest. At 10^12 sequences the real
-  system shards manifests and keeps them in the object store
-  (manifest-list -> manifest -> files); the pruning logic here is
-  per-file and transfers unchanged.
+Scale notes — explicit bounds (what changes at 100x, what holds):
+- Snapshots reference IMMUTABLE manifest files (``metadata/m-*.json``);
+  an append writes O(new files) metadata and carries untouched
+  manifests by reference, like Iceberg's manifest list. Rewrite ops
+  rewrite only the manifests they remove files from.
+- **Driver-side planning bound**: :func:`plan_files` is a Python loop
+  over every live file entry — O(total #files) per scan on the driver,
+  with no manifest-level min/max skip. Practical ceiling ~10^5..10^6
+  file entries (see ``tests/test_icelite.py`` 10k-file planning pin);
+  past that, real Iceberg's manifest-tree pruning + distributed
+  planning is the answer. Do NOT ship icelite itself at 100x.
 - Data-file writes are full Spark jobs (any parallelism); only commit
   metadata is driver-side. Nothing in the commit path scales with ROWS,
   only with files touched.
-- Local-FS atomicity primitives (``os.link``/``os.replace``/flock) map
-  to the object-store/catalog primitives a real deployment gets from
-  Iceberg itself; this module is NOT a substitute there — use
+- Local-FS atomicity primitives (``os.link``/``os.replace``/flock) are
+  LOCAL-ONLY — they do not hold on object stores or NFS; a real
+  deployment gets these primitives from Iceberg's catalog CAS — use
   ``write_rollup(table=...)``.
 
 Reference parity: the reference has no storage layer at all (in-memory
@@ -105,12 +110,21 @@ def _with_partition_cols(df: DataFrame, spec: list[tuple]) -> DataFrame:
     return df
 
 
-def bucket_of(spark: SparkSession, value, n: int) -> int:
+def bucket_of(spark: SparkSession, value, n: int, dtype=None) -> int:
     """Driver-side bucket of a literal — one local 1-row job, so the
     Python side never re-implements xxhash64 (it must be bit-identical
-    to what write-time Spark computed)."""
+    to what write-time Spark computed).
+
+    ``dtype``: the TABLE COLUMN's Spark type. xxhash64 is type-dependent
+    (a Python int literal arrives as LongType; hashing it against an
+    IntegerType column's write-time buckets would mismatch and silently
+    prune every matching file), so the literal is cast to the stored
+    column type before hashing."""
+    lit = F.lit(value)
+    if dtype is not None:
+        lit = lit.cast(dtype)
     return spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(value)), F.lit(int(n))).cast("int")
+        F.pmod(F.xxhash64(lit), F.lit(int(n))).cast("int")
     ).first()[0]
 
 
@@ -200,6 +214,69 @@ def _read_current(path: str) -> dict | None:
     return best
 
 
+# Manifests: a snapshot's file list is stored as refs to immutable
+# manifest JSON files (metadata/m-<hex>.json), so an APPEND writes
+# O(new files) metadata and carries every untouched manifest over by
+# reference — the same reuse real Iceberg gets from its manifest list.
+# Only rewrite-style ops (overwrite/merge/compact/retention) rewrite
+# the manifests they remove files from. Legacy snapshots with an inline
+# "files" list remain readable.
+
+#: immutable-manifest content cache: {(table_path, name): entries}
+_MANIFEST_CACHE: dict[tuple, list] = {}
+_MANIFEST_CACHE_MAX = 256
+
+
+def _write_manifest(path: str, entries: list[dict]) -> dict:
+    """Persist one immutable manifest; return its snapshot-embedded ref
+    (name + summary counts, so history() never needs to resolve it)."""
+    mdir = _meta_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"m-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(mdir, f".tmp-{name}")
+    with open(tmp, "w") as fh:
+        json.dump({"files": entries}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(mdir, name))
+    return {"name": name, "n_files": len(entries),
+            "rows": sum(e["rows"] for e in entries),
+            "bytes": sum(e["bytes"] for e in entries)}
+
+
+def _manifest_entries(path: str, name: str) -> list[dict]:
+    key = (os.path.abspath(path), name)
+    hit = _MANIFEST_CACHE.get(key)
+    if hit is None:
+        with open(os.path.join(_meta_dir(path), name)) as fh:
+            hit = json.load(fh)["files"]
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE[key] = hit
+    return hit
+
+
+def snapshot_files(path: str, snap: dict) -> list[dict]:
+    """Resolve a snapshot's full file-entry list (manifest refs or the
+    legacy inline ``files`` form)."""
+    if "files" in snap:
+        return snap["files"]
+    out: list[dict] = []
+    for ref in snap["manifests"]:
+        out.extend(_manifest_entries(path, ref["name"]))
+    return out
+
+
+def _snapshot_counts(path: str, snap: dict) -> tuple[int, int]:
+    """(n_files, rows) without resolving manifests when refs carry
+    summaries."""
+    if "files" in snap:
+        return (len(snap["files"]),
+                sum(f["rows"] for f in snap["files"]))
+    return (sum(r["n_files"] for r in snap["manifests"]),
+            sum(r["rows"] for r in snap["manifests"]))
+
+
 def _read_snapshot(path: str, snapshot_id: int) -> dict:
     p = _snap_path(path, snapshot_id)
     try:
@@ -221,13 +298,14 @@ def history(path: str) -> list[dict]:
             continue
         with open(os.path.join(mdir, name)) as fh:
             s = json.load(fh)
+        n_files, rows = _snapshot_counts(path, s)
         out.append({"snapshot_id": s["snapshot_id"],
                     "parent_id": s["parent_id"],
                     "operation": s["operation"],
                     "committed_ms": s["committed_ms"],
                     "extra": s.get("extra", {}),
-                    "n_files": len(s["files"]),
-                    "rows": sum(f["rows"] for f in s["files"])})
+                    "n_files": n_files,
+                    "rows": rows})
     return out
 
 
@@ -264,7 +342,8 @@ def _commit(path: str, operation: str, new_files: list[dict],
             remove_pred=None, spec: list[tuple] | None = None,
             schema_json: str | None = None, retries: int = 3,
             extra: dict | None = None,
-            require_removed: set | None = None) -> dict:
+            require_removed: set | None = None,
+            validate=None) -> dict:
     """Optimistic snapshot commit. Derives the file list from the
     CURRENT snapshot (minus ``remove_pred`` matches, plus ``new_files``),
     claims the next metadata version with a hard-link (EEXIST = another
@@ -279,13 +358,14 @@ def _commit(path: str, operation: str, new_files: list[dict],
         fcntl.flock(lock, fcntl.LOCK_EX)
         return _commit_locked(path, operation, new_files, remove_pred,
                               spec, schema_json, retries, extra,
-                              require_removed)
+                              require_removed, validate)
 
 
 def _commit_locked(path: str, operation: str, new_files: list[dict],
                    remove_pred, spec, schema_json, retries: int,
                    extra: dict | None,
-                   require_removed: set | None = None) -> dict:
+                   require_removed: set | None = None,
+                   validate=None) -> dict:
     """The read-derive-claim-advance sequence, under the table's commit
     lock. The lock serializes WRITERS (readers never take it): without
     it, a writer could derive its file list from a stale CURRENT while
@@ -295,8 +375,13 @@ def _commit_locked(path: str, operation: str, new_files: list[dict],
     the flock is that primitive. The claim-link EEXIST retry remains for
     versions orphaned by CRASHED writers (claimed, never pointed)."""
     mdir = _meta_dir(path)
+    new_ref = _write_manifest(path, new_files) if new_files else None
     for _ in range(retries):
         cur = _read_current(path)
+        if validate is not None:
+            # operation-specific conflict check against the snapshot the
+            # commit will actually apply to (may raise CommitConflict)
+            validate(cur)
         if require_removed is not None:
             # rewrite-style ops (compact, merge) replace SPECIFIC files
             # they read before taking the lock; if a concurrent commit
@@ -305,20 +390,42 @@ def _commit_locked(path: str, operation: str, new_files: list[dict],
             # fails rewrite_data_files the same way (validation against
             # the commit's starting snapshot); the caller re-reads and
             # retries.
-            live = {f["path"] for f in (cur["files"] if cur else [])}
+            live = {f["path"]
+                    for f in (snapshot_files(path, cur) if cur else [])}
             gone = require_removed - live
             if gone:
                 raise CommitConflict(
                     f"concurrent update replaced {len(gone)} file(s) "
                     f"this {operation} rewrote (e.g. {sorted(gone)[0]}); "
                     f"re-read and retry")
-        base = [f for f in (cur["files"] if cur else [])
-                if not (remove_pred and remove_pred(f))]
+        # manifest reuse: an untouched parent manifest carries over by
+        # REFERENCE (O(new files) metadata per append); only manifests
+        # remove_pred actually hits get rewritten minus their removals
+        refs: list[dict] = []
+        if cur is not None:
+            if "files" in cur:           # legacy inline list: migrate
+                kept = [f for f in cur["files"]
+                        if not (remove_pred and remove_pred(f))]
+                if kept:
+                    refs.append(_write_manifest(path, kept))
+            else:
+                for ref in cur["manifests"]:
+                    if remove_pred is None:
+                        refs.append(ref)
+                        continue
+                    entries = _manifest_entries(path, ref["name"])
+                    kept = [f for f in entries if not remove_pred(f)]
+                    if len(kept) == len(entries):
+                        refs.append(ref)
+                    elif kept:
+                        refs.append(_write_manifest(path, kept))
+        if new_ref is not None:
+            refs.append(new_ref)
         existing = [int(n[1:9]) for n in os.listdir(mdir)
                     if n.endswith(".metadata.json")]
         version = (max(existing) + 1) if existing else 1
         snap = {
-            "format_version": 1,
+            "format_version": 2,
             "snapshot_id": version,
             "parent_id": cur["snapshot_id"] if cur else None,
             "operation": operation,
@@ -328,7 +435,7 @@ def _commit_locked(path: str, operation: str, new_files: list[dict],
             "schema": (schema_json if schema_json is not None
                        else (cur["schema"] if cur else None)),
             "extra": extra or {},
-            "files": base + new_files,
+            "manifests": refs,
         }
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -455,7 +562,7 @@ def merge_into(spark: SparkSession, path: str, updates: DataFrame,
         return tuple(
             str(part.get(c[len(_PHELP):])) for c in pcols) in hit
 
-    cand = [f for f in cur["files"] if touched(f)]
+    cand = [f for f in snapshot_files(path, cur) if touched(f)]
     schema = StructType.fromJson(json.loads(cur["schema"]))
     if cand:
         existing = spark.read.schema(schema).parquet(
@@ -526,9 +633,11 @@ def plan_files(path: str, where: list[tuple] | None = None,
         raise LookupError(f"no table at {path}")
     where = where or []
     spec = {s[1]: s for s in snap["partition_spec"]}
+    tschema = (StructType.fromJson(json.loads(snap["schema"]))
+               if snap.get("schema") else None)
     bucket_cache: dict = {}
     out = []
-    for f in snap["files"]:
+    for f in snapshot_files(path, snap):
         keep = True
         for col, op, v in where:
             fn = _OPS[op]
@@ -543,7 +652,10 @@ def plan_files(path: str, where: list[tuple] | None = None,
                 bcol = f"bucket_{col}"
                 if bcol in f["partition"]:
                     if (col, v) not in bucket_cache:
-                        bucket_cache[(col, v)] = bucket_of(spark, v, s[2])
+                        dt = (tschema[col].dataType if tschema is not None
+                              and col in tschema.fieldNames() else None)
+                        bucket_cache[(col, v)] = bucket_of(
+                            spark, v, s[2], dtype=dt)
                     if int(f["partition"][bcol]) != bucket_cache[(col, v)]:
                         keep = False
                         break
@@ -601,7 +713,7 @@ def compact(spark: SparkSession, path: str,
     if cur is None:
         raise LookupError(f"no table at {path}")
     by_part: dict[tuple, list[dict]] = {}
-    for f in cur["files"]:
+    for f in snapshot_files(path, cur):
         by_part.setdefault(tuple(sorted(f["partition"].items())), []).append(f)
     todo = {p: fs for p, fs in by_part.items()
             if len(fs) >= min_files
@@ -633,43 +745,105 @@ def compact(spark: SparkSession, path: str,
 
 def expire_snapshots(path: str, keep_last: int = 2,
                      orphan_grace_sec: float = 0.0) -> dict:
-    """Garbage-collect: keep the newest ``keep_last`` snapshots (always
-    including CURRENT), delete older metadata and any data file no
+    """Garbage-collect: keep the newest ``keep_last`` snapshots of
+    CURRENT's ANCESTOR CHAIN (always including CURRENT), delete older
+    lineage metadata, orphaned metadata versions, and any data file no
     retained snapshot references. Time travel to an expired snapshot
     then raises LookupError — exactly Iceberg's expire_snapshots
     contract.
 
-    ``orphan_grace_sec``: unreferenced data files YOUNGER than this are
-    kept — a concurrent writer stages its data files BEFORE taking the
-    commit lock, so with live writers an aggressive sweep could delete
-    a commit-in-flight's files (the reason Iceberg's remove_orphan_files
-    defaults to a 3-day age threshold). The 0 default suits the
-    single-writer sandbox; pass a real grace when writers overlap."""
+    The retained set is derived from CURRENT plus its parent chain, NOT
+    from the newest metadata filenames: a claimed-but-never-pointed
+    orphan version (a writer that crashed between its hard-link claim
+    and the pointer advance) can carry a HIGHER version number than
+    CURRENT, and counting it toward ``keep_last`` would push CURRENT's
+    own metadata into the drop set — after which ``_read_current``'s
+    fallback would resurrect the uncommitted orphan as the table state.
+    Expiry runs under the table's commit flock; since claim AND pointer
+    advance both happen under that lock, any claimed-but-unpointed
+    version observed while holding it belongs to a DEAD writer and its
+    metadata is safe to remove (subject to ``orphan_grace_sec``).
+
+    ``orphan_grace_sec``: unreferenced data files (and orphan metadata)
+    YOUNGER than this are kept — a concurrent writer stages its data
+    files BEFORE taking the commit lock, so with live writers an
+    aggressive sweep could delete a commit-in-flight's files (the reason
+    Iceberg's remove_orphan_files defaults to a 3-day age threshold).
+    The 0 default suits the single-writer sandbox; pass a real grace
+    when writers overlap."""
+    import fcntl
     import time as _time
-    now = _time.time()
     mdir = _meta_dir(path)
-    snaps = sorted(n for n in os.listdir(mdir)
-                   if n.endswith(".metadata.json"))
-    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
-    referenced: set = set()
-    for name in keep:
-        with open(os.path.join(mdir, name)) as fh:
-            referenced |= {f["path"] for f in json.load(fh)["files"]}
-    removed_files = 0
-    droot = os.path.join(path, _DATA)
-    for root, _dirs, names in os.walk(droot, topdown=False):
-        for name in names:
-            fp = os.path.join(root, name)
-            if (name.endswith(".parquet")
-                    and os.path.relpath(fp, path) not in referenced
+    with open(os.path.join(mdir, ".commit.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        now = _time.time()
+        cur = _read_current(path)
+        if cur is None:
+            return {"expired_snapshots": 0, "removed_files": 0}
+        # CURRENT's ancestor chain, newest first
+        chain: list[int] = []
+        snap = cur
+        while snap is not None:
+            chain.append(snap["snapshot_id"])
+            pid = snap["parent_id"]
+            if pid is None:
+                break
+            try:
+                snap = _read_snapshot(path, pid)
+            except LookupError:          # already-expired ancestor
+                break
+        keep_ids = set(chain[:max(1, keep_last)])
+        drop: list[str] = []
+        for name in sorted(os.listdir(mdir)):
+            if not name.endswith(".metadata.json"):
+                continue
+            vid = int(name[1:9])
+            if vid in keep_ids:
+                continue
+            fp = os.path.join(mdir, name)
+            if (vid not in chain
+                    and now - os.path.getmtime(fp) < orphan_grace_sec):
+                continue                 # possibly mid-crash-recovery: wait
+            drop.append(name)
+        # data files / manifests referenced by ANY surviving snapshot
+        referenced: set = set()
+        live_manifests: set = set()
+        dropset = set(drop)
+        for name in os.listdir(mdir):
+            if name.endswith(".metadata.json") and name not in dropset:
+                with open(os.path.join(mdir, name)) as fh:
+                    s = json.load(fh)
+                if "files" not in s:
+                    live_manifests |= {r["name"] for r in s["manifests"]}
+                referenced |= {f["path"] for f in snapshot_files(path, s)}
+        removed_files = 0
+        droot = os.path.join(path, _DATA)
+        for root, _dirs, names in os.walk(droot, topdown=False):
+            for name in names:
+                fp = os.path.join(root, name)
+                if (name.endswith(".parquet")
+                        and os.path.relpath(fp, path) not in referenced
+                        and now - os.path.getmtime(fp) >= orphan_grace_sec):
+                    os.unlink(fp)
+                    removed_files += 1
+            if not os.listdir(root):
+                os.rmdir(root)
+        for name in drop:
+            os.unlink(os.path.join(mdir, name))
+        # manifests no surviving snapshot references (incl. commit-retry
+        # orphans), same grace as data files
+        removed_manifests = 0
+        for name in os.listdir(mdir):
+            fp = os.path.join(mdir, name)
+            if (name.startswith("m-") and name.endswith(".json")
+                    and name not in live_manifests
                     and now - os.path.getmtime(fp) >= orphan_grace_sec):
                 os.unlink(fp)
-                removed_files += 1
-        if not os.listdir(root):
-            os.rmdir(root)
-    for name in drop:
-        os.unlink(os.path.join(mdir, name))
-    return {"expired_snapshots": len(drop), "removed_files": removed_files}
+                _MANIFEST_CACHE.pop((os.path.abspath(path), name), None)
+                removed_manifests += 1
+        return {"expired_snapshots": len(drop),
+                "removed_files": removed_files,
+                "removed_manifests": removed_manifests}
 
 
 # ------------------------------------------------------------ retention
@@ -691,23 +865,45 @@ def apply_retention(spark: SparkSession, path: str,
     cur = _read_current(path)
     if cur is None:
         raise LookupError(f"no table at {path}")
+    snap_id = cur["snapshot_id"]
     if not force:
-        n_gaps = coverage_gaps(scan(spark, path), policy).count()
+        n_gaps = coverage_gaps(scan(spark, path, snapshot_id=snap_id),
+                               policy).count()
         if n_gaps:
             raise ValueError(
                 f"unsafe retention policy: {n_gaps} windows would be "
                 f"dropped with no coarser-tier coverage (force=True to "
                 f"override)")
     pruned = sorted(t for t, k in policy.items() if k is not None)
+    tiers = {str(t) for t in pruned}
+    # file set the staged rewrite is derived from, per pruned tier —
+    # validated at commit time so a concurrent append/overwrite into a
+    # pruned tier fails the commit instead of being silently dropped
+    # (same rewrite-conflict rule merge_into/compact enforce via
+    # require_removed)
+    recorded = {f["path"] for f in snapshot_files(path, cur)
+                if f["partition"].get("tier") in tiers}
     new_files: list[dict] = []
     out: dict[int, int] = {}
     for t in pruned:
-        kept = _keep_last(scan(spark, path, where=[("tier", "==", t)]),
-                          policy[t])
+        kept = _keep_last(scan(spark, path, where=[("tier", "==", t)],
+                               snapshot_id=snap_id), policy[t])
         entries = _write_data_files(kept, path, cur["partition_spec"])
         out[t] = sum(e["rows"] for e in entries)
         new_files += entries
-    tiers = {str(t) for t in pruned}
+
+    def _validate(now_cur):
+        live = {f["path"]
+                for f in (snapshot_files(path, now_cur) if now_cur else [])
+                if f["partition"].get("tier") in tiers}
+        if live != recorded:
+            raise CommitConflict(
+                f"concurrent update changed the pruned tiers' file set "
+                f"({len(live - recorded)} added, "
+                f"{len(recorded - live)} removed) since the retention "
+                f"scan; re-run apply_retention")
+
     _commit(path, "retention", new_files,
-            remove_pred=lambda f: f["partition"].get("tier") in tiers)
+            remove_pred=lambda f: f["partition"].get("tier") in tiers,
+            validate=_validate)
     return out

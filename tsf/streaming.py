@@ -334,6 +334,19 @@ def make_stateful_tier0_fn(features: FeatureSet, W: int):
         frontier = carry_base + len(toks)
         final = end_off >= 0 and frontier >= end_off
         if final:
+            if still or frontier != end_off:
+                # the marker's declared length disagrees with the tokens
+                # actually assembled: buffered chunks past a gap beyond
+                # end_off, or chunks extending past the declared end.
+                # Dropping state here would silently lose real tokens
+                # (producer bug or chunk/marker race) — fail loudly and
+                # keep the state for inspection instead.
+                raise ValueError(
+                    f"doc {doc_id}: end-of-doc marker declares length "
+                    f"{end_off} but assembled frontier={frontier} with "
+                    f"{len(still)} chunk(s) still buffered beyond a gap "
+                    f"(offsets {[o for o, _ in still][:5]}) — refusing "
+                    f"to finalize and silently drop tokens")
             # doc complete: flush everything (ceil-windowing emits the
             # partial tail exactly like batch tier0) and drop the state
             emit_toks, tail = toks, []
