@@ -1392,21 +1392,18 @@ def _oracle_sql_base() -> dict[str, str]:
             f AS (SELECT * FROM seq WHERE n_tok >= 3 AND n_tok <= 256),
             tok AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS x,
                            generate_subscripts(tokens, 1) - 1 AS pos,
-                           n_tok AS n,
-                           -- the engine evaluates whole series in
-                           -- next-pow2-padded buckets; its FFT Hilbert
-                           -- therefore runs at length N2 with zero
-                           -- padding (analytic real part is still
-                           -- exactly x at positions < n)
-                           CAST(power(2, ceiling(log2(n_tok)))
-                                AS BIGINT) AS n2 FROM f),
+                           -- the engine's FFT Hilbert runs at EXACT
+                           -- length n per doc (DSP.hilbert semantics),
+                           -- so the oracle's closed-form circular
+                           -- convolution uses period n, both parities
+                           n_tok AS n FROM f),
             hk AS (SELECT t.doc_id, d.d,
-                          2.0 / t.n2 * sum(sin(2 * pi() * k.k * d.d
-                                               / t.n2)) AS h
-                   FROM (SELECT DISTINCT doc_id, n2 FROM tok) t
-                   JOIN range(0, 256) d(d) ON d.d < t.n2
-                   JOIN range(1, 129) k(k) ON k.k < (t.n2 + 1) // 2
-                   GROUP BY t.doc_id, t.n2, d.d),
+                          2.0 / t.n * sum(sin(2 * pi() * k.k * d.d
+                                              / t.n)) AS h
+                   FROM (SELECT DISTINCT doc_id, n FROM tok) t
+                   JOIN range(0, 256) d(d) ON d.d < t.n
+                   JOIN range(1, 129) k(k) ON k.k < (t.n + 1) // 2
+                   GROUP BY t.doc_id, t.n, d.d),
             an AS (SELECT a.doc_id, a.pos, a.x,
                           sqrt(a.x * a.x + imv.im * imv.im) AS amp,
                           atan2(imv.im, CAST(a.x AS DOUBLE)) AS p
@@ -1416,8 +1413,8 @@ def _oracle_sql_base() -> dict[str, str]:
                      JOIN (SELECT DISTINCT doc_id, pos FROM tok) mm
                        ON mm.doc_id = j.doc_id
                      JOIN hk ON hk.doc_id = j.doc_id
-                            AND hk.d = ((mm.pos - j.pos) % j.n2 + j.n2)
-                                       % j.n2
+                            AND hk.d = ((mm.pos - j.pos) % j.n + j.n)
+                                       % j.n
                      GROUP BY j.doc_id, mm.pos
                    ) imv ON imv.doc_id = a.doc_id AND imv.pos = a.pos),
             agg AS (SELECT doc_id, count(*) AS n,

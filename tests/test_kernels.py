@@ -367,6 +367,54 @@ class TestAmplitude:
         assert np.isclose(a3, 3.0 * a1, rtol=1e-9)
 
 
+class TestExactLengthHilbert:
+    """The FFT Hilbert must run at EXACT length n per row (reference
+    DSP.hilbert, ext/DSPExt.jl:6-14) — a zero-padded FFT is a different
+    linear operator on the first n samples."""
+
+    @staticmethod
+    def naive_hilbert(x):
+        # literal definition: DFT -> one-sided doubling -> inverse DFT,
+        # O(N^2) sums, no FFT library involved
+        n = x.size
+        k = np.arange(n)
+        Wm = np.exp(-2j * np.pi * np.outer(k, k) / n)
+        X = Wm @ x.astype(complex)
+        h = np.zeros(n)
+        if n % 2 == 0:
+            h[0] = h[n // 2] = 1.0
+            h[1:n // 2] = 2.0
+        else:
+            h[0] = 1.0
+            h[1:(n + 1) // 2] = 2.0
+        return (Wm.conj().T @ (X * h)) / n
+
+    def test_matches_naive_dft_on_ragged_lengths(self):
+        # non-pow2 lengths of both parities — the exact deviation the
+        # padded form had
+        for n in (7, 12, 50, 97, 100, 129):
+            x = rng.normal(0, 1, n)
+            got = K.WindowCtx(x[None, :], np.array([n])).get("analytic")[0]
+            want = self.naive_hilbert(x)
+            assert np.allclose(got[:n], want, atol=1e-9), n
+
+    def test_padded_row_equals_standalone(self):
+        # a short row inside a wide padded matrix gets the SAME analytic
+        # signal as evaluating it alone at its exact length
+        n, W = 37, 128
+        x = rng.normal(0, 1, n)
+        M = np.zeros((3, W))
+        M[1, :n] = x
+        M[0, :W] = rng.normal(0, 1, W)
+        M[2, :50] = rng.normal(0, 1, 50)
+        a = K.WindowCtx(M, np.array([W, n, 50])).get("analytic")
+        alone = K.WindowCtx(x[None, :], np.array([n])).get("analytic")[0]
+        assert np.allclose(a[1, :n], alone[:n], atol=1e-12)
+        assert np.allclose(a[1, n:], 0.0)
+        # real part of the analytic signal is exactly the input
+        assert np.allclose(a[1, :n].real, x, atol=1e-9)
+
+
 class TestPhase:
     def test_plv_of_pure_tone_high(self):
         t = np.arange(1000)

@@ -298,20 +298,36 @@ def _pacf(ctx: WindowCtx) -> np.ndarray:
 
 
 def _analytic(ctx: WindowCtx) -> np.ndarray:
-    """Analytic signal via FFT Hilbert transform (scipy.signal.hilbert
-    formula, reimplemented; reference ext/DSPExt.jl:6-14). Complex output.
-    Only meaningful for full windows; padded tails are excluded by NaN."""
+    """Analytic signal via FFT Hilbert transform at EXACT length n per
+    row (scipy.signal.hilbert formula, reimplemented; reference
+    ext/DSPExt.jl:6-14 runs ``DSP.hilbert(x)`` at length(x)).
+
+    Rows are grouped by their true length and each group's FFT runs at
+    that length — NOT at the padded matrix width: a zero-padded Hilbert
+    is a different linear operator on the first n samples, so padding
+    would deviate from the reference for every n that isn't the padded
+    width (numpy's pooled FFT is mixed-radix, any n is fine). Exact
+    length also makes the result independent of the batch/padding width
+    by construction, so partitioning-invariance holds trivially.
+    Positions past n are zero (phase/amp kernels mask them to NaN)."""
     X = np.where(ctx.get("mask"), ctx.X, 0.0)
     nw, W = X.shape
-    f = np.fft.fft(X, axis=1)
-    h = np.zeros(W)
-    if W % 2 == 0:
-        h[0] = h[W // 2] = 1.0
-        h[1:W // 2] = 2.0
-    else:
-        h[0] = 1.0
-        h[1:(W + 1) // 2] = 2.0
-    a = np.fft.ifft(f * h[None, :], axis=1)
+    a = np.zeros((nw, W), dtype=np.complex128)
+    lens = np.minimum(ctx.n, W)
+    for ln in np.unique(lens):
+        if ln <= 0:
+            continue
+        rows = np.nonzero(lens == ln)[0]
+        f = np.fft.fft(X[rows, :ln], axis=1)
+        h = np.zeros(int(ln))
+        if ln % 2 == 0:
+            h[0] = h[ln // 2] = 1.0
+            h[1:ln // 2] = 2.0
+        else:
+            h[0] = 1.0
+            h[1:(ln + 1) // 2] = 2.0
+        a[rows[:, None], np.arange(int(ln))[None, :]] = np.fft.ifft(
+            f * h[None, :], axis=1)
     return a
 
 
