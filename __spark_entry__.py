@@ -438,10 +438,27 @@ def q_dedup_groups(spark, sf_dir):
     (min-label propagation with pointer jumping). Edges are the EXACT
     prefix-filtered jaccard pairs, so the DuckDB oracle's recursive-CTE
     reachability closure over the naive all-pairs edges checks the
-    whole path: pair generation AND the distributed CC fixpoint."""
-    docs = _docs(spark, sf_dir)
+    whole path: pair generation AND the distributed CC fixpoint. Both
+    sides take the same deterministic half of the corpus — the naive
+    O(n^2) closure was the sweep's most expensive oracle, and halving
+    docs quarters its pair join (driver-budget trim, round-3 verdict)."""
+    docs = _docs(spark, sf_dir).where("length(text) % 2 = 0")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
     return dedup.duplicate_groups(docs, pairs)
+
+
+def q_dedup_lsh_groups(spark, sf_dir):
+    """The SCALE dedup decision path end-to-end: banded minhash LSH
+    candidates -> exact jaccard verify on candidates only -> connected
+    components (one keeper per group). Uses the SQL-replayable LCG
+    double-hash family so the FULL composition — shingling, signatures,
+    band-slice candidate join, exact verify, reachability closure — is
+    value-checked by the DuckDB oracle (the production variant swaps in
+    xxhash64 with the identical code path; pytest pins planted-dup
+    recall). This is the 100-TB answer to the AllPairs quadratic tail:
+    candidates come from band buckets, never a global pair join."""
+    docs = _docs(spark, sf_dir)
+    return dedup.lsh_dedup_groups(docs, threshold=0.3, lcg=True)
 
 
 def q_minhash_check(spark, sf_dir):
@@ -852,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_groups": q_dedup_groups,
+        "dedup_lsh_groups": q_dedup_lsh_groups,
         "simhash_check": q_simhash_check,
         "minhash_check": q_minhash_check,
         "mix_sample": q_mix_sample,
@@ -1721,7 +1739,9 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_duckdb(0.3),
-        "dedup_groups": dedup.duplicate_groups_duckdb(0.3),
+        "dedup_groups": dedup.duplicate_groups_duckdb(
+            0.3, where_sql="length(text) % 2 = 0"),
+        "dedup_lsh_groups": dedup.lsh_dedup_groups_duckdb(threshold=0.3),
         "simhash_check": dedup.simhash_check_duckdb(),
         "minhash_check": dedup.minhash_check_duckdb(),
         "mix_sample": sampling.mix_sample_duckdb(MIX_WEIGHTS, default=0.25),

@@ -265,7 +265,8 @@ def main() -> None:
                 "events_hourly", "gapfill_locf",
                 "gapfill_linear", "tpch_q1", "topk_orders", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-                "dedup_groups", "mix_sample", "pack_examples",
+                "dedup_groups", "dedup_lsh_groups", "mix_sample",
+                "pack_examples",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
                 "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
                 "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",
@@ -303,6 +304,30 @@ def main() -> None:
                 qs[name](spark, xdir).count()
             spark.catalog.clearCache()
             timings_x10[name] = time.time() - t0
+        # PRODUCTION (xxhash64) LSH->verify->CC on the dup-dense x10
+        # fixture — the scale alternative to dedup_groups' exact
+        # AllPairs pair generation, timed head-to-head on the same data
+        from tsf import dedup as _dedup
+        docs_x = spark.read.parquet(f"{xdir}/documents.parquet")
+        t0 = time.time()
+        with persist_scope():
+            _dedup.lsh_dedup_groups(docs_x, threshold=0.3).count()
+        spark.catalog.clearCache()
+        timings_x10["lsh_dedup_groups_prod"] = time.time() - t0
+        # recall proxy on the fixture's OWN planted structure: every base
+        # doc's OPS_SCALE replicas (1-word edits) should land in one
+        # group; coherence = fraction of base docs whose replicas all
+        # share a group_id (merges ACROSS bases don't count against it)
+        with persist_scope():
+            grp = _dedup.lsh_dedup_groups(docs_x, threshold=0.3)
+            coh = (grp.withColumn(
+                       "b", F.regexp_extract("doc_id", r"^(.*)-r\d+$", 1))
+                   .groupBy("b")
+                   .agg(F.countDistinct("group_id").alias("g"))
+                   .agg(F.avg((F.col("g") == 1).cast("double")))
+                   .first()[0])
+        spark.catalog.clearCache()
+        extras["lsh_dedup_replica_coherence_x10"] = round(float(coh), 3)
 
     ann_quality_extras(spark, extras)
 
@@ -331,7 +356,14 @@ def main() -> None:
                    "timing_note": "best-of-2 cold (clearCache between "
                                   "reps since r3)"},
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # stdout AND a file: the driver's stdout tail capture truncated the
+    # r03 line mid-dict (BENCH_r03.json parsed null) — the file copy is
+    # the durable record
+    bench_dir = Path(__file__).resolve().parent / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "last_run.json").write_text(line + "\n")
+    print(line)
     spark.stop()
 
 

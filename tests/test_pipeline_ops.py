@@ -656,3 +656,70 @@ def test_duplicate_groups_end_to_end_ngram(spark):
            for r in dedup.duplicate_groups(docs, pairs).collect()}
     assert got["a"] == got["b"] == got["c"] == "a"
     assert got["z"] == "z"
+
+def test_lsh_dedup_groups_planted_recall(spark):
+    """Production (xxhash64) LSH->verify->CC on a planted-dup corpus:
+    every planted variant group collapses onto its keeper (recall 1.0 at
+    high jaccard with 8 single-row bands), unrelated docs stay
+    singleton, and every surviving pair's jaccard is EXACT (>= t)."""
+    import random
+    rnd = random.Random(7)
+    rows, want_groups = [], {}
+    for g in range(12):
+        words = [f"w{rnd.randrange(5000)}" for _ in range(60)]
+        keeper = f"g{g:02d}_0"
+        for v in range(3):
+            ws = words.copy()
+            if v:                      # 2 edits: jaccard ~ .84
+                ws[7] = f"X{v}"; ws[33] = f"Y{v}"
+            did = f"g{g:02d}_{v}"
+            rows.append((did, " ".join(ws)))
+            want_groups[did] = keeper
+    for i in range(30):                # unrelated singletons
+        rows.append((f"s{i:02d}",
+                     " ".join(f"u{rnd.randrange(5000)}"
+                              for _ in range(60))))
+        want_groups[f"s{i:02d}"] = f"s{i:02d}"
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup.lsh_dedup_groups(docs, threshold=0.5).collect()}
+    hits = sum(got[d] == g for d, g in want_groups.items())
+    assert hits == len(want_groups), \
+        f"recall {hits}/{len(want_groups)}"
+    # verified pairs carry exact jaccard >= threshold
+    pj = dedup.lsh_verified_pairs(docs, threshold=0.5).collect()
+    assert pj and all(r["jaccard"] >= 0.5 for r in pj)
+
+
+def test_duplicate_groups_reliable_checkpoint_long_chain(spark, tmp_path):
+    """Cluster-durability path: a diameter-40 chain (multi-round
+    convergence) through RELIABLE checkpointing — files land in the
+    checkpoint dir and the components still close."""
+    n = 41
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}",) for i in range(n)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i+1:03d}") for i in range(n - 1)],
+        "doc_a string, doc_b string")
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup.duplicate_groups(
+               docs, pairs, max_iter=12,
+               checkpoint_dir=ckpt).collect()}
+    assert all(v == "d000" for v in got.values()) and len(got) == n
+    import os
+    assert any(files for _, _, files in os.walk(ckpt)), \
+        "reliable checkpoint wrote nothing"
+
+
+def test_duplicate_groups_raises_on_exhaustion(spark):
+    """max_iter exhaustion must raise, not silently return non-component
+    labels (a chain of diameter 7 cannot converge in one round)."""
+    import pytest as _pytest
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}",) for i in range(8)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i+1:02d}") for i in range(7)],
+        "doc_a string, doc_b string")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_groups(docs, pairs, max_iter=1)

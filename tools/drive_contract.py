@@ -65,23 +65,29 @@ def main() -> int:
                     f"read_parquet('{SF}/{t}.parquet')")
     qs, os_ = e.queries(), e.oracle_sql()
     bad = []
+    import time as _time
     for k, fn in qs.items():
         if only and k not in only:
             continue
+        t0 = _time.time()
         try:
             sdf = fn(spark, SF).toPandas()
         except Exception as ex:
             print(f"{k}: SPARK ERROR {ex}")
             bad.append(k)
             continue
+        t_s = _time.time() - t0
         if k not in os_:
-            print(f"{k}: rows={len(sdf)} (rows-only)")
+            print(f"{k}: rows={len(sdf)} (rows-only) [{t_s:.1f}s]")
             continue
+        t0 = _time.time()
         ddf = con.execute(os_[k]).fetchdf()
+        t_d = _time.time() - t0
         a, b = canon(sdf), canon(ddf)
         ok = eq(a, b)
         print(f"{k}: rows={len(sdf)}/{len(ddf)} "
-              f"{'MATCH' if ok else '*** MISMATCH ***'}")
+              f"{'MATCH' if ok else '*** MISMATCH ***'} "
+              f"[spark {t_s:.1f}s, duckdb {t_d:.1f}s]")
         if not ok:
             bad.append(k)
             # show first divergent cells for debugging

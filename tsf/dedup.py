@@ -414,8 +414,159 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
             .where(F.col("jaccard") >= threshold))
 
 
+def lsh_verified_pairs(docs: DataFrame, k: int = 3, num_hashes: int = 8,
+                       bands: int = 8, threshold: float = 0.3,
+                       lcg: bool = False) -> DataFrame:
+    """THE 100-TB near-dup pair path: banded minhash LSH candidates ->
+    EXACT jaccard verify on candidates only. Returns (doc_a, doc_b,
+    jaccard >= threshold) — same row shape as the exact AllPairs join
+    (:func:`ngram_jaccard_pairs`) but with the quadratic candidate
+    problem replaced by per-(band, key) buckets, so cost scales with
+    bucket occupancy instead of pair count (the AllPairs prefix filter
+    is provably zero-pruning on dup-dense low-vocab corpora —
+    builder-measured — while LSH band buckets keep working there).
+
+    Semantics: a pair appears iff it shares >= 1 of the ``bands`` band
+    keys AND its exact shingle jaccard passes the threshold — i.e. the
+    LSH recall loss is explicit and measurable (bench reports planted
+    recall), while every SURVIVING pair's jaccard is exact.
+
+    ``lcg=True`` switches the minhash family to the SQL-replayable LCG
+    double-hash (:data:`_LCG`, Kirsch-Mitzenmacher ``h1 + i*h2``) and
+    keeps shingles as strings, so the ENTIRE path — shingling,
+    signatures, banding, candidate join, exact verify — replays in
+    DuckDB (driver query ``dedup_lsh_groups``). Production (default)
+    uses xxhash64 end-to-end (JVM codegen, 8-byte keys).
+
+    Band keys join on the raw minhash slice (arrays equi-join) rather
+    than a hash of it, so the oracle needs no second hash function."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    if lcg:
+        (s1, m1, a1), (s2, m2, a2) = _LCG
+        d = (docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+             .select("doc_id", F.expr(
+                 _shingle_array_expr("{g}", k)).alias("ss")))
+        d = scoped_persist(d)
+        sh = (d.select("doc_id", F.explode("ss").alias("shingle_str"))
+              .select("doc_id",
+                      F.expr(_lcg_fold_spark("shingle_str", s1, m1, a1))
+                      .alias("h1"),
+                      F.expr(_lcg_fold_spark("shingle_str", s2, m2, a2))
+                      .alias("h2")))
+        mins = [F.min(F.expr(f"(h1 + {i} * h2) % 4294967296"))
+                .alias(f"m{i}") for i in range(num_hashes)]
+    else:
+        d = (docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+             .select("doc_id", F.expr(
+                 _shingle_array_expr("xxhash64({g})", k)).alias("ss")))
+        d = scoped_persist(d)
+        sh = d.select("doc_id", F.explode("ss").alias("shingle"))
+        mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i)))
+                .alias(f"m{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = sig.select("doc_id", F.array(
+        *[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    banded = (sig.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.slice("sig", b * rows + 1, rows).alias("bk"))
+        for b in range(bands)])).alias("s"))
+        .select("doc_id", F.col("s.band").alias("band"),
+                F.col("s.bk").alias("bk")))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, ["band", "bk"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    verify = (cand
+              .join(d.select(F.col("doc_id").alias("doc_a"),
+                             F.col("ss").alias("sa")), "doc_a")
+              .join(d.select(F.col("doc_id").alias("doc_b"),
+                             F.col("ss").alias("sb")), "doc_b"))
+    inter = F.expr("size(array_intersect(sa, sb))").cast("double")
+    un = (F.size("sa") + F.size("sb")).cast("double") - inter
+    return (verify.select("doc_a", "doc_b",
+                          F.round(inter / un, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def lsh_dedup_groups(docs: DataFrame, k: int = 3, num_hashes: int = 8,
+                     bands: int = 8, threshold: float = 0.3,
+                     lcg: bool = False, max_iter: int = 25,
+                     checkpoint_dir: str | None = None) -> DataFrame:
+    """LSH candidates -> exact verify -> connected components: the
+    complete scale dedup decision path (one keeper per near-dup group)
+    with no quadratic stage anywhere — candidates are banded, the exact
+    jaccard runs on candidates only, and the component fixpoint is
+    O(log diameter) equi-join rounds."""
+    pairs = lsh_verified_pairs(docs, k, num_hashes, bands, threshold,
+                               lcg=lcg)
+    return duplicate_groups(docs, pairs, max_iter=max_iter,
+                            checkpoint_dir=checkpoint_dir)
+
+
+def lsh_dedup_groups_duckdb(k: int = 3, num_hashes: int = 8,
+                            bands: int = 8,
+                            threshold: float = 0.3) -> str:
+    """DuckDB replay of ``lsh_dedup_groups(lcg=True)``: identical LCG
+    double-hash signatures, band-slice equality candidates, exact
+    jaccard verify, then recursive-CTE reachability (min reachable id
+    per doc) over the verified edges."""
+    assert k == 3
+    rows = num_hashes // bands
+    (s1, m1, a1), (s2, m2, a2) = _LCG
+
+    def fold(seed, mult, add):
+        return (f"list_reduce(list_concat([CAST({seed} AS HUGEINT)], "
+                f"list_transform(range(1, length(s) + 1), "
+                f"i -> CAST(ascii(substring(s, i, 1)) AS HUGEINT))), "
+                f"(h, c) -> (h * {mult} + c + {add}) % 4294967296)")
+
+    mins = ", ".join(
+        f"CAST(min((h1 + {i} * h2) % 4294967296) AS BIGINT) AS m{i}"
+        for i in range(num_hashes))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + "[" + ", ".join(f"m{b * rows + r}" for r in range(rows)) + "]"
+        + " AS bk FROM sig" for b in range(bands))
+    jac = ("len(list_intersect(da.ss, db.ss)) * 1.0 / nullif(len(da.ss)"
+           " + len(db.ss) - len(list_intersect(da.ss, db.ss)), 0)")
+    return f"""
+    WITH RECURSIVE w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                      list_filter(string_split(text, ' '),
+                                  x -> length(x) > 0) AS ws
+               FROM documents),
+    d AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(ws) - {k} + 1, 0) + 1),
+            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS ss FROM w),
+    sh AS (SELECT doc_id, unnest(ss) AS s FROM d),
+    hs AS (SELECT doc_id, {fold(s1, m1, a1)} AS h1,
+                  {fold(s2, m2, a2)} AS h2 FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hs GROUP BY 1),
+    bd AS ({band_rows}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bd a JOIN bd b
+               ON a.band = b.band AND a.bk = b.bk
+                  AND a.doc_id < b.doc_id),
+    p AS (SELECT doc_a, doc_b FROM cand
+          JOIN d da ON da.doc_id = cand.doc_a
+          JOIN d db ON db.doc_id = cand.doc_b
+          WHERE round({jac}, 6) >= {threshold}),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM w
+        UNION
+        SELECT e.v, reach.r FROM e JOIN reach ON reach.doc_id = e.u
+    )
+    SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id
+    """
+
+
 def duplicate_groups(docs: DataFrame, pairs: DataFrame,
-                     max_iter: int = 25) -> DataFrame:
+                     max_iter: int = 25,
+                     checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over a near-duplicate pair graph: one row per
     document with ``group_id`` = the lexicographically smallest doc_id in
     its component (the canonical keeper; singletons are their own group).
@@ -431,17 +582,32 @@ def duplicate_groups(docs: DataFrame, pairs: DataFrame,
     one (doc_id, label) pair per vertex plus one message per edge.
     Every label is itself a vertex id (min over a set containing the
     vertex), so the pointer-jump join is total. The fixpoint test is one
-    count per round; ``localCheckpoint`` truncates the growing lineage so
-    round N's plan does not replay rounds 1..N-1."""
+    count() job per round (the price of convergence detection); each
+    round's result is checkpointed so round N's plan never replays
+    rounds 1..N-1.
+
+    Durability: by default the per-round checkpoint is
+    ``localCheckpoint`` — blocks live on EXECUTORS, so on a real cluster
+    a lost executor makes the lineage unrecoverable mid-run. Pass
+    ``checkpoint_dir`` (HDFS/object-store path on a cluster) to use
+    RELIABLE checkpointing for long chains; local runs don't need it.
+    Raises RuntimeError if the fixpoint is not reached in ``max_iter``
+    rounds (pointer jumping needs ~log2(diameter): 25 covers any real
+    graph, so exhaustion means the input is pathological — returning
+    silently would hand back labels that are not components)."""
     # ids are STRINGS end-to-end (labels too): mixed types would let
     # Spark's union/join coercion silently flip min() from lexicographic
     # to numeric and diverge from the VARCHAR oracle
+    spark = docs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     e = pairs.select(F.col("doc_a").cast("string").alias("u"),
                      F.col("doc_b").cast("string").alias("v"))
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     labels = docs.select(F.col("doc_id").cast("string").alias("doc_id")) \
         .withColumn("label", F.col("doc_id"))
+    converged = False
     for _ in range(max_iter):
         # relax: each vertex takes the min of its own and neighbors' labels
         msgs = (edges.join(labels.withColumnRenamed("doc_id", "u"), "u")
@@ -452,29 +618,42 @@ def duplicate_groups(docs: DataFrame, pairs: DataFrame,
         jump = new.select(F.col("doc_id").alias("label"),
                           F.col("label").alias("label2"))
         new = (new.join(jump, "label")
-               .select("doc_id", F.col("label2").alias("label"))
-               .localCheckpoint(eager=False))
+               .select("doc_id", F.col("label2").alias("label")))
+        new = (new.checkpoint(eager=False) if checkpoint_dir is not None
+               else new.localCheckpoint(eager=False))
         changed = (new.withColumnRenamed("label", "new_label")
                    .join(labels, "doc_id")
                    .where(F.col("new_label") != F.col("label")).count())
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_groups did not converge in {max_iter} rounds "
+            f"(last round changed {changed} labels) — the label table "
+            f"is NOT a component assignment; raise max_iter or inspect "
+            f"the pair graph")
     return labels.select("doc_id", F.col("label").alias("group_id"))
 
 
-def duplicate_groups_duckdb(threshold: float = 0.3, k: int = 3) -> str:
+def duplicate_groups_duckdb(threshold: float = 0.3, k: int = 3,
+                            where_sql: str = "TRUE") -> str:
     """DuckDB oracle: recursive-CTE reachability closure over the NAIVE
     all-pairs jaccard edges (>= threshold), min reachable id per doc —
-    an independent definition of the same components."""
+    an independent definition of the same components. ``where_sql``
+    deterministically restricts the corpus (the naive O(n^2) closure is
+    the sweep's most expensive oracle; the engine side applies the
+    IDENTICAL predicate)."""
     assert k == 3
     w = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
     jac = ("len(list_intersect(a.ss, b.ss)) * 1.0 / nullif(len(a.ss) "
            "+ len(b.ss) - len(list_intersect(a.ss, b.ss)), 0)")
     return f"""
     WITH RECURSIVE d0 AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                                 {w} AS ws FROM documents),
+                                 {w} AS ws FROM documents
+                          WHERE {where_sql}),
     d AS (SELECT doc_id, list_distinct(list_transform(
             range(1, greatest(len(ws) - {k} + 1, 0) + 1),
             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS ss FROM d0),
