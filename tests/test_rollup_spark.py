@@ -206,3 +206,24 @@ def test_tier0_survives_dirty_rows_and_extreme_longtail(spark):
     assert int(w["sum_tok"].iloc[0]) == sum(range(100))
     last = [int(x) for x in big[-100:]]
     assert int(w["sum_tok"].iloc[-1]) == sum(last)
+
+def test_return_type_float32(spark, fixture_df):
+    """return_type conversion (reference src/FeatureArrays.jl:217-222):
+    float32 outputs carry FloatType schema and equal the float32-cast of
+    the float64 run (kernels still compute in float64)."""
+    from tsf.rollup import series_features
+    fs = default_rollup_features()
+    t64 = tier0(fixture_df, fs, blocks=False)
+    t32 = tier0(fixture_df, fs, blocks=False, return_type=np.float32)
+    assert all(f.dataType.simpleString() == "float"
+               for f in t32.schema.fields if f.name in fs.names)
+    a = t64.toPandas().sort_values(["doc_id", "window_id"]).reset_index(drop=True)
+    b = t32.toPandas().sort_values(["doc_id", "window_id"]).reset_index(drop=True)
+    for n in fs.names:
+        x = a[n].to_numpy().astype(np.float32)
+        y = b[n].to_numpy()
+        assert ((x == y) | (np.isnan(x) & np.isnan(y))).all(), n
+    s32 = series_features(fixture_df, fs, return_type=np.float32)
+    assert all(f.dataType.simpleString() == "float"
+               for f in s32.schema.fields if f.name in fs.names)
+    assert s32.count() > 0

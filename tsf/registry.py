@@ -138,23 +138,31 @@ class FeatureSet:
     #: (enforced by tests/test_kernels.py::test_padded_matrix_equals_per_row).
     TILE_ROWS = 4096
 
-    def evaluate(self, X: np.ndarray, n: np.ndarray) -> dict[str, np.ndarray]:
-        """One pass over a batch of windows -> {feature name: (nw,) float64}.
+    def evaluate(self, X: np.ndarray, n: np.ndarray,
+                 return_type=None) -> dict[str, np.ndarray]:
+        """One pass over a batch of windows -> {feature name: (nw,) array}.
 
         Distinct supers are computed once via the shared WindowCtx cache
         (reference src/SuperFeatures.jl:96-110); lagged supers (acf/pacf)
         are sized to the max lag any requested leaf reads.
-        """
+
+        ``return_type``: optional numpy dtype for the OUTPUT arrays — the
+        reference's positional output-type conversion
+        (src/FeatureArrays.jl:217-222, src/SuperFeatures.jl:93-95).
+        Kernels always compute in float64; the conversion is applied to
+        the finished values (e.g. float32 to halve rollup storage)."""
         req: dict[str, int] = {}
         for f in self:
             if f.lag is not None and f.super is not None:
                 req[f.super] = max(req.get(f.super, 0), f.lag)
+        dt = np.dtype(return_type) if return_type is not None else np.float64
         nw = X.shape[0]
         if nw <= self.TILE_ROWS:
             ctx = K.WindowCtx(X, n, req=req)
-            return {f.name: np.asarray(f.method(ctx), dtype=np.float64)
+            return {f.name: np.asarray(f.method(ctx),
+                                       dtype=np.float64).astype(dt, copy=False)
                     for f in self}
-        out = {f.name: np.empty(nw, dtype=np.float64) for f in self}
+        out = {f.name: np.empty(nw, dtype=dt) for f in self}
         for lo in range(0, nw, self.TILE_ROWS):
             hi = min(lo + self.TILE_ROWS, nw)
             ctx = K.WindowCtx(X[lo:hi], n[lo:hi], req=req)

@@ -38,8 +38,15 @@ from tsf.windows import DEFAULT_CHUNK_WINDOWS, DEFAULT_WINDOW, TIER_FACTOR, chun
 META_COLS = "doc_id string, source string, tier int, window_id bigint, win_start bigint"
 
 
-def rollup_schema(features: FeatureSet, blocks: bool = True) -> str:
-    s = META_COLS + ", " + ", ".join(f"{n} double" for n in features.names)
+#: Spark SQL type per supported feature-output dtype (the reference's
+#: return_type argument, src/FeatureArrays.jl:217-222)
+_SQL_TYPE = {np.dtype(np.float64): "double", np.dtype(np.float32): "float"}
+
+
+def rollup_schema(features: FeatureSet, blocks: bool = True,
+                  return_type=None) -> str:
+    t = _SQL_TYPE[np.dtype(return_type or np.float64)]
+    s = META_COLS + ", " + ", ".join(f"{n} {t}" for n in features.names)
     if blocks:
         s += ", values_gorilla binary"
     return s
@@ -77,8 +84,9 @@ def _assemble_windows(arrs, W: int):
     return M, n, row_of_win, local_w
 
 
-def _emit(pdf_cols: dict, features: FeatureSet, M, n, blocks: bool) -> pd.DataFrame:
-    feats = features.evaluate(M, n)
+def _emit(pdf_cols: dict, features: FeatureSet, M, n, blocks: bool,
+          return_type=None) -> pd.DataFrame:
+    feats = features.evaluate(M, n, return_type=return_type)
     out = dict(pdf_cols)
     out.update(feats)
     if blocks:
@@ -88,7 +96,8 @@ def _emit(pdf_cols: dict, features: FeatureSet, M, n, blocks: bool) -> pd.DataFr
     return pd.DataFrame(out)
 
 
-def make_tier0_fn(features: FeatureSet, W: int, blocks: bool):
+def make_tier0_fn(features: FeatureSet, W: int, blocks: bool,
+                  return_type=None):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -108,7 +117,8 @@ def make_tier0_fn(features: FeatureSet, W: int, blocks: bool):
                 "window_id": window_id,
                 "win_start": window_id * W,
             }
-            yield _emit(meta, features, M, n, blocks)
+            yield _emit(meta, features, M, n, blocks,
+                        return_type=return_type)
     return fn
 
 
@@ -117,14 +127,21 @@ def tier0(seq: DataFrame,
           window: int = DEFAULT_WINDOW,
           chunk_windows: int = DEFAULT_CHUNK_WINDOWS,
           num_partitions: int | None = None,
-          blocks: bool = True) -> DataFrame:
-    """Tier-0 rollup of a sequences table (doc_id, tokens, n_tok, source)."""
+          blocks: bool = True,
+          return_type=None) -> DataFrame:
+    """Tier-0 rollup of a sequences table (doc_id, tokens, n_tok, source).
+
+    ``return_type``: optional numpy dtype for the feature columns (e.g.
+    ``np.float32`` halves rollup storage/shuffle width) — the
+    reference's output-type conversion (src/FeatureArrays.jl:217-222);
+    kernels still compute in float64."""
     features = features or default_rollup_features()
     chunked = chunk_sequences(seq, window, chunk_windows)
     if num_partitions:
         chunked = chunked.repartition(num_partitions, "doc_id", "chunk_id")
-    return chunked.mapInPandas(make_tier0_fn(features, window, blocks),
-                               rollup_schema(features, blocks))
+    return chunked.mapInPandas(
+        make_tier0_fn(features, window, blocks, return_type=return_type),
+        rollup_schema(features, blocks, return_type=return_type))
 
 
 VECTOR_SCHEMA = ("doc_id string, source string, window_id bigint, "
@@ -272,12 +289,14 @@ def cascade(seq: DataFrame, tiers: int = 3, features: FeatureSet | None = None,
 # length cap.
 # --------------------------------------------------------------------------
 
-def series_schema(features: FeatureSet) -> str:
+def series_schema(features: FeatureSet, return_type=None) -> str:
+    t = _SQL_TYPE[np.dtype(return_type or np.float64)]
     return ("doc_id string, source string, n_tok int, "
-            + ", ".join(f"{n} double" for n in features.names))
+            + ", ".join(f"{n} {t}" for n in features.names))
 
 
-def make_series_fn(features: FeatureSet, max_batch_cells: int):
+def make_series_fn(features: FeatureSet, max_batch_cells: int,
+                   return_type=None):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -307,7 +326,7 @@ def make_series_fn(features: FeatureSet, max_batch_cells: int):
                     M = np.zeros((len(sel), int(bw)))
                     for i, a in enumerate(sub["tokens"]):
                         M[i, :n[i]] = a
-                    out = features.evaluate(M, n)
+                    out = features.evaluate(M, n, return_type=return_type)
                     res = {"doc_id": sub["doc_id"].to_numpy(),
                            "source": sub["source"].to_numpy(),
                            "n_tok": n.astype(np.int32)}
@@ -383,7 +402,8 @@ def dim_stack_features(df: DataFrame, value_cols: list[str],
 def series_features(seq: DataFrame,
                     features: FeatureSet | None = None,
                     max_batch_cells: int = 1 << 23,
-                    num_partitions: int | None = None) -> DataFrame:
+                    num_partitions: int | None = None,
+                    return_type=None) -> DataFrame:
     """One row of feature values per doc over the WHOLE series — ragged
     lengths, no length cap (reference bulk-evaluation semantics; empty
     docs produce no row, mirroring Julia's minimum([]) error).
@@ -401,5 +421,7 @@ def series_features(seq: DataFrame,
     d = seq.where(F.size("tokens") >= 1)
     if num_partitions:
         d = d.repartitionByRange(num_partitions, "n_tok", "doc_id")
-    return d.mapInPandas(make_series_fn(features, int(max_batch_cells)),
-                         series_schema(features))
+    return d.mapInPandas(
+        make_series_fn(features, int(max_batch_cells),
+                       return_type=return_type),
+        series_schema(features, return_type=return_type))
