@@ -314,6 +314,16 @@ def main() -> None:
             _dedup.lsh_dedup_groups(docs_x, threshold=0.3).count()
         spark.catalog.clearCache()
         timings_x10["lsh_dedup_groups_prod"] = time.time() - t0
+        # apples-to-apples vs the x10 `dedup_groups` row, which (like
+        # its driver query) runs the exact AllPairs+CC path on the
+        # deterministic HALF corpus: same half through the LSH path
+        t0 = time.time()
+        with persist_scope():
+            _dedup.lsh_dedup_groups(
+                docs_x.where("length(text) % 2 = 0"),
+                threshold=0.3).count()
+        spark.catalog.clearCache()
+        timings_x10["lsh_dedup_groups_prod_half"] = time.time() - t0
         # recall proxy on the fixture's OWN planted structure: every base
         # doc's OPS_SCALE replicas (1-word edits) should land in one
         # group; coherence = fraction of base docs whose replicas all
