@@ -133,11 +133,21 @@ def q_retention_prune(spark, sf_dir):
 def _icelite_tmp() -> str:
     """Fresh table path per call; prior calls' tables are reclaimed
     (safe: the driver/bench fully consumes each query's result before
-    invoking the next one, so no live plan still reads an old dir)."""
+    invoking the next one, so no live plan still reads an old dir).
+    The reclaim parent is scoped per-process: two concurrent harnesses
+    (driver + judge, or pytest alongside drive_contract) must not wipe
+    each other's live tables mid-read. Stale dirs from dead processes
+    are swept opportunistically."""
     import shutil
     import tempfile
-    parent = os.path.join(tempfile.gettempdir(), "tsf_icelite_q")
+    tmp = tempfile.gettempdir()
+    parent = os.path.join(tmp, f"tsf_icelite_q_{os.getpid()}")
     shutil.rmtree(parent, ignore_errors=True)
+    for d in os.listdir(tmp):  # reap dirs owned by exited processes
+        if d.startswith("tsf_icelite_q"):
+            pid = d.rsplit("_", 1)[-1]
+            if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+                shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
     os.makedirs(parent, exist_ok=True)
     return tempfile.mkdtemp(dir=parent)
 
@@ -516,6 +526,29 @@ def q_token_counts(spark, sf_dir):
     return textstats.with_token_counts(_docs(spark, sf_dir))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021): top-2-gram /
+    duplicate-5-gram character fractions + most-common-word share, with
+    the composite pass flag. One explode + two shuffles; no self-join."""
+    return textstats.with_repetition_signals(_docs(spark, sf_dir))
+
+
+#: deterministic synthetic "benchmark" slice of the documents table for
+#: the decontamination query — every 7th doc stands in for the eval set
+#: (wide enough that replica groups straddle it: 9 hits at sf0.01)
+DECONTAM_PRED = "doc_id % 7 = 0"
+
+
+def q_decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C style): docs sharing
+    any word 8-gram with the benchmark slice (doc_id % 7 == 0) — the
+    benchmark gram set is broadcast, so the corpus side never shuffles
+    raw text, only the per-doc hit counts."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(DECONTAM_PRED)
+    return textstats.decontam_overlap(docs, bench)
+
+
 def q_series_pairwise_pearson(spark, sf_dir):
     """Reference-native pairwise operator: Pearson/covariance between the
     tier-0 mean series of same-source docs, aligned on window_id."""
@@ -878,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
+        "gopher_quality": q_gopher_quality,
+        "decontam_overlap": q_decontam_overlap,
         "series_pairwise_pearson": q_series_pairwise_pearson,
         "pairwise_phase_sync": q_pairwise_phase_sync,
         "pairwise_mi": q_pairwise_mi,
@@ -1751,6 +1786,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "langid": textstats.langid_duckdb(),
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),
         "token_counts": textstats.token_counts_duckdb(),
+        "gopher_quality": textstats.repetition_signals_duckdb(),
+        "decontam_overlap": textstats.decontam_duckdb(DECONTAM_PRED),
         "series_pairwise_pearson": f"""
             WITH seq AS ({_SEQ}),
             f AS (SELECT * FROM seq WHERE n_tok >= 30),

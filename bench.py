@@ -129,7 +129,8 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "gapfill_linear", "dedup_exact", "dedup_minhash", "dedup_simhash",
           "dedup_ngram_jaccard", "dedup_groups", "mix_sample",
           "pack_examples", "simhash_check", "text_quality",
-          "token_counts", "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+          "token_counts", "gopher_quality", "decontam_overlap",
+          "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
           "media_features", "compression_roundtrip"]
 # frame_sample is excluded from the scaled pass: its cost is the fake
 # decode MATERIALIZING every 8th image row (~MBs per doc by design), so
@@ -273,7 +274,8 @@ def main() -> None:
                 "pairwise_pearson",
                 "series_pairwise_pearson", "pairwise_phase_sync",
                 "pairwise_mi", "pairwise_featureset", "pairwise_super_check",
-                "token_counts", "media_meta", "media_features",
+                "token_counts", "gopher_quality", "decontam_overlap",
+                "media_meta", "media_features",
                 "frame_sample", "compression_roundtrip"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x
     # minute-to-minute (hypervisor neighbors), and single-shot timings

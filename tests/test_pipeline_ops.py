@@ -723,3 +723,68 @@ def test_duplicate_groups_raises_on_exhaustion(spark):
         "doc_a string, doc_b string")
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.duplicate_groups(docs, pairs, max_iter=1)
+
+
+def test_repetition_signals_hand_computed(spark):
+    # doc "a": 6 words, "x y" repeated 3x -> top 2-gram "x y" covers
+    #   3 * 2 = 6 of 6 word chars; every word repeats 3x -> mwf 3/6
+    # doc "b": no repetition at all
+    # doc "c": a single word (no 2-grams, no 5-grams)
+    df = spark.createDataFrame(
+        [("a", "x y x y x y"),
+         ("b", "one two three four five six seven"),
+         ("c", "solo")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r
+           for r in textstats.with_repetition_signals(df).collect()}
+    a = out["a"]
+    assert a["n_words"] == 6
+    assert a["top2gram_char_frac"] == 1.0          # 3 * ("x y"->2 chars) / 6
+    assert a["max_word_frac"] == 0.5               # "x" (or "y") 3/6
+    # 5-grams of a: "x y x y x", "y x y x y" — each appears once -> 0
+    assert a["dup5gram_char_frac"] == 0.0
+    assert not a["gopher_pass"]
+    b = out["b"]
+    assert b["dup5gram_char_frac"] == 0.0
+    assert b["gopher_pass"]
+    c = out["c"]
+    assert c["n_words"] == 1
+    assert c["top2gram_char_frac"] == 0.0
+    assert c["max_word_frac"] == 1.0
+
+
+def test_repetition_signals_duplicate_5gram(spark):
+    # "a b c d e" occurs twice (positions 0 and 5), total word chars = 10
+    # dup 5-gram covered chars = 2 occurrences * 5 chars = 10 -> frac 1.0
+    df = spark.createDataFrame([("d", "a b c d e a b c d e")],
+                               "doc_id string, text string")
+    r = textstats.with_repetition_signals(df).collect()[0]
+    assert r["dup5gram_char_frac"] == 1.0
+    assert not r["gopher_pass"]
+
+
+def test_decontam_overlap_planted(spark):
+    # bench doc 0 shares its 8-gram run with doc 10 (a replica) but not
+    # with doc 11; doc 0 itself must be excluded from the output
+    words = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"v{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(0, words), (10, words), (11, other)],
+        "doc_id long, text string")
+    bench = df.where("doc_id = 0")
+    out = textstats.decontam_overlap(df, bench, n=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 10
+    # 12 words -> 5 distinct 8-grams, all shared
+    assert r["n_overlap"] == 5
+    assert r["first_gram"].startswith("w0 ")
+
+
+def test_decontam_overlap_plan_broadcasts_bench(spark):
+    words = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame([(i, words) for i in range(20)],
+                               "doc_id long, text string")
+    out = textstats.decontam_overlap(df, df.where("doc_id = 0"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bench grams never shuffle the corpus

@@ -153,3 +153,196 @@ def token_counts_duckdb() -> str:
                  * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
     FROM documents
     """
+
+
+# ------------------------------------------------------- repetition signals
+#
+# Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+# Models", table A1): excessively repetitious documents are low-quality
+# training data. Three signals per document, all over the whitespace word
+# stream (the fixture corpus has no newlines, so the line-based rules
+# don't apply):
+#
+# - top2gram_char_frac: the largest fraction of word characters covered by
+#   any single REPEATED 2-gram (occurrences x gram chars / total word
+#   chars; grams occurring once aren't repetition — without the cnt >= 2
+#   guard every short document fails the threshold on its largest single
+#   2-gram). A max aggregate needs no argmax tie-break.
+# - dup5gram_char_frac: fraction of word characters covered by 5-grams
+#   occurring more than once (sum of cnt x gram chars over cnt >= 2).
+#   Overlapping occurrences count each time — documented spec, exactly
+#   replayed by the oracle.
+# - max_word_frac: most frequent word's share of all words.
+#
+# Scale shape: ONE explode of (doc_id, n, gram) rows for all three n's,
+# one (doc_id, n, gram) groupBy with map-side combine, one doc_id groupBy.
+# No self-joins, no windows; skew is bounded by document length.
+
+GOPHER_TOP2_MAX = 0.20   # Gopher: top 2-gram char fraction < 0.2
+GOPHER_DUP5_MAX = 0.15   # Gopher: duplicate 5-gram char fraction < 0.15
+GOPHER_WORD_MAX = 0.20   # most-common-word share (word-level analogue)
+
+
+def _grams_expr(n: int, src: str = _WORDS) -> str:
+    # 1-based slice; guarded so short docs yield an empty array (Spark's
+    # sequence(a, b) runs DESCENDING when b < a — never let that happen)
+    return (f"CASE WHEN size({src}) >= {n} THEN "
+            f"transform(sequence(1, size({src}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({src}, i, {n}))) "
+            f"ELSE array() END")
+
+
+def with_repetition_signals(docs: DataFrame) -> DataFrame:
+    """doc_id, n_words, top2gram_char_frac, dup5gram_char_frac,
+    max_word_frac, gopher_pass — see module notes for the exact spec."""
+    # split once into a column; inlining _WORDS into every gram builder
+    # produced an expression tree big enough that codegen compile
+    # dominated the cold run (17.8s -> the split-once form is the fix)
+    wdf = docs.select("doc_id", F.expr(_WORDS).alias("w"))
+    # the (n, gram) array in one pass: words (n=1) + 2-grams + 5-grams
+    gram_arr = F.expr(
+        "concat("
+        "transform(w, x -> struct(1 AS n, x AS gram)), "
+        f"transform({_grams_expr(2, 'w')}, g -> struct(2 AS n, g AS gram)), "
+        f"transform({_grams_expr(5, 'w')}, g -> struct(5 AS n, g AS gram)))")
+    rows = (wdf.select(
+                "doc_id",
+                F.expr("size(w)").cast("long").alias("nw"),
+                F.expr("length(concat_ws('', w))").cast("long")
+                .alias("total_chars"),
+                F.explode(gram_arr).alias("t"))
+            .select("doc_id", "nw", "total_chars",
+                    F.col("t.n").alias("n"), F.col("t.gram").alias("gram")))
+    per_gram = (rows.groupBy("doc_id", "n", "gram")
+                .agg(F.count("*").alias("cnt"),
+                     F.first("nw").alias("nw"),
+                     F.first("total_chars").alias("total_chars")))
+    chars = F.length("gram") - (F.col("n") - F.lit(1))  # minus separators
+    agg = (per_gram.groupBy("doc_id").agg(
+        F.first("nw").alias("nw"),
+        F.max(F.when((F.col("n") == 2) & (F.col("cnt") > 1),
+                     F.col("cnt") * chars)).alias("_top2_chars"),
+        F.sum(F.when((F.col("n") == 5) & (F.col("cnt") > 1),
+                     F.col("cnt") * chars).otherwise(F.lit(0)))
+        .alias("_dup5_chars"),
+        F.max(F.when(F.col("n") == 1, F.col("cnt"))).alias("_max_word"),
+        F.first("total_chars").alias("total_chars")))
+    top2 = _r6(F.coalesce(F.col("_top2_chars"), F.lit(0))
+               / F.greatest(F.col("total_chars"), F.lit(1)))
+    dup5 = _r6(F.col("_dup5_chars")
+               / F.greatest(F.col("total_chars"), F.lit(1)))
+    mwf = _r6(F.col("_max_word") / F.greatest(F.col("nw"), F.lit(1)))
+    out = (agg.withColumn("top2gram_char_frac", top2)
+           .withColumn("dup5gram_char_frac", dup5)
+           .withColumn("max_word_frac", mwf))
+    gpass = ((F.col("top2gram_char_frac") <= GOPHER_TOP2_MAX)
+             & (F.col("dup5gram_char_frac") <= GOPHER_DUP5_MAX)
+             & (F.col("max_word_frac") <= GOPHER_WORD_MAX))
+    return out.select(
+        "doc_id", F.col("nw").cast("int").alias("n_words"),
+        "top2gram_char_frac", "dup5gram_char_frac", "max_word_frac",
+        gpass.alias("gopher_pass"))
+
+
+def repetition_signals_duckdb() -> str:
+    w = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+
+    def grams(n: int) -> str:
+        return (f"list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), "
+                f"i -> array_to_string(list_slice(w, i, i + {n - 1}), ' '))")
+
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {w} AS w FROM documents),
+    d AS (
+      SELECT doc_id, w, len(w) AS nw,
+             length(array_to_string(w, '')) AS total_chars
+      FROM base),
+    rows_ AS (
+      SELECT doc_id, nw, total_chars, t.n AS n, t.gram AS gram
+      FROM d, UNNEST(
+          list_transform(w, x -> {{'n': 1, 'gram': x}})
+          || list_transform({grams(2)}, g -> {{'n': 2, 'gram': g}})
+          || list_transform({grams(5)}, g -> {{'n': 5, 'gram': g}})) AS u(t)),
+    per_gram AS (
+      SELECT doc_id, n, gram, count(*) AS cnt,
+             any_value(nw) AS nw, any_value(total_chars) AS total_chars
+      FROM rows_ GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT doc_id, any_value(nw) AS nw,
+             max(CASE WHEN n = 2 AND cnt > 1 THEN cnt * (length(gram) - 1) END) AS t2,
+             coalesce(sum(CASE WHEN n = 5 AND cnt > 1
+                          THEN cnt * (length(gram) - 4) ELSE 0 END), 0) AS d5,
+             max(CASE WHEN n = 1 THEN cnt END) AS mw,
+             any_value(total_chars) AS total_chars
+      FROM per_gram GROUP BY 1)
+    SELECT doc_id, CAST(nw AS INT) AS n_words,
+           {r6.format(x="coalesce(t2, 0) * 1.0 / greatest(total_chars, 1)")} AS top2gram_char_frac,
+           {r6.format(x="d5 * 1.0 / greatest(total_chars, 1)")} AS dup5gram_char_frac,
+           {r6.format(x="mw * 1.0 / greatest(nw, 1)")} AS max_word_frac,
+           ({r6.format(x="coalesce(t2, 0) * 1.0 / greatest(total_chars, 1)")}) <= {GOPHER_TOP2_MAX}
+           AND ({r6.format(x="d5 * 1.0 / greatest(total_chars, 1)")}) <= {GOPHER_DUP5_MAX}
+           AND ({r6.format(x="mw * 1.0 / greatest(nw, 1)")}) <= {GOPHER_WORD_MAX}
+           AS gopher_pass
+    FROM agg
+    """
+
+
+# ----------------------------------------------------------- decontamination
+#
+# Benchmark decontamination (GPT-3 appendix C / PaLM style): flag training
+# documents that share any word n-gram with a held-out evaluation set.
+# At 100 TB the benchmark side is tiny (a few thousand eval docs) and the
+# corpus side is a projection + explode: broadcast the distinct benchmark
+# grams, hash-join corpus grams against them (no shuffle of the corpus
+# beyond the final per-doc count), count distinct overlapping grams per
+# contaminated doc.
+
+DECONTAM_N = 8  # 13 in GPT-3; 8 here so the ~50-word fixture docs overlap
+
+
+def decontam_overlap(docs: DataFrame, bench: DataFrame,
+                     n: int = DECONTAM_N) -> DataFrame:
+    """Documents sharing >= 1 word ``n``-gram with the ``bench`` set
+    (benchmark docs themselves excluded): doc_id, n_overlap (distinct
+    shared grams), first_gram (lexicographic min, for audit)."""
+    from pyspark.sql.functions import broadcast
+
+    def grams(df: DataFrame) -> DataFrame:
+        wdf = df.select("doc_id", F.expr(_WORDS).alias("w"))
+        return (wdf.select("doc_id",
+                           F.explode(F.expr(_grams_expr(n, "w"))).alias("gram"))
+                .distinct())
+
+    bg = broadcast(grams(bench).select("gram").distinct())
+    bench_ids = broadcast(bench.select("doc_id").distinct())
+    hits = (grams(docs)
+            .join(bench_ids, "doc_id", "left_anti")
+            .join(bg, "gram"))
+    return (hits.groupBy("doc_id")
+            .agg(F.count("*").alias("n_overlap"),
+                 F.min("gram").alias("first_gram")))
+
+
+def decontam_duckdb(bench_pred: str, n: int = DECONTAM_N) -> str:
+    """DuckDB replay; ``bench_pred`` is the SQL predicate selecting the
+    benchmark docs out of ``documents`` (e.g. "doc_id % 37 = 0")."""
+    w = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+    g = (f"list_distinct(list_transform("
+         f"range(1, greatest(len({w}) - {n - 1}, 0) + 1), "
+         f"i -> array_to_string(list_slice({w}, i, i + {n - 1}), ' ')))")
+    return f"""
+    WITH bench_grams AS (
+      SELECT DISTINCT t.gram AS gram
+      FROM documents, UNNEST({g}) AS t(gram)
+      WHERE {bench_pred}),
+    corpus AS (
+      SELECT doc_id, t.gram AS gram
+      FROM documents, UNNEST({g}) AS t(gram)
+      WHERE NOT ({bench_pred}))
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+           min(c.gram) AS first_gram
+    FROM corpus c JOIN bench_grams b USING (gram)
+    GROUP BY c.doc_id
+    """
