@@ -423,6 +423,20 @@ def q_topk_orders(spark, sf_dir):
                     F.round("o_totalprice", 2).alias("o_totalprice"), "rk"))
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus-level vocabulary heavy hitters: top-50 words by frequency
+    (ties broken lexicographically). At 100 TB this is the canonical
+    map-side-combine shape — partial counts per partition, one shuffle
+    of (word, partial_count), TakeOrderedAndProject for the limit; no
+    full sort of the vocabulary."""
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(F.expr(
+                 "filter(split(text, ' '), w -> length(w) > 0)"))
+                 .alias("word")))
+    return (words.groupBy("word").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("word")).limit(50))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -897,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear": q_gapfill_linear,
         "tpch_q1": q_tpch_q1,
         "topk_orders": q_topk_orders,
+        "vocab_topk": q_vocab_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1787,6 +1802,13 @@ def _oracle_sql_base() -> dict[str, str]:
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),
         "token_counts": textstats.token_counts_duckdb(),
         "gopher_quality": textstats.repetition_signals_duckdb(),
+        "vocab_topk": """
+            SELECT t.word AS word, CAST(count(*) AS BIGINT) AS n
+            FROM documents,
+                 UNNEST(list_filter(string_split(text, ' '),
+                                    w -> length(w) > 0)) AS t(word)
+            GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 50
+        """,
         "decontam_overlap": textstats.decontam_duckdb(DECONTAM_PRED),
         "series_pairwise_pearson": f"""
             WITH seq AS ({_SEQ}),

@@ -573,3 +573,46 @@ class TestThresholdCrossings:
         # (the quirk extrapolates — the value need not be in [0, 1])
         assert np.isfinite(want)
         assert got == want
+
+
+def test_spd_solve_matches_lapack_and_flags_nonpd():
+    """The thread-invariant Cholesky solve (no BLAS — LAPACK dgesv bits
+    vary with OpenBLAS thread count, which Spark pins to 1 in workers
+    but not in the driver) agrees with LAPACK to solver precision and
+    flags non-PD rows instead of raising."""
+    from tsf.kernels import _spd_solve
+    rng = np.random.default_rng(7)
+    for p in (4, 6, 10, 41):
+        G = rng.normal(size=(64, p, p + 5))
+        A = G @ G.transpose(0, 2, 1) + np.eye(p) * 1e-6
+        b = rng.normal(size=(64, p))
+        x, ok = _spd_solve(A, b)
+        assert ok.all()
+        xl = np.linalg.solve(A, b)
+        assert np.allclose(x, xl, rtol=1e-6, atol=1e-8)
+    A[0] = 0.0
+    x, ok = _spd_solve(A, b)
+    assert not ok[0] and ok[1:].all()
+    assert np.isfinite(x).all()  # garbage rows stay NaN/inf-free
+
+
+def test_pacf_bits_identical_in_spark_worker(spark):
+    """PACF lag>=3 must produce the SAME BITS in a Spark python worker
+    (OMP_NUM_THREADS=1) as in the driver — the property the no-BLAS
+    solver exists for; np.linalg.solve violated it at lag 5."""
+    from tsf.kernels import WindowCtx, _pacf
+    rng = np.random.default_rng(3)
+    M = rng.integers(0, 1000, size=(40, 100)).astype(np.float64)
+    n = np.full(40, 100, dtype=np.int64)
+    n[-1] = 37  # one ragged tail
+    drv = _pacf(WindowCtx(M, n, req={"pacf": 5}))
+
+    def worker(_):
+        from tsf.kernels import WindowCtx as C, _pacf as f
+        return [[float(v) for v in f(C(M, n, req={"pacf": 5})).ravel()]]
+
+    wv = np.array(
+        spark.sparkContext.parallelize([0], 1).flatMap(worker).collect()[0]
+    ).reshape(drv.shape)
+    eq = (wv == drv) | (np.isnan(wv) & np.isnan(drv))
+    assert eq.all()

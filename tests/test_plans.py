@@ -166,3 +166,14 @@ def test_icelite_scan_pushes_residual_filters(spark, tmp_path):
         "PushedFilters")[1], scan
     # manifest pruning already excluded the other sources' files
     assert all("_p_source=web" in f for f in df.inputFiles())
+
+
+def test_vocab_topk_take_ordered_not_full_sort(spark, sf001):
+    """Corpus heavy hitters: limit+order compiles to TakeOrderedAndProject
+    (per-partition top-k then merge), never a global Sort of the whole
+    vocabulary, and the word counts partial-aggregate before the shuffle."""
+    import __spark_entry__ as entrymod
+    df = entrymod.q_vocab_topk(spark, sf001)
+    p = _plan(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert "partial_count" in p or "HashAggregate" in p, p

@@ -280,21 +280,62 @@ def _pacf(ctx: WindowCtx) -> np.ndarray:
                 b[:, j] = qq(0, j, l)
                 for i in range(1, j + 1):
                     A[:, i, j] = A[:, j, i] = qq(i, j, l)
-            ok = n >= 2 * l + 1
-            if ok.all():
-                try:  # common case: every system PD -> ONE factorization,
-                    coef = np.linalg.solve(A, b)  # no masking copies
-                    out[:, l - 1] = coef[:, l]
-                    continue
-                except np.linalg.LinAlgError:
-                    pass  # some window singular: masked slow path below
-            sign, _ = np.linalg.slogdet(np.where(ok[:, None, None], A, np.eye(p)))
-            ok &= sign > 0  # Gram is PSD; sign>0 <=> PD <=> unique OLS
-            coef = np.linalg.solve(
-                np.where(ok[:, None, None], A, np.eye(p)),
-                np.where(ok[:, None], b, 0.0))
+            coef, pd_ok = _spd_solve(A, b)
+            ok = (n >= 2 * l + 1) & pd_ok  # determined AND numerically PD
             out[:, l - 1] = np.where(ok, coef[:, l], np.nan)
     return out
+
+
+def _spd_solve(A: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Batched SPD solve ``A x = b`` via vectorized Cholesky-Crout +
+    triangular substitution, built from elementwise numpy and
+    ``einsum`` (optimize=False) only — NO LAPACK/BLAS. LAPACK's dgesv
+    picks different internal kernels by BLAS thread count, and Spark
+    pins OMP_NUM_THREADS=1 in python workers while the driver (or a
+    differently-configured executor on a real cluster) may run OpenBLAS
+    with more: identical 6x6 systems produced 1e-13-different PACF_5 on
+    the two sides, breaking the bit-exact-tiers contract. This solver's
+    float operation order is fixed by construction, so results are
+    identical on every node regardless of BLAS build or threading.
+
+    Returns ``(x, ok)``: ``ok`` flags rows whose Gram was numerically PD
+    (every Cholesky pivot > 0 — the same acceptance the reference's
+    Cholesky implies); ``x`` rows with ``ok`` False are garbage (pivots
+    patched to 1 to keep the batch NaN/inf-free) and must be masked.
+    Cost: ~1.5x LAPACK at the K=40/W=1000 stress shape (79s vs 51s on
+    2000 windows); the hot tier-0 K=5 path is prefix-table-dominated
+    and measures the same.
+    """
+    nw, p, _ = A.shape
+    # outer-product (right-looking) Cholesky: column sweep with ONE
+    # trailing-submatrix elementwise update per step — no reductions at
+    # all, so there is no summation-order question to begin with
+    L = A.copy()
+    ok = np.ones(nw, dtype=bool)
+    # relative pivot floor (LAPACK pstrf's rank test): an exactly-singular
+    # Gram (constant window) cancels to s ~ eps*diag, not exactly 0.0 —
+    # a bare s > 0 test would pass the noise through as a garbage solve
+    tol = (p * np.finfo(np.float64).eps) * np.abs(np.diagonal(A, 0, 1, 2))
+    for j in range(p):
+        s = L[:, j, j]
+        ok &= s > tol[:, j]
+        d = np.sqrt(np.where(s > 0.0, s, 1.0))
+        L[:, j, j] = d
+        if j + 1 < p:
+            col = L[:, j + 1:, j] / d[:, None]
+            L[:, j + 1:, j] = col
+            L[:, j + 1:, j + 1:] -= col[:, :, None] * col[:, None, :]
+    y = b.copy()  # forward: L y = b, column sweep
+    for i in range(p):
+        y[:, i] /= L[:, i, i]
+        if i + 1 < p:
+            y[:, i + 1:] -= L[:, i + 1:, i] * y[:, i, None]
+    x = y  # backward: L^T x = y, column sweep (rows of L)
+    for i in range(p - 1, -1, -1):
+        x[:, i] /= L[:, i, i]
+        if i:
+            x[:, :i] -= L[:, i, :i] * x[:, i, None]
+    return x, ok
 
 
 def _analytic(ctx: WindowCtx) -> np.ndarray:
