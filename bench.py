@@ -129,7 +129,10 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "gapfill_linear", "dedup_exact", "dedup_minhash", "dedup_simhash",
           "dedup_ngram_jaccard", "dedup_groups", "mix_sample",
           "pack_examples", "simhash_check", "text_quality",
-          "token_counts", "gopher_quality", "decontam_overlap",
+          # decontam_overlap is absent: its benchmark predicate is
+          # doc_id % 7 over the driver tables' BIGINT ids; the x10
+          # fixture's replica ids are strings ('0-r0') by design
+          "token_counts", "gopher_quality",
           "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
           "media_features", "compression_roundtrip"]
 # frame_sample is excluded from the scaled pass: its cost is the fake
