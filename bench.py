@@ -129,9 +129,10 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "gapfill_linear", "dedup_exact", "dedup_minhash", "dedup_simhash",
           "dedup_ngram_jaccard", "dedup_groups", "mix_sample",
           "pack_examples", "simhash_check", "text_quality",
-          # decontam_overlap is absent: its benchmark predicate is
-          # doc_id % 7 over the driver tables' BIGINT ids; the x10
-          # fixture's replica ids are strings ('0-r0') by design
+          # decontam_overlap is timed separately below with a
+          # schema-agnostic benchmark slice (pmod(xxhash64(string), 7)):
+          # the driver query's doc_id % 7 predicate assumes BIGINT ids
+          # and the x10 fixture's replica ids are strings ('0-r0')
           "token_counts", "gopher_quality",
           "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
           "media_features", "compression_roundtrip"]
@@ -309,6 +310,18 @@ def main() -> None:
                 qs[name](spark, xdir).count()
             spark.catalog.clearCache()
             timings_x10[name] = time.time() - t0
+        # decontam at x10 with a schema-agnostic benchmark slice (works
+        # on BIGINT and string ids alike) so the broadcast-join path's
+        # scale shape is actually measured on the dup-dense corpus
+        from tsf import textstats as _ts
+        docs_x10 = spark.read.parquet(f"{xdir}/documents.parquet")
+        bench_x10 = docs_x10.where(
+            "pmod(xxhash64(cast(doc_id as string)), 7) = 0")
+        t0 = time.time()
+        with persist_scope():
+            _ts.decontam_overlap(docs_x10, bench_x10).count()
+        spark.catalog.clearCache()
+        timings_x10["decontam_overlap"] = time.time() - t0
         # PRODUCTION (xxhash64) LSH->verify->CC on the dup-dense x10
         # fixture — the scale alternative to dedup_groups' exact
         # AllPairs pair generation, timed head-to-head on the same data

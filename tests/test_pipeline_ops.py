@@ -787,4 +787,14 @@ def test_decontam_overlap_plan_broadcasts_bench(spark):
                                "doc_id long, text string")
     out = textstats.decontam_overlap(df, df.where("doc_id = 0"))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan  # bench grams never shuffle the corpus
+    # both joins (bench-id anti-join AND gram semi-side) broadcast
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # exactly two hash-partitioned Exchanges: the tiny bench-gram dedup
+    # (pre-broadcast, eval-set-sized) and the final per-doc aggregate.
+    # A corpus-wide .distinct() before the gram join would add a third,
+    # on the composite (doc_id, gram) key, shuffling raw gram text —
+    # per-doc dedup must stay row-local (array_distinct before explode).
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    import re
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]+)", plan)
+    assert not any("gram" in k and "doc" in k for k in keys), keys

@@ -179,14 +179,14 @@ def test_vocab_topk_take_ordered_not_full_sort(spark, sf001):
     assert "partial_count" in p or "HashAggregate" in p, p
 
 
-def test_gopher_quality_no_join_two_aggregates(spark, sf001):
-    """Repetition signals: one generator explode feeding two hash
-    aggregates ((doc,n,gram) then doc) with map-side partial
-    aggregation — and NO join of any kind (a per-doc self-join would
-    quadruple at 100 TB; the conditional-aggregate form must survive
-    refactors)."""
+def test_gopher_quality_zero_shuffle_row_local(spark, sf001):
+    """Repetition signals: fully row-local (array_sort + run-length
+    `aggregate` HOFs), so the plan is Scan -> Project with ZERO
+    Exchange, no Generate/explode and no join of any kind — nothing
+    corpus-sized ever crosses the network at 100 TB (the old explode +
+    two-groupBy form shuffled every distinct gram string once)."""
     import __spark_entry__ as entrymod
     p = _plan(entrymod.q_gopher_quality(spark, sf001))
+    assert "Exchange" not in p, p
     assert "Join" not in p, p
-    assert "Generate explode" in p or "Generate" in p, p
-    assert "partial" in p.lower(), p
+    assert "Generate" not in p, p

@@ -288,8 +288,8 @@ def _pacf(ctx: WindowCtx) -> np.ndarray:
 
 def _spd_solve(A: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Batched SPD solve ``A x = b`` via vectorized Cholesky-Crout +
-    triangular substitution, built from elementwise numpy and
-    ``einsum`` (optimize=False) only — NO LAPACK/BLAS. LAPACK's dgesv
+    triangular substitution, built from elementwise/broadcast numpy
+    only — NO LAPACK/BLAS. LAPACK's dgesv
     picks different internal kernels by BLAS thread count, and Spark
     pins OMP_NUM_THREADS=1 in python workers while the driver (or a
     differently-configured executor on a real cluster) may run OpenBLAS

@@ -174,9 +174,18 @@ def token_counts_duckdb() -> str:
 #   replayed by the oracle.
 # - max_word_frac: most frequent word's share of all words.
 #
-# Scale shape: ONE explode of (doc_id, n, gram) rows for all three n's,
-# one (doc_id, n, gram) groupBy with map-side combine, one doc_id groupBy.
-# No self-joins, no windows; skew is bounded by document length.
+# Scale shape: ZERO shuffle. All three signals are per-document, so they
+# are computed row-locally: sort the word / 2-gram / 5-gram array
+# (array_sort, JVM-side) and fold a run-length accumulator over it with
+# the `aggregate` HOF — equal grams are adjacent after the sort, so one
+# linear pass per row yields the max-run / dup-run-char-sum statistics.
+# The physical plan is Scan -> Project (whole-stage codegen), no
+# Exchange, no Generate, no join — the ideal 100 TB shape (the previous
+# explode + two-groupBy form moved every distinct gram string through a
+# corpus-sized shuffle; plan-asserted in tests/test_plans.py).
+# Documents whose text splits to zero words are KEPT (n_words=0, all
+# fractions 0, gopher_pass=true) — the row-local form never drops rows,
+# unlike the old explode which silently excluded them.
 
 GOPHER_TOP2_MAX = 0.20   # Gopher: top 2-gram char fraction < 0.2
 GOPHER_DUP5_MAX = 0.15   # Gopher: duplicate 5-gram char fraction < 0.15
@@ -192,6 +201,20 @@ def _grams_expr(n: int, src: str = _WORDS) -> str:
             f"ELSE array() END")
 
 
+def _runfold(sorted_arr: str, update: str, finish: str) -> str:
+    """Run-length fold over a SORTED string array: the accumulator is
+    (prev gram, current run length, stat); ``update`` / ``finish`` are
+    SQL templates over {run} (the run length AFTER this element), {x}
+    (the element) and ``a.stat``. One linear pass, fully row-local."""
+    run = "IF(a.prev <=> x, a.run + 1L, 1L)"
+    return (f"aggregate({sorted_arr}, "
+            "named_struct('prev', CAST(NULL AS STRING), "
+            "'run', 0L, 'stat', 0L), "
+            f"(a, x) -> named_struct('prev', x, 'run', {run}, "
+            f"'stat', {update.format(run=run, x='x')}), "
+            f"a -> {finish})")
+
+
 def with_repetition_signals(docs: DataFrame) -> DataFrame:
     """doc_id, n_words, top2gram_char_frac, dup5gram_char_frac,
     max_word_frac, gopher_pass — see module notes for the exact spec."""
@@ -199,40 +222,37 @@ def with_repetition_signals(docs: DataFrame) -> DataFrame:
     # produced an expression tree big enough that codegen compile
     # dominated the cold run (17.8s -> the split-once form is the fix)
     wdf = docs.select("doc_id", F.expr(_WORDS).alias("w"))
-    # the (n, gram) array in one pass: words (n=1) + 2-grams + 5-grams
-    gram_arr = F.expr(
-        "concat("
-        "transform(w, x -> struct(1 AS n, x AS gram)), "
-        f"transform({_grams_expr(2, 'w')}, g -> struct(2 AS n, g AS gram)), "
-        f"transform({_grams_expr(5, 'w')}, g -> struct(5 AS n, g AS gram)))")
-    rows = (wdf.select(
-                "doc_id",
-                F.expr("size(w)").cast("long").alias("nw"),
-                F.expr("length(concat_ws('', w))").cast("long")
-                .alias("total_chars"),
-                F.explode(gram_arr).alias("t"))
-            .select("doc_id", "nw", "total_chars",
-                    F.col("t.n").alias("n"), F.col("t.gram").alias("gram")))
-    per_gram = (rows.groupBy("doc_id", "n", "gram")
-                .agg(F.count("*").alias("cnt"),
-                     F.first("nw").alias("nw"),
-                     F.first("total_chars").alias("total_chars")))
-    chars = F.length("gram") - (F.col("n") - F.lit(1))  # minus separators
-    agg = (per_gram.groupBy("doc_id").agg(
-        F.first("nw").alias("nw"),
-        F.max(F.when((F.col("n") == 2) & (F.col("cnt") > 1),
-                     F.col("cnt") * chars)).alias("_top2_chars"),
-        F.sum(F.when((F.col("n") == 5) & (F.col("cnt") > 1),
-                     F.col("cnt") * chars).otherwise(F.lit(0)))
-        .alias("_dup5_chars"),
-        F.max(F.when(F.col("n") == 1, F.col("cnt"))).alias("_max_word"),
-        F.first("total_chars").alias("total_chars")))
-    top2 = _r6(F.coalesce(F.col("_top2_chars"), F.lit(0))
-               / F.greatest(F.col("total_chars"), F.lit(1)))
-    dup5 = _r6(F.col("_dup5_chars")
-               / F.greatest(F.col("total_chars"), F.lit(1)))
+    # zero-shuffle row-local plan: sort each gram array, then one
+    # run-length fold per signal (equal grams are adjacent after sorting)
+    max_word = _runfold(
+        "array_sort(w)",
+        "greatest(a.stat, {run})", "a.stat")
+    # max over repeated 2-grams of cnt * chars(gram): every extension of
+    # a run to length k >= 2 offers k * (len - 1 separator) covered chars
+    top2_chars = _runfold(
+        f"array_sort({_grams_expr(2, 'w')})",
+        "IF(a.prev <=> {x} AND a.run + 1L >= 2L, "
+        "greatest(a.stat, (a.run + 1L) * (length({x}) - 1L)), a.stat)",
+        "a.stat")
+    # sum over 5-grams with cnt >= 2 of cnt * chars(gram), accumulated
+    # incrementally: the 2nd occurrence adds 2x chars, each further one 1x
+    dup5_chars = _runfold(
+        f"array_sort({_grams_expr(5, 'w')})",
+        "a.stat + CASE WHEN a.prev <=> {x} AND a.run + 1L = 2L "
+        "THEN 2L * (length({x}) - 4L) "
+        "WHEN a.prev <=> {x} THEN length({x}) - 4L ELSE 0L END",
+        "a.stat")
+    sig = wdf.select(
+        "doc_id",
+        F.expr("size(w)").cast("long").alias("nw"),
+        F.expr("length(concat_ws('', w))").cast("long").alias("total_chars"),
+        F.expr(max_word).alias("_max_word"),
+        F.expr(top2_chars).alias("_top2_chars"),
+        F.expr(dup5_chars).alias("_dup5_chars"))
+    top2 = _r6(F.col("_top2_chars") / F.greatest(F.col("total_chars"), F.lit(1)))
+    dup5 = _r6(F.col("_dup5_chars") / F.greatest(F.col("total_chars"), F.lit(1)))
     mwf = _r6(F.col("_max_word") / F.greatest(F.col("nw"), F.lit(1)))
-    out = (agg.withColumn("top2gram_char_frac", top2)
+    out = (sig.withColumn("top2gram_char_frac", top2)
            .withColumn("dup5gram_char_frac", dup5)
            .withColumn("max_word_frac", mwf))
     gpass = ((F.col("top2gram_char_frac") <= GOPHER_TOP2_MAX)
@@ -260,32 +280,33 @@ def repetition_signals_duckdb() -> str:
              length(array_to_string(w, '')) AS total_chars
       FROM base),
     rows_ AS (
-      SELECT doc_id, nw, total_chars, t.n AS n, t.gram AS gram
+      SELECT doc_id, t.n AS n, t.gram AS gram
       FROM d, UNNEST(
           list_transform(w, x -> {{'n': 1, 'gram': x}})
           || list_transform({grams(2)}, g -> {{'n': 2, 'gram': g}})
           || list_transform({grams(5)}, g -> {{'n': 5, 'gram': g}})) AS u(t)),
     per_gram AS (
-      SELECT doc_id, n, gram, count(*) AS cnt,
-             any_value(nw) AS nw, any_value(total_chars) AS total_chars
+      SELECT doc_id, n, gram, count(*) AS cnt
       FROM rows_ GROUP BY 1, 2, 3),
     agg AS (
-      SELECT doc_id, any_value(nw) AS nw,
+      SELECT doc_id,
              max(CASE WHEN n = 2 AND cnt > 1 THEN cnt * (length(gram) - 1) END) AS t2,
              coalesce(sum(CASE WHEN n = 5 AND cnt > 1
                           THEN cnt * (length(gram) - 4) ELSE 0 END), 0) AS d5,
-             max(CASE WHEN n = 1 THEN cnt END) AS mw,
-             any_value(total_chars) AS total_chars
+             max(CASE WHEN n = 1 THEN cnt END) AS mw
       FROM per_gram GROUP BY 1)
-    SELECT doc_id, CAST(nw AS INT) AS n_words,
-           {r6.format(x="coalesce(t2, 0) * 1.0 / greatest(total_chars, 1)")} AS top2gram_char_frac,
-           {r6.format(x="d5 * 1.0 / greatest(total_chars, 1)")} AS dup5gram_char_frac,
-           {r6.format(x="mw * 1.0 / greatest(nw, 1)")} AS max_word_frac,
-           ({r6.format(x="coalesce(t2, 0) * 1.0 / greatest(total_chars, 1)")}) <= {GOPHER_TOP2_MAX}
-           AND ({r6.format(x="d5 * 1.0 / greatest(total_chars, 1)")}) <= {GOPHER_DUP5_MAX}
-           AND ({r6.format(x="mw * 1.0 / greatest(nw, 1)")}) <= {GOPHER_WORD_MAX}
+    -- LEFT JOIN from d keeps zero-word docs (n_words=0, all fracs 0,
+    -- gopher_pass=true), matching the row-local Spark plan which never
+    -- drops rows (the old explode-based one silently excluded them)
+    SELECT d.doc_id, CAST(d.nw AS INT) AS n_words,
+           {r6.format(x="coalesce(t2, 0) * 1.0 / greatest(d.total_chars, 1)")} AS top2gram_char_frac,
+           {r6.format(x="coalesce(d5, 0) * 1.0 / greatest(d.total_chars, 1)")} AS dup5gram_char_frac,
+           {r6.format(x="coalesce(mw, 0) * 1.0 / greatest(d.nw, 1)")} AS max_word_frac,
+           ({r6.format(x="coalesce(t2, 0) * 1.0 / greatest(d.total_chars, 1)")}) <= {GOPHER_TOP2_MAX}
+           AND ({r6.format(x="coalesce(d5, 0) * 1.0 / greatest(d.total_chars, 1)")}) <= {GOPHER_DUP5_MAX}
+           AND ({r6.format(x="coalesce(mw, 0) * 1.0 / greatest(d.nw, 1)")}) <= {GOPHER_WORD_MAX}
            AS gopher_pass
-    FROM agg
+    FROM d LEFT JOIN agg USING (doc_id)
     """
 
 
@@ -310,13 +331,21 @@ def decontam_overlap(docs: DataFrame, bench: DataFrame,
     from pyspark.sql.functions import broadcast
 
     def grams(df: DataFrame) -> DataFrame:
+        # per-doc dedup is row-local (array_distinct before explode) so the
+        # corpus side never shuffles raw gram text — the only corpus
+        # Exchange in the whole plan is the final groupBy(doc_id) on the
+        # (already joined, benchmark-hit-only) rows
         wdf = df.select("doc_id", F.expr(_WORDS).alias("w"))
-        return (wdf.select("doc_id",
-                           F.explode(F.expr(_grams_expr(n, "w"))).alias("gram"))
-                .distinct())
+        return wdf.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_grams_expr(n, "w"))))
+            .alias("gram"))
 
+    # bg must be globally distinct (a gram shared by two bench docs would
+    # double-count corpus hits); bench_ids needs NO distinct — left_anti
+    # ignores right-side duplicates, so that tiny shuffle is dropped too
     bg = broadcast(grams(bench).select("gram").distinct())
-    bench_ids = broadcast(bench.select("doc_id").distinct())
+    bench_ids = broadcast(bench.select("doc_id"))
     hits = (grams(docs)
             .join(bench_ids, "doc_id", "left_anti")
             .join(bg, "gram"))
