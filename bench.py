@@ -181,6 +181,28 @@ def ann_quality_extras(spark, extras: dict) -> None:
     ivf_p = {r["vec_id"] for r in S.ivf_topk(emb_p, qv, 10).collect()}
     extras["ann_lsh_recall_planted"] = len(set(planted_ids) & lsh_p) / 10.0
     extras["ann_ivf_recall_planted"] = len(set(planted_ids) & ivf_p) / 10.0
+    # trained (MLlib k-means) coarse quantizer vs the deterministic
+    # first-N rule, through the SAME cents seam: planted recall,
+    # scan fraction, and cell-occupancy balance (max cell share; 1/16 =
+    # perfectly balanced). On skewed real-world embedding distributions
+    # untrained cells give unbalanced occupancy -> scan_frac creep;
+    # this row makes that visible round-over-round.
+    km = S.ivf_train_centroids(emb, k=16, seed=7)
+    det = S.ivf_centroids(emb, 16)
+    ivf_k = {r["vec_id"] for r in S.ivf_topk(emb_p, qv, 10,
+                                             cents=km).collect()}
+    extras["ann_ivf_kmeans_recall_planted"] = (
+        len(set(planted_ids) & ivf_k) / 10.0)
+    extras["ann_ivf_kmeans_scan_frac"] = (
+        S.ivf_candidates(emb, qv, cents=km).count() / total)
+
+    def _max_cell_frac(cents):
+        occ = (S.ivf_cells(emb, cents).groupBy("cell").count()
+               .agg(F.max("count")).first()[0])
+        return occ / total
+
+    extras["ann_ivf_kmeans_max_cell_frac"] = round(_max_cell_frac(km), 3)
+    extras["ann_ivf_det_max_cell_frac"] = round(_max_cell_frac(det), 3)
     # recorded, not asserted: the hard >=0.9 planted-recall gate lives in
     # pytest (tests/test_pipeline_ops.py) where a failure is a test
     # failure; crashing the whole bench would cost the round's numbers

@@ -589,6 +589,46 @@ def test_ivf_trained_centroids_recover_planted_clusters(spark):
     assert labels == {1}, labels
 
 
+def test_ivf_trained_quantizer_balances_skewed_occupancy(spark):
+    """The k-means quantizer's reason to exist: when the first-N vec_ids
+    all sit in ONE angular cluster (a realistic ingest order), the
+    deterministic first-N rule yields near-duplicate centroids and piles
+    most of the corpus into few cells, while trained centers place one
+    per true cluster — max cell share drops toward 1/k and a
+    minority-cluster query's nprobe=1 scan shrinks accordingly."""
+    rng = np.random.default_rng(44)
+    true = rng.standard_normal((4, 16)) * 3
+    rows, vid = [], 0
+    for i in (0, 1, 2, 3):          # 50 vectors per cluster, cluster 0
+        for _ in range(50):         # first => vec_id < 4 all cluster 0
+            v = true[i] + 0.15 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v], i))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    det = similarity.ivf_centroids(emb, 4)
+    km = similarity.ivf_train_centroids(emb, k=4, seed=11)
+
+    def max_frac(cents):
+        occ = (similarity.ivf_cells(emb, cents)
+               .groupBy("cell").count().toPandas())
+        return occ["count"].max() / len(rows)
+
+    # deterministic: 4 near-duplicate cluster-0 centroids -> the other
+    # three clusters (150 rows) collapse onto whichever near-identical
+    # cell wins the tie; trained: ~one center per cluster -> ~1/4 each
+    assert max_frac(det) >= 0.45, max_frac(det)
+    assert max_frac(km) <= 0.35, max_frac(km)
+    # a minority-cluster query at nprobe=1 scans ~its own cluster only
+    q = [float(x) for x in (true[2] + 0.1 * rng.standard_normal(16))]
+    km_scan = similarity.ivf_candidates(emb, q, nprobe=1,
+                                        cents=km).count() / len(rows)
+    det_scan = similarity.ivf_candidates(emb, q, nprobe=1,
+                                         cents=det).count() / len(rows)
+    assert km_scan <= 0.35, km_scan
+    assert km_scan <= det_scan, (km_scan, det_scan)
+
+
 def test_shingles_standard_convention(spark):
     """Standard w-shingling: start positions 1..size-k+1 — a doc of
     exactly k words yields its one shingle (the final k-gram is no longer
