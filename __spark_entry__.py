@@ -461,14 +461,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
+    """Banded-LSH minhash candidate pairs with the PRODUCTION xxhash64
+    hash family — value-checked end to end: tsf/xxh64_sql.py replays
+    Spark's xxhash64 bit-exactly in DuckDB SQL (string shingle hash,
+    hashLong/hashInt signature composition, banded hashLong fold)."""
     return dedup.minhash_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
 def q_dedup_simhash(spark, sf_dir):
     """Near-dup pairs with Hamming(simhash) <= 3 via lossless banded
-    candidates (rows-only: xxhash64 is not replayable in DuckDB; the
-    sketch ARITHMETIC is oracle-checked by simhash_check below, and the
-    near-dup semantics by pytest with planted near-duplicates)."""
+    candidates, PRODUCTION xxhash64 shingle hashes — value-checked (the
+    oracle replays XXH64, the bit-majority assembly, the pigeonhole
+    bands and the popcount verify)."""
     return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
@@ -1839,6 +1843,11 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_duckdb(0.3),
+        # PRODUCTION xxhash64 sketches, value-checked: tsf/xxh64_sql.py
+        # replays Spark's xxhash64 (string/long/int paths) bit-exactly
+        # in pure DuckDB SQL, so these two are no longer rows-only
+        "dedup_minhash": dedup.minhash_pairs_duckdb(threshold=0.3),
+        "dedup_simhash": dedup.simhash_near_dups_duckdb(max_hamming=3),
         "dedup_groups": dedup.duplicate_groups_duckdb(
             0.3, where_sql="length(text) % 2 = 0"),
         "dedup_lsh_groups": dedup.lsh_dedup_groups_duckdb(threshold=0.3),

@@ -629,6 +629,45 @@ def test_ivf_trained_quantizer_balances_skewed_occupancy(spark):
     assert km_scan <= det_scan, (km_scan, det_scan)
 
 
+def test_xxh64_sql_replays_spark_xxhash64(spark):
+    """tsf/xxh64_sql.py vs Spark's built-in xxhash64, all three column
+    paths: strings of every tail shape (empty, <32, ==32, >32, multi-
+    stripe, unicode), longs incl. negatives/extremes, and the
+    long-then-int composition minhash signatures use."""
+    import duckdb
+    import pandas as _pd
+
+    from tsf.xxh64_sql import (hash_bytes_layers, hash_int_layers,
+                               hash_long_layers)
+    strings = ["", "a", "abc", "hello world", "x" * 31, "y" * 32,
+               "z" * 33, "lorem ipsum dolor sit amet " * 4,
+               "naïve café – ünïcode ñ", "tab\tnewline\nmix",
+               "q" * 63, "r" * 64, "s" * 65, "t" * 100]
+    longs = [0, 1, -1, 42, 2 ** 62, -2 ** 62, 123456789123456789, -98765]
+    sdf = spark.createDataFrame(list(enumerate(strings)),
+                                "id long, s string")
+    truth_s = {r["id"]: r["h"] for r in
+               sdf.select("id", F.xxhash64("s").alias("h")).collect()}
+    ldf = spark.createDataFrame(list(enumerate(longs)), "id long, l long")
+    truth_p = {(r["id"], iv): r["h"] for iv in (0, 7, 31) for r in
+               ldf.select("id", F.xxhash64("l", F.lit(iv)).alias("h"))
+               .collect()}
+    con = duckdb.connect()
+    con.register("t_str", _pd.DataFrame({"id": range(len(strings)),
+                                         "s": strings}))
+    con.register("t_long", _pd.DataFrame({"id": range(len(longs)),
+                                          "l": longs}))
+    q = hash_bytes_layers("SELECT id, s FROM t_str", "s", "h", "q")
+    got = dict(con.execute(f"SELECT id, h FROM ({q})").fetchall())
+    assert got == truth_s
+    for iv in (0, 7, 31):
+        q = hash_long_layers("SELECT id, l FROM t_long", "l", "42",
+                             "h1", "q1")
+        q = hash_int_layers(q, str(iv), "h1", "h", "q2")
+        got = dict(con.execute(f"SELECT id, h FROM ({q})").fetchall())
+        assert got == {i: truth_p[(i, iv)] for i in got}, iv
+
+
 def test_shingles_standard_convention(spark):
     """Standard w-shingling: start positions 1..size-k+1 — a doc of
     exactly k words yields its one shingle (the final k-gram is no longer

@@ -320,6 +320,128 @@ def simhash_check_duckdb(k: int = 3) -> str:
     """
 
 
+# -- DuckDB replay of the PRODUCTION xxhash64 sketches ----------------------
+#
+# tsf.xxh64_sql re-implements Spark's xxhash64 (string / long / int
+# paths) bit-exactly in pure DuckDB SQL, which upgrades minhash_pairs
+# and simhash_near_dups from rows-only to value-checked: the oracle
+# replays shingling -> xxh64(gram) -> per-hash-index min (or bit
+# majority) -> banded candidate join -> exact verify, end to end.
+
+_SHINGLE_CTES = """
+    w AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> length(x) > 0) AS ws
+          FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(ws) - 2, 0) + 1),
+                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+           FROM w),
+    g AS (SELECT DISTINCT s FROM sh)
+"""
+
+
+def minhash_pairs_duckdb(k: int = 3, num_hashes: int = 32, bands: int = 8,
+                         threshold: float = 0.5) -> str:
+    """DuckDB replay of :func:`minhash_pairs` with the PRODUCTION hash
+    family: shingle hash = XXH64(utf8(gram), 42); signature h_i =
+    hashInt(i, hashLong(shingle, 42)) (Spark's ``xxhash64(shingle,
+    lit(i))``); band hash = hashLong folded over the band's ``rows``
+    signature longs from seed 42. Hashes are computed once per DISTINCT
+    gram / shingle-hash, exactly like the engine."""
+    from tsf.xxh64_sql import (hash_bytes_layers, hash_int_layers,
+                               hash_long_layers)
+    assert k == 3
+    rows = num_hashes // bands
+    gh = hash_bytes_layers("SELECT s FROM g", "s", "hs", "sb")
+    ih = hash_long_layers("SELECT hs FROM dh", "hs", "42", "h0", "il")
+    hi = hash_int_layers("SELECT hs2 AS hs, h0, i FROM ii", "i", "h0",
+                         "hv", "ix")
+    band_chain = ("SELECT doc_id, band, "
+                  + ", ".join(f"l{j + 1}" for j in range(rows))
+                  + " FROM br")
+    prev = "42"
+    for r in range(rows):
+        band_chain = hash_long_layers(band_chain, f"l{r + 1}", prev,
+                                      f"bs{r + 1}", f"b{r + 1}")
+        prev = f"bs{r + 1}"
+    matches = (f"len(list_filter(range(1, {num_hashes} + 1), "
+               "zj -> sa.sig[zj] = sb.sig[zj]))")
+    # gh / sg / bb are referenced more than once downstream — without
+    # MATERIALIZED DuckDB inlines and re-executes the whole upstream
+    # hash chain per reference (measured 12.9s -> ~3s on sf0.01)
+    return f"""
+    WITH {_SHINGLE_CTES},
+    gh AS MATERIALIZED (SELECT s, hs FROM ({gh})),
+    dh AS (SELECT DISTINCT hs FROM gh),
+    ih AS (SELECT hs AS hs2, h0 FROM ({ih})),
+    ii AS (SELECT hs2, h0, CAST(t.i AS BIGINT) AS i
+           FROM ih CROSS JOIN range(0, {num_hashes}) t(i)),
+    hi AS (SELECT hs, i, hv FROM ({hi})),
+    dm AS (SELECT sh.doc_id, hi.i, min(hi.hv) AS m
+           FROM sh JOIN gh USING (s) JOIN hi USING (hs)
+           GROUP BY 1, 2),
+    sg AS MATERIALIZED (
+        SELECT doc_id, list(m ORDER BY i) AS sig FROM dm GROUP BY 1),
+    br AS (SELECT doc_id, CAST(t.b AS BIGINT) AS band,
+                  {", ".join(f"sig[{rows} * CAST(t.b AS BIGINT) + {j + 1}]"
+                             f" AS l{j + 1}" for j in range(rows))}
+           FROM sg CROSS JOIN range(0, {bands}) t(b)),
+    bb AS MATERIALIZED (
+        SELECT doc_id, band, {prev} AS bh FROM ({band_chain})),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+             FROM bb a JOIN bb c
+               ON a.band = c.band AND a.bh = c.bh
+              AND a.doc_id < c.doc_id),
+    est AS (SELECT doc_a, doc_b,
+                   {matches} / CAST({num_hashes} AS DOUBLE) AS est_jaccard
+            FROM cand
+            JOIN sg sa ON sa.doc_id = cand.doc_a
+            JOIN sg sb ON sb.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b, est_jaccard FROM est
+    WHERE est_jaccard >= {threshold}
+    """
+
+
+def simhash_near_dups_duckdb(k: int = 3, max_hamming: int = 3,
+                             bands: int = 4) -> str:
+    """DuckDB replay of :func:`simhash_near_dups` with the PRODUCTION
+    shingle hash (XXH64 of the gram's UTF-8 bytes, seed 42): bit-majority
+    sketch assembly, banded pigeonhole candidates, exact popcount
+    verify."""
+    from tsf.xxh64_sql import hash_bytes_layers
+    assert k == 3 and 64 % bands == 0
+    width = 64 // bands
+    mask = (1 << width) - 1
+    gh = hash_bytes_layers("SELECT s FROM g", "s", "hs", "sb")
+    u = ("(CAST(hs AS HUGEINT) & 18446744073709551615::HUGEINT)")
+    bit_sums = ",\n".join(
+        f"sum(CASE WHEN ({u} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64))
+    assemble = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}::HUGEINT"
+        f" ELSE 0::HUGEINT END)" for j in range(64))
+    return f"""
+    WITH {_SHINGLE_CTES},
+    gh AS (SELECT s, hs FROM ({gh})),
+    bits AS (SELECT sh.doc_id, {bit_sums}
+             FROM sh JOIN gh USING (s) GROUP BY 1),
+    sk AS (SELECT doc_id, ({assemble}) AS simu FROM bits),
+    banded AS MATERIALIZED (
+               SELECT doc_id, simu, CAST(t.b AS BIGINT) AS band,
+                      CAST((simu >> (CAST(t.b AS BIGINT) * {width}))
+                           & {mask}::HUGEINT AS BIGINT) AS bb
+               FROM sk CROSS JOIN range(0, {bands}) t(b)),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.simu, c.simu)) AS INT) AS hamming
+              FROM banded a JOIN banded c
+                ON a.band = c.band AND a.bb = c.bb
+               AND a.doc_id < c.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= {max_hamming}
+    """
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
                         k: int = 3, positional: bool = True) -> DataFrame:
     """EXACT all-pairs n-gram (word k-gram shingle) Jaccard >= threshold
