@@ -562,8 +562,18 @@ def q_token_counts(spark, sf_dir):
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style repetition filters (Rae et al. 2021): top-2-gram /
     duplicate-5-gram character fractions + most-common-word share, with
-    the composite pass flag. One explode + two shuffles; no self-join."""
+    the composite pass flag. Fully row-local (array_sort + run-length
+    aggregate HOFs): zero Exchange, plan-asserted."""
     return textstats.with_repetition_signals(_docs(spark, sf_dir))
+
+
+def q_word_freq_stats(spark, sf_dir):
+    """CCNet-style corpus-commonness quality signals: per-doc OOV count
+    and average relative corpus frequency vs a top-1000 vocabulary.
+    Two passes: vocab-sized count shuffle + TakeOrderedAndProject top-K
+    broadcast, then broadcast probe + per-doc aggregate — no raw-text
+    shuffle (integer-exact signals; see tsf/textstats.py notes)."""
+    return textstats.word_freq_stats(_docs(spark, sf_dir))
 
 
 #: deterministic synthetic "benchmark" slice of the documents table for
@@ -981,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
         "gopher_quality": q_gopher_quality,
+        "word_freq_stats": q_word_freq_stats,
         "decontam_overlap": q_decontam_overlap,
         "series_pairwise_pearson": q_series_pairwise_pearson,
         "pairwise_phase_sync": q_pairwise_phase_sync,
@@ -1861,6 +1872,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),
         "token_counts": textstats.token_counts_duckdb(),
         "gopher_quality": textstats.repetition_signals_duckdb(),
+        "word_freq_stats": textstats.word_freq_stats_duckdb(),
         "vocab_topk": """
             SELECT t.word AS word, CAST(count(*) AS BIGINT) AS n
             FROM documents,

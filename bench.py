@@ -133,7 +133,7 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # schema-agnostic benchmark slice (pmod(xxhash64(string), 7)):
           # the driver query's doc_id % 7 predicate assumes BIGINT ids
           # and the x10 fixture's replica ids are strings ('0-r0')
-          "token_counts", "gopher_quality",
+          "token_counts", "gopher_quality", "word_freq_stats",
           "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
           "media_features", "compression_roundtrip"]
 # frame_sample is excluded from the scaled pass: its cost is the fake
@@ -301,6 +301,7 @@ def main() -> None:
                 "series_pairwise_pearson", "pairwise_phase_sync",
                 "pairwise_mi", "pairwise_featureset", "pairwise_super_check",
                 "token_counts", "gopher_quality", "decontam_overlap",
+                "word_freq_stats",
                 "media_meta", "media_features",
                 "frame_sample", "compression_roundtrip"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x

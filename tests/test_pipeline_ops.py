@@ -629,6 +629,41 @@ def test_ivf_trained_quantizer_balances_skewed_occupancy(spark):
     assert km_scan <= det_scan, (km_scan, det_scan)
 
 
+def test_word_freq_stats_hand_computed(spark):
+    """Corpus: 'a' x3 + 'b' x2 + 'c' x1 across three docs, vocab_k=2 so
+    'c' is OOV ('a' and 'b' make the top-2; tie impossible here). One
+    empty doc is kept with all-zero signals."""
+    df = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "a b c"), ("d3", ""), ],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.word_freq_stats(df, vocab_k=2).collect()}
+    # corpus counts: a=3, b=2, c=1; N=6
+    d1 = out["d1"]
+    assert (d1["n_words"], d1["n_oov"], d1["sum_freq"]) == (3, 0, 8)
+    import math
+    assert d1["mean_freq_ppm"] == math.floor(8e6 / 18 * 1e6 + 0.5) / 1e6
+    d2 = out["d2"]
+    assert (d2["n_words"], d2["n_oov"], d2["sum_freq"]) == (3, 1, 5)
+    d3 = out["d3"]
+    assert (d3["n_words"], d3["n_oov"], d3["sum_freq"]) == (0, 0, 0)
+    assert d3["mean_freq_ppm"] == 0.0
+
+
+def test_word_freq_stats_plan_broadcasts_vocab(spark, sf001):
+    """Scale shape: top-K vocab via TakeOrderedAndProject (never a
+    global vocabulary sort), probe side joins it with a
+    BroadcastHashJoin, and no raw-text column crosses an Exchange."""
+    import __spark_entry__ as entrymod
+    df = entrymod.q_word_freq_stats(spark, sf001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]+)", plan):
+        assert "text" not in m.group(1), m.group(1)
+
+
 def test_xxh64_sql_replays_spark_xxhash64(spark):
     """tsf/xxh64_sql.py vs Spark's built-in xxhash64, all three column
     paths: strings of every tail shape (empty, <32, ==32, >32, multi-

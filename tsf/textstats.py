@@ -310,6 +310,96 @@ def repetition_signals_duckdb() -> str:
     """
 
 
+# ------------------------------------------------------ corpus word frequency
+#
+# CCNet-style commonness scoring: documents whose words are mostly rare
+# (or mostly out-of-vocabulary) are low-quality / non-linguistic training
+# data; CCNet ranks by LM perplexity, which at corpus scale reduces to a
+# two-pass unigram pipeline. Signals per document, against a top-K corpus
+# vocabulary:
+#
+# - n_words, n_oov (words outside the top-K vocab)
+# - sum_freq: sum of corpus occurrence counts of the doc's in-vocab words
+# - mean_freq_ppm: average relative corpus frequency of the doc's words,
+#   in parts-per-million — round6(sum_freq * 1e6 / (n_words * N_total))
+#
+# The driver-facing signals are INTEGER-EXACT sufficient statistics plus
+# one ratio of integers: a log-probability variant (avg unigram logprob /
+# perplexity) is the textbook form, but ln() is not guaranteed to be
+# bit-identical between the JVM and DuckDB's libm, and a last-ULP
+# difference can flip 6-dp rounding — the integer form is replayed
+# exactly. (Users wanting perplexity can apply log to sum_freq/N
+# client-side; the ranking the filter needs is order-isomorphic.)
+#
+# Scale shape: two corpus scans, no raw-text shuffle. Pass 1: explode ->
+# (word, count) aggregate (map-side combine, vocab-sized shuffle) ->
+# top-K via TakeOrderedAndProject (never a global vocabulary sort) ->
+# broadcast. Pass 2: explode -> broadcast hash join against the K-row
+# vocab -> per-doc aggregate (the only corpus shuffle: (doc_id, 3 ints)
+# after partial aggregation). Deterministic top-K boundary: ties break
+# by (count DESC, word ASC) in both engines.
+
+FREQ_VOCAB_K = 1000
+
+
+def word_freq_stats(docs: DataFrame, vocab_k: int = FREQ_VOCAB_K) -> DataFrame:
+    """doc_id, n_words, n_oov, sum_freq, mean_freq_ppm — see module
+    notes. Zero-word documents are kept (all signals 0)."""
+    from pyspark.sql.functions import broadcast
+
+    words = docs.select(
+        "doc_id", F.explode_outer(F.expr(_WORDS)).alias("w"))
+    counts = words.where(F.col("w").isNotNull()) \
+        .groupBy("w").agg(F.count("*").alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("w")).limit(vocab_k)
+    total = counts.agg(F.sum("c").alias("n_total"))
+    per_doc = (words.join(broadcast(top), "w", "left")
+               .groupBy("doc_id")
+               .agg(F.count("w").alias("n_words"),
+                    F.sum((F.col("w").isNotNull()
+                           & F.col("c").isNull()).cast("long"))
+                    .alias("n_oov"),
+                    F.sum(F.coalesce("c", F.lit(0))).alias("sum_freq")))
+    out = per_doc.crossJoin(broadcast(total))
+    ppm = _r6(F.col("sum_freq") * F.lit(1e6)
+              / (F.greatest(F.col("n_words"), F.lit(1)) * F.col("n_total")))
+    return out.select("doc_id",
+                      F.col("n_words").cast("int").alias("n_words"),
+                      F.col("n_oov").cast("int").alias("n_oov"),
+                      "sum_freq", ppm.alias("mean_freq_ppm"))
+
+
+def word_freq_stats_duckdb(vocab_k: int = FREQ_VOCAB_K) -> str:
+    w = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+    WITH d AS (SELECT doc_id, {w} AS ws FROM documents),
+    words AS (SELECT doc_id, t.w AS w FROM d, UNNEST(d.ws) AS t(w)
+              UNION ALL
+              SELECT doc_id, NULL AS w FROM d WHERE len(ws) = 0),
+    counts AS MATERIALIZED (
+        SELECT w, count(*) AS c FROM words WHERE w IS NOT NULL GROUP BY 1),
+    top AS (SELECT w, c FROM counts ORDER BY c DESC, w ASC
+            LIMIT {vocab_k}),
+    total AS (SELECT sum(c) AS n_total FROM counts),
+    per_doc AS (
+        SELECT doc_id,
+               count(words.w) AS n_words,
+               coalesce(sum(CASE WHEN words.w IS NOT NULL
+                            AND top.c IS NULL THEN 1 ELSE 0 END), 0)
+                 AS n_oov,
+               coalesce(sum(coalesce(top.c, 0)), 0) AS sum_freq
+        FROM words LEFT JOIN top USING (w) GROUP BY 1)
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           CAST(n_oov AS INT) AS n_oov,
+           CAST(sum_freq AS BIGINT) AS sum_freq,
+           {r6.format(x="sum_freq * 1000000.0 / "
+                        "(greatest(n_words, 1) * n_total)")}
+             AS mean_freq_ppm
+    FROM per_doc, total
+    """
+
+
 # ----------------------------------------------------------- decontamination
 #
 # Benchmark decontamination (GPT-3 appendix C / PaLM style): flag training
