@@ -531,6 +531,14 @@ def q_mix_sample(spark, sf_dir):
                       "source")
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Reproducible epoch shuffle for training export (production
+    xxhash64 shard + within-shard order) — (shard, pos) assignments are
+    value-checked ORDER-SENSITIVELY against the DuckDB xxh64 replay."""
+    return sampling.epoch_shuffle(_seq(spark, sf_dir), epoch=3,
+                                  n_shards=8)
+
+
 def q_pack_examples(spark, sf_dir):
     """GPT-style sequence-packing layout stats: docs concatenated in
     deterministic (source, shard, doc_id) order, split at 512-token
@@ -986,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_check": q_minhash_check,
         "mix_sample": q_mix_sample,
         "pack_examples": q_pack_examples,
+        "epoch_shuffle": q_epoch_shuffle,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -1865,6 +1874,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "simhash_check": dedup.simhash_check_duckdb(),
         "minhash_check": dedup.minhash_check_duckdb(),
         "mix_sample": sampling.mix_sample_duckdb(MIX_WEIGHTS, default=0.25),
+        "epoch_shuffle": sampling.epoch_shuffle_duckdb(
+            _SEQ, epoch=3, n_shards=8),
         "pack_examples": sampling.pack_examples_duckdb(
             _SEQ, example_len=512, n_shards=4),
         "text_quality": textstats.text_stats_duckdb(),

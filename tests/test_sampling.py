@@ -89,3 +89,27 @@ def test_pack_examples_sharded_full_examples(spark):
     for (_, sh), grp in out.groupby(["source", "shard"]):
         g = grp.sort_values("example_id")
         assert (g["n_tok"].iloc[:-1] == 16).all()
+
+
+def test_epoch_shuffle_reproducible_and_repermuting(spark):
+    """Same epoch -> identical (shard, pos) layout regardless of input
+    partitioning (the cluster-size-invariance the export contract
+    needs); a different epoch produces a genuinely different
+    permutation; positions are dense 1..n_shard within every shard."""
+    seq = spark.createDataFrame(
+        [(f"d{i:04d}", [1, 2], 2, "s") for i in range(300)],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    a = sampling.epoch_shuffle(seq, epoch=1, n_shards=4).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = sampling.epoch_shuffle(seq.repartition(13), epoch=1,
+                               n_shards=4).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    c = sampling.epoch_shuffle(seq, epoch=2, n_shards=4).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert not a[["shard", "pos"]].equals(c[["shard", "pos"]])
+    for _, grp in a.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    # hash sharding is roughly balanced
+    sizes = a.groupby("shard").size()
+    assert len(sizes) == 4 and sizes.min() > 30

@@ -105,6 +105,51 @@ def pack_examples(seq: DataFrame, example_len: int = 2048,
                  F.min("doc_id").alias("first_doc")))
 
 
+def epoch_shuffle(seq: DataFrame, epoch: int = 0,
+                  n_shards: int = 8) -> DataFrame:
+    """Reproducible global training-export shuffle: every epoch assigns
+    each doc a shard and a within-shard position from the PRODUCTION
+    hash — ``h = xxhash64(doc_id, epoch)``, ``shard = pmod(h,
+    n_shards)``, ``pos = row_number() over (shard ORDER BY h,
+    doc_id)``. Same epoch -> the identical layout on any cluster size;
+    ``epoch+1`` is a fresh permutation with no state carried. Scale
+    shape: ONE shuffle keyed on shard + a per-shard sort (n_shards
+    bounds sort parallelism — size it to the export file count); only
+    metadata columns ride the shuffle, the token payload joins back at
+    write time. Value-checked order-sensitively: the DuckDB oracle
+    replays xxhash64 via tsf/xxh64_sql.py, so every (shard, pos)
+    assignment is compared, not just membership."""
+    d = seq.select(F.col("doc_id").cast("string").alias("doc_id"),
+                   "source", F.col("n_tok").cast("int").alias("n_tok"))
+    h = F.xxhash64(F.col("doc_id"), F.lit(int(epoch)))
+    d = (d.withColumn("_h", h)
+         .withColumn("shard", F.pmod("_h", F.lit(n_shards)).cast("int")))
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col("doc_id"))
+    return (d.withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("_h"))
+
+
+def epoch_shuffle_duckdb(seq_cte: str, epoch: int = 0,
+                         n_shards: int = 8) -> str:
+    """DuckDB replay of :func:`epoch_shuffle` — same xxhash64 (string
+    bytes then the hashInt epoch fold), pmod, and tie-broken ordering."""
+    from tsf.xxh64_sql import hash_bytes_layers, hash_int_layers
+    q = hash_bytes_layers(
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, n_tok "
+        f"FROM ({seq_cte})", "doc_id", "hb", "eb")
+    q = hash_int_layers(q, str(int(epoch)), "hb", "h", "ei")
+    return f"""
+    WITH hh AS (SELECT doc_id, source, n_tok, h FROM ({q}))
+    SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok,
+           CAST(((h % {n_shards}) + {n_shards}) % {n_shards} AS INT)
+             AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ((h % {n_shards}) + {n_shards}) % {n_shards}
+               ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM hh
+    """
+
+
 def pack_examples_duckdb(seq_cte: str, example_len: int = 2048,
                          n_shards: int = 1) -> str:
     """DuckDB replay of :func:`pack_examples` over the tokenized
