@@ -531,6 +531,14 @@ def q_mix_sample(spark, sf_dir):
                       "source")
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Duplicated-token-span statistics (Lee et al. 2021 memorization
+    signal): per doc, positions whose 20-token span repeats corpus-wide
+    and the exact covered-token fraction (interval union). Window-count
+    over the span hash — one shuffle, no self-join."""
+    return dedup.dup_span_stats(_seq(spark, sf_dir), L=20)
+
+
 def q_epoch_shuffle(spark, sf_dir):
     """Reproducible epoch shuffle for training export (production
     xxhash64 shard + within-shard order) — (shard, pos) assignments are
@@ -995,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "pack_examples": q_pack_examples,
         "epoch_shuffle": q_epoch_shuffle,
+        "dup_span_stats": q_dup_span_stats,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -1874,6 +1883,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "simhash_check": dedup.simhash_check_duckdb(),
         "minhash_check": dedup.minhash_check_duckdb(),
         "mix_sample": sampling.mix_sample_duckdb(MIX_WEIGHTS, default=0.25),
+        "dup_span_stats": dedup.dup_span_stats_duckdb(_SEQ, L=20),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(
             _SEQ, epoch=3, n_shards=8),
         "pack_examples": sampling.pack_examples_duckdb(

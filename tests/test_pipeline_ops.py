@@ -912,3 +912,48 @@ def test_decontam_overlap_plan_broadcasts_bench(spark):
     import re
     keys = re.findall(r"Exchange hashpartitioning\(([^)]+)", plan)
     assert not any("gram" in k and "doc" in k for k in keys), keys
+
+
+def test_dup_span_stats_planted(spark):
+    """Plant an exact 20-token span shared by two docs (at different
+    offsets) plus one unique doc: both sharers report the span
+    positions and the exact covered-token fraction (interval union of
+    the L-wide windows); the unique doc reports zeros; a doc shorter
+    than L survives with zero spans."""
+    shared = list(range(100, 120))                   # the planted span
+    d1 = list(range(40)) + shared + list(range(60, 80))
+    d2 = list(range(200, 230)) + shared
+    d3 = list(range(300, 380))
+    d4 = [1, 2, 3]
+    rows = [("a", d1), ("b", d2), ("c", d3), ("s", d4)]
+    seq = spark.createDataFrame(
+        [(d, t, len(t), "src") for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    out = {r["doc_id"]: r for r in dedup.dup_span_stats(seq, L=20).collect()}
+    # exactly one 20-token window of each sharer matches (the planted
+    # span itself: any shifted window mixes planted and private tokens)
+    assert out["a"]["n_dup_spans"] == 1
+    assert out["b"]["n_dup_spans"] == 1
+    assert out["a"]["dup_token_frac"] == round(20 / 80, 6)   # 80 tokens
+    assert out["b"]["dup_token_frac"] == round(20 / 50, 6)   # 50 tokens
+    assert out["c"]["n_dup_spans"] == 0
+    assert out["c"]["dup_token_frac"] == 0.0
+    assert out["s"]["n_spans"] == 0 and out["s"]["n_dup_spans"] == 0
+
+
+def test_dup_span_stats_interval_union(spark):
+    """Overlapping duplicated spans union, not double-count: a doc that
+    is one long self-repeat (the same 20-token block back to back) has
+    EVERY position duplicated and coverage 1.0."""
+    block = list(range(500, 520))
+    seq = spark.createDataFrame(
+        [("r", block * 3, 60, "src"),
+         ("u", list(range(700, 760)), 60, "src")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    out = {r["doc_id"]: r for r in dedup.dup_span_stats(seq, L=20).collect()}
+    r = out["r"]
+    # positions 1..41: every window repeats 20 positions later (period
+    # 20), so all 41 spans are duplicated and the union covers all 60
+    assert r["n_spans"] == 41 and r["n_dup_spans"] == 41
+    assert r["dup_token_frac"] == 1.0
+    assert out["u"]["n_dup_spans"] == 0

@@ -20,7 +20,7 @@ where numpy vector math is genuinely needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from tsf.caching import scoped_persist
 
@@ -317,6 +317,110 @@ def simhash_check_duckdb(k: int = 3) -> str:
            FROM sh),
     bits AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY 1)
     SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits
+    """
+
+
+# -- duplicated token spans (memorization-risk signal) ----------------------
+#
+# Substring-level duplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better"): token spans repeated VERBATIM
+# across the corpus are the memorization vector that document-level
+# dedup misses. Per document, against all L-token spans in the corpus:
+#
+# - n_spans: span positions in the doc (n_tok - L + 1, 0 if shorter)
+# - n_dup_spans: positions whose span occurs >= 2 times corpus-wide
+#   (within-doc repeats count too — a span repeated inside one doc is
+#   the same memorization risk)
+# - dup_token_frac: fraction of the doc's tokens covered by >= 1
+#   duplicated span (exact interval union via a lead() window)
+#
+# Span identity is the polynomial hash sum(t_j * 31^(L-1-j)) mod 2^31-1
+# (the engine's fingerprint family) computed with an O(L)-per-position
+# JVM HOF — no Python, no string building. Collisions merge distinct
+# spans (~p^2/2^32 for p distinct spans — one-in-ten-thousand at 10^5
+# spans); both engines hash identically so the oracle match is exact
+# regardless, and a 64-bit xxhash64-over-serialized-slice variant is the
+# documented drop-in where collision odds matter.
+#
+# Scale shape (100 TB): positions explode to (h, doc_id, pos) — linear,
+# no text. Duplication counts come from a count() WINDOW over h (ONE
+# shuffle, no self-join); coverage is a per-doc window (second shuffle,
+# metadata-only); the final left join back to (doc_id, n_tok) keeps
+# zero/short docs. Degenerate-span skew (e.g. all-zero runs landing one
+# hash on one reducer) is bounded by the window's partial aggregation.
+
+SPAN_L = 20
+
+
+def dup_span_stats(seq: DataFrame, L: int = SPAN_L) -> DataFrame:
+    """doc_id, n_spans, n_dup_spans, dup_token_frac — see module notes."""
+    from tsf.textstats import FP_MOD
+    span_hash = (f"aggregate(slice(tokens, i, {L}), 0L, "
+                 f"(a, x) -> (a * 31 + x) % {FP_MOD})")
+    pos = (seq.where(F.col("n_tok") >= L)
+           .select("doc_id",
+                   F.explode(F.expr(
+                       f"transform(sequence(1, n_tok - {L} + 1), "
+                       f"i -> struct(i AS pos, {span_hash} AS h))"))
+                   .alias("s"))
+           .select("doc_id", F.col("s.pos").alias("pos"),
+                   F.col("s.h").alias("h")))
+    cnt = pos.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("h")))
+    dup = cnt.where(F.col("cnt") > 1)
+    nxt = F.lead("pos").over(
+        Window.partitionBy("doc_id").orderBy("pos"))
+    cov = dup.withColumn(
+        "covered",
+        F.least(F.lit(L), F.coalesce(nxt - F.col("pos"), F.lit(L))))
+    stats = cov.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("covered").alias("cov_tokens"))
+    n_spans = F.greatest(F.col("n_tok") - F.lit(L - 1), F.lit(0))
+    return (seq.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"))
+            .join(stats, "doc_id", "left")
+            .select("doc_id",
+                    n_spans.cast("long").alias("n_spans"),
+                    F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                    (F.floor(F.coalesce("cov_tokens", F.lit(0))
+                             / F.col("n_tok") * F.lit(1e6) + F.lit(0.5))
+                     / F.lit(1e6)).alias("dup_token_frac")))
+
+
+def dup_span_stats_duckdb(seq_cte: str, L: int = SPAN_L) -> str:
+    """DuckDB replay of :func:`dup_span_stats` — identical rolling hash,
+    window count, interval union, rounding."""
+    from tsf.textstats import FP_MOD
+    span_hash = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                 f"list_transform(list_slice(tokens, i, i + {L} - 1), "
+                 f"zx -> CAST(zx AS BIGINT))), "
+                 f"(a, x) -> (a * 31 + x) % {FP_MOD})")
+    return f"""
+    WITH seq AS ({seq_cte}),
+    pos AS (SELECT doc_id, t.pos AS pos, t.h AS h
+            FROM (SELECT doc_id, list_transform(
+                      range(1, n_tok - {L} + 2),
+                      i -> {{'pos': i, 'h': {span_hash}}}) AS ss
+                  FROM seq WHERE n_tok >= {L}) q,
+            UNNEST(q.ss) AS u(t)),
+    cnt AS (SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY h) AS cnt
+            FROM pos),
+    dup AS (SELECT doc_id, pos FROM cnt WHERE cnt > 1),
+    cov AS (SELECT doc_id, least({L}, coalesce(
+                lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                {L})) AS covered
+            FROM dup),
+    stats AS (SELECT doc_id, count(*) AS n_dup_spans,
+                     sum(covered) AS cov_tokens
+              FROM cov GROUP BY 1),
+    base AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM seq)
+    SELECT base.doc_id,
+           CAST(greatest(n_tok - {L - 1}, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           floor(coalesce(cov_tokens, 0) * 1.0 / n_tok * 1000000.0 + 0.5)
+             / 1000000.0 AS dup_token_frac
+    FROM base LEFT JOIN stats USING (doc_id)
     """
 
 
