@@ -2,15 +2,17 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 47 queries, 41 value-hash-checked against `oracle_sql()`
+pipeline ops): 66 queries, 62 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
-threshold firstcrossings, full LCG simhash/minhash sketch arithmetic,
-LSH/IVF probe membership incl. the partition-pruned indexed scans,
-recursive-CTE duplicate groups, deterministic mix sampling, sequence
-packing, tiled-prefix-sum media decode, the tier-2 cascade, and
-retention pruning); the 6 rows-only queries cover surfaces with no SQL
-equivalent (Hilbert transform, KSG kNN, xxhash64 sketches) and are
-bit-exactness-tested in pytest instead.
+threshold firstcrossings, the PRODUCTION xxhash64 sketch pipelines via
+the tsf/xxh64_sql.py bit-exact XXH64 replay, LSH/IVF probe membership
+incl. the partition-pruned indexed scans, recursive-CTE duplicate
+groups, deterministic mix sampling, sequence packing, order-sensitive
+epoch shuffling, duplicated-token-span coverage, tiled-prefix-sum media
+decode, the tier-2 cascade, and retention pruning); the 4 rows-only
+queries cover surfaces with no SQL equivalent (windowed Hilbert phases,
+KSG kNN MI, the kernel bundle whose members all have oracle-checked
+twins) and are bit-exactness-tested in pytest instead.
 
 Column-name / rounding discipline: every float column is rounded to 6
 decimals (4 for large money sums) on BOTH sides, NaN is mapped to NULL,

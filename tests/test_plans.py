@@ -179,6 +179,19 @@ def test_vocab_topk_take_ordered_not_full_sort(spark, sf001):
     assert "partial_count" in p or "HashAggregate" in p, p
 
 
+def test_epoch_shuffle_single_exchange_on_shard(spark, sf001):
+    """Epoch shuffle: exactly one hash Exchange, keyed on shard — the
+    export shuffle moves each row once; no text/tokens column crosses
+    it (only metadata rides the shuffle)."""
+    import re
+
+    import __spark_entry__ as entrymod
+    p = _plan(entrymod.q_epoch_shuffle(spark, sf001))
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]+)", p)
+    assert len(keys) == 1 and "shard" in keys[0], keys
+    assert "tokens" not in keys[0] and "text" not in keys[0], keys
+
+
 def test_gopher_quality_zero_shuffle_row_local(spark, sf001):
     """Repetition signals: fully row-local (array_sort + run-length
     `aggregate` HOFs), so the plan is Scan -> Project with ZERO
