@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 66 queries, 62 value-hash-checked against `oracle_sql()`
+pipeline ops): 69 queries, 65 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 threshold firstcrossings, the PRODUCTION xxhash64 sketch pipelines via
 the tsf/xxh64_sql.py bit-exact XXH64 replay, LSH/IVF probe membership
@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import dedup, gapfill, multimodal, pairwise, sampling, similarity, textstats  # noqa: E402
+from tsf import dedup, gapfill, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
+from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
 from tsf.rollup import next_tier, tier0, tier0_vectors  # noqa: E402
@@ -610,6 +611,70 @@ def q_decontam_overlap(spark, sf_dir):
     return textstats.decontam_overlap(docs, bench)
 
 
+#: idle gap for the sessionization query: 4h splits the sf corpus's
+#: median ~7.3h per-user spacing into ~6.9k sessions over 10k events
+#: (a mix of singleton and multi-event sessions on both sides)
+SESSION_GAP_S = 14400
+
+
+def q_sessionize_stats(spark, sf_dir):
+    """Gap sessionization of the event stream (idle > 4h starts a new
+    session) + per-session rollup. ONE hash Exchange end to end: the
+    boundary window and the (user_id, session_no) aggregate share the
+    user_id partitioning (plan-asserted in tests/test_events_pii.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = evops.session_stats(ev, gap_s=SESSION_GAP_S)
+    return s.select("user_id", "session_no", "n_events",
+                    evops._us("session_start").alias("session_start_us"),
+                    "duration_us", "sum_value")
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of join: every click event paired with the latest view event
+    at-or-before it per user (inclusive ties; right ties resolve to the
+    largest event_id). Union + window — no join operator, no range
+    blow-up, one Exchange (plan-asserted)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ["event_id", "ts", "user_id", "value"]
+    clicks = ev.where("event_type = 'click'").select(*cols)
+    views = ev.where("event_type = 'view'").select(*cols)
+    j = evops.asof_join(clicks, views, key="user_id", ts="ts",
+                        right_cols=["value"], tiebreak="event_id")
+    return j.select("event_id", "user_id",
+                    evops._us("ts").alias("ts_us"), "value",
+                    F.col("event_id_asof").alias("view_event_id"),
+                    evops._us("ts_asof").alias("view_ts_us"),
+                    F.col("value_asof").alias("view_value"))
+
+
+def _docs_with_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic PII injection: the synthetic corpus carries no PII,
+    so each doc gains class-(doc_id % 3) identifiers derived from its id
+    (plus an extra IP every 10th doc) — the DuckDB oracle performs the
+    IDENTICAL string surgery, so detection/redaction is tested on text
+    that varies per row rather than on a constant."""
+    tail = F.expr("""
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN concat(' contact u', CAST(doc_id AS STRING),
+                             '@example.com')
+          WHEN 1 THEN concat(' call +1-555-',
+                             lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+          ELSE concat(' from 10.', CAST(doc_id % 256 AS STRING), '.0.',
+                      CAST(doc_id % 100 AS STRING))
+        END""")
+    extra = F.when(F.col("doc_id") % 10 == 0, F.lit(" ip 192.168.0.1")) \
+             .otherwise(F.lit(""))
+    return docs.withColumn("text", F.concat("text", tail, extra))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact (emails / intl phones / IPv4) over the
+    PII-injected corpus: per-class counts and the fully redacted text.
+    Row-local regexes in the Java/RE2-compatible subset — zero Exchange
+    (plan-asserted); the oracle replays the same patterns in DuckDB."""
+    return pii.pii_scrub(_docs_with_pii(_docs(spark, sf_dir)))
+
+
 def q_series_pairwise_pearson(spark, sf_dir):
     """Reference-native pairwise operator: Pearson/covariance between the
     tier-0 mean series of same-source docs, aligned on window_id."""
@@ -989,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_stack": q_dim_stack,
         "window_z": q_window_z,
         "events_hourly": q_events_hourly,
+        "sessionize_stats": q_sessionize_stats,
+        "events_asof": q_events_asof,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_linear": q_gapfill_linear,
         "tpch_q1": q_tpch_q1,
@@ -1013,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "word_freq_stats": q_word_freq_stats,
         "decontam_overlap": q_decontam_overlap,
+        "pii_scrub": q_pii_scrub,
         "series_pairwise_pearson": q_series_pairwise_pearson,
         "pairwise_phase_sync": q_pairwise_phase_sync,
         "pairwise_mi": q_pairwise_mi,
@@ -1798,6 +1866,87 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                        / 10000.0 AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize_stats": f"""
+            WITH b AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > {SESSION_GAP_S}::BIGINT * 1000000
+                     THEN 1 ELSE 0 END AS nb
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(nb) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_no
+              FROM b)
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   count(*) AS n_events,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+                   CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
+        "events_asof": """
+            WITH l AS (SELECT event_id, ts, user_id, value FROM events
+                       WHERE event_type = 'click'),
+            r AS (SELECT event_id, ts, user_id, value FROM events
+                  WHERE event_type = 'view'),
+            u AS (
+              SELECT user_id, ts, 1 AS side, event_id, value,
+                     NULL::BIGINT AS r_eid, NULL::TIMESTAMP AS r_ts,
+                     NULL::DOUBLE AS r_val
+              FROM l
+              UNION ALL
+              SELECT user_id, ts, 0, NULL, NULL, event_id, ts, value
+              FROM r),
+            m AS (
+              SELECT *,
+                     last_value(CASE WHEN side = 0 THEN
+                         {'eid': r_eid, 'rts': r_ts, 'v': r_val} END
+                         IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, side, r_eid
+                             ROWS UNBOUNDED PRECEDING) AS mm
+              FROM u)
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+                   mm.eid AS view_event_id, epoch_us(mm.rts) AS view_ts_us,
+                   mm.v AS view_value
+            FROM m WHERE side = 1
+        """,
+        "pii_scrub": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text ||
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                                   || '@example.com'
+                       WHEN 1 THEN ' call +1-555-' ||
+                                   lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                        4, '0')
+                       ELSE ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                     END ||
+                     CASE WHEN doc_id % 10 = 0 THEN ' ip 192.168.0.1'
+                          ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{pii.EMAIL_RE}'))
+                        AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{pii.PHONE_RE}'))
+                        AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '{pii.IPV4_RE}'))
+                        AS INT) AS n_ipv4,
+                   len(regexp_extract_all(text, '{pii.EMAIL_RE}'))
+                   + len(regexp_extract_all(text, '{pii.PHONE_RE}'))
+                   + len(regexp_extract_all(text, '{pii.IPV4_RE}')) = 0
+                     AS pii_free,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{pii.EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{pii.PHONE_RE}', '<PHONE>', 'g'),
+                       '{pii.IPV4_RE}', '<IP>', 'g') AS text_redacted
+            FROM aug
         """,
         "gapfill_locf": """
             WITH hourly AS (

@@ -1,0 +1,144 @@
+"""sessionize / asof_join / PII scrub — hand-computed fixtures + plan shape."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tsf import events as E
+from tsf import pii
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ts(minute: int, second: int = 0, us: int = 0):
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(
+        minutes=minute, seconds=second, microseconds=us)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # user 1: events at 0, 10, 41, 42 min -> 31min idle > 1800s
+        # splits a new session at 41
+        Row(event_id=0, ts=_ts(0), user_id=1, event_type="view", value=1.0),
+        Row(event_id=1, ts=_ts(10), user_id=1, event_type="click", value=2.0),
+        Row(event_id=2, ts=_ts(41), user_id=1, event_type="view", value=3.0),
+        Row(event_id=3, ts=_ts(42), user_id=1, event_type="click", value=4.0),
+        # user 2: exactly-30-min gap stays ONE session (boundary is >)
+        Row(event_id=4, ts=_ts(0), user_id=2, event_type="view", value=5.0),
+        Row(event_id=5, ts=_ts(30), user_id=2, event_type="click", value=6.0),
+        # user 3: click with NO prior view; then simultaneous views
+        Row(event_id=6, ts=_ts(5), user_id=3, event_type="click", value=7.0),
+        Row(event_id=7, ts=_ts(9), user_id=3, event_type="view", value=8.0),
+        Row(event_id=8, ts=_ts(9), user_id=3, event_type="view", value=9.0),
+        Row(event_id=9, ts=_ts(9), user_id=3, event_type="click", value=10.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_sessionize_boundaries(ev):
+    got = {(r["event_id"]): r["session_no"]
+           for r in E.sessionize(ev).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1,   # user 1 splits at 41min
+                   4: 0, 5: 0,               # 30min gap is NOT > 1800s
+                   6: 0, 7: 0, 8: 0, 9: 0}
+
+
+def test_session_stats_values(ev):
+    got = {(r["user_id"], r["session_no"]): r
+           for r in E.session_stats(ev).collect()}
+    s = got[(1, 0)]
+    assert s["n_events"] == 2 and s["sum_value"] == 3.0
+    assert s["duration_us"] == 10 * 60 * 1_000_000
+    assert got[(1, 1)]["n_events"] == 2
+    assert got[(2, 0)]["duration_us"] == 30 * 60 * 1_000_000
+
+
+def test_asof_join_semantics(ev):
+    clicks = ev.where("event_type = 'click'")
+    views = ev.where("event_type = 'view'")
+    j = E.asof_join(clicks, views, key="user_id", ts="ts",
+                    right_cols=["value"], tiebreak="event_id")
+    got = {r["event_id"]: (r["event_id_asof"], r["value_asof"])
+           for r in j.collect()}
+    assert got[1] == (0, 1.0)          # latest view at/before 10min
+    assert got[3] == (2, 3.0)          # view at 41 <= click at 42
+    assert got[5] == (4, 5.0)
+    assert got[6] == (None, None)      # click before any view
+    # simultaneous: views at 9min sort before the click at 9min
+    # (inclusive <=); tie between the two views -> larger event_id wins
+    assert got[9] == (8, 9.0)
+
+
+def test_asof_join_null_right_value_keeps_row_atomic(spark):
+    """A NULL value on the matched right row must surface as NULL, not
+    fall through to an older right row's value (struct-atomic pick)."""
+    left = spark.createDataFrame(
+        [Row(event_id=10, ts=_ts(20), user_id=1, value=0.0)])
+    right = spark.createDataFrame(
+        [Row(event_id=0, ts=_ts(0), user_id=1, value=5.0),
+         Row(event_id=1, ts=_ts(10), user_id=1, value=None)])
+    j = E.asof_join(left, right, key="user_id", ts="ts",
+                    right_cols=["value"], tiebreak="event_id").collect()[0]
+    assert j["event_id_asof"] == 1 and j["value_asof"] is None
+
+
+def test_asof_join_is_partitioning_invariant(ev):
+    clicks = ev.where("event_type = 'click'")
+    views = ev.where("event_type = 'view'")
+    a = E.asof_join(clicks, views, "user_id", "ts", ["value"], "event_id")
+    b = E.asof_join(clicks.repartition(7), views.repartition(3),
+                    "user_id", "ts", ["value"], "event_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_session_stats_single_exchange(ev):
+    """The window sort and the per-session aggregate share ONE hash
+    Exchange on the key: HashPartitioning(user_id) satisfies the
+    aggregate's ClusteredDistribution(user_id, session_no)."""
+    df = E.session_stats(ev)
+    p = _plan(df)
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_asof_join_has_no_join_operator(ev):
+    """The as-of is union + window: no join node, no cartesian, one
+    Exchange on the key."""
+    clicks = ev.where("event_type = 'click'")
+    views = ev.where("event_type = 'view'")
+    j = E.asof_join(clicks, views, "user_id", "ts", ["value"], "event_id")
+    p = _plan(j)
+    assert "Join" not in p and "Cartesian" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+# ------------------------------------------------------------------ PII
+
+def test_pii_detect_and_redact(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="mail bob.smith+x@exa-mple.co.uk now"),
+        Row(doc_id=1, text="call +1-555-0100 or +44-20-7946-0958"),
+        Row(doc_id=2, text="host 10.0.255.3 and 192.168.1.1:8080"),
+        Row(doc_id=3, text="clean text with at @ sign alone 1.2"),
+        Row(doc_id=4, text="a@b.io x 10.1.2.3 y +1-555-123-4567"),
+    ])
+    out = {r["doc_id"]: r for r in pii.pii_scrub(docs).collect()}
+    assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_ipv4"]) == (1, 0, 0)
+    assert out[0]["text_redacted"] == "mail <EMAIL> now"
+    assert out[1]["n_phone"] == 2
+    assert out[1]["text_redacted"] == "call <PHONE> or <PHONE>"
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["text_redacted"] == "host <IP> and <IP>:8080"
+    assert out[3]["pii_free"] and out[3]["text_redacted"] == out[3 ]["text_redacted"]
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ipv4"]) == (1, 1, 1)
+    assert out[4]["text_redacted"] == "<EMAIL> x <IP> y <PHONE>"
+
+
+def test_pii_zero_exchange(spark, sf001):
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    df = pii.pii_scrub(docs)
+    p = _plan(df)
+    assert "Exchange" not in p, p
