@@ -135,6 +135,11 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # the driver query's doc_id % 7 predicate assumes BIGINT ids
           # and the x10 fixture's replica ids are strings ('0-r0')
           "token_counts", "gopher_quality", "word_freq_stats",
+          # sessionize/asof scale linearly on the replicated events
+          # (user_id * k + rep keeps per-user group sizes constant);
+          # pii_scrub is timed separately below (the driver query's
+          # doc_id-derived injection assumes BIGINT ids)
+          "sessionize_stats", "events_asof",
           "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
           "media_features", "compression_roundtrip"]
 # frame_sample is excluded from the scaled pass: its cost is the fake
@@ -302,7 +307,8 @@ def main() -> None:
                 "series_pairwise_pearson", "pairwise_phase_sync",
                 "pairwise_mi", "pairwise_featureset", "pairwise_super_check",
                 "token_counts", "gopher_quality", "decontam_overlap",
-                "word_freq_stats",
+                "word_freq_stats", "pii_scrub",
+                "sessionize_stats", "events_asof",
                 "media_meta", "media_features",
                 "frame_sample", "compression_roundtrip"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x
@@ -346,6 +352,14 @@ def main() -> None:
             _ts.decontam_overlap(docs_x10, bench_x10).count()
         spark.catalog.clearCache()
         timings_x10["decontam_overlap"] = time.time() - t0
+        # pii scrub at x10 on the raw replicated corpus (no id-derived
+        # injection — the detector/redaction cost is what scales)
+        from tsf import pii as _pii
+        t0 = time.time()
+        with persist_scope():
+            _pii.pii_scrub(docs_x10).count()
+        spark.catalog.clearCache()
+        timings_x10["pii_scrub"] = time.time() - t0
         # PRODUCTION (xxhash64) LSH->verify->CC on the dup-dense x10
         # fixture — the scale alternative to dedup_groups' exact
         # AllPairs pair generation, timed head-to-head on the same data

@@ -142,3 +142,52 @@ def test_pii_zero_exchange(spark, sf001):
     df = pii.pii_scrub(docs)
     p = _plan(df)
     assert "Exchange" not in p, p
+
+
+def test_sessionize_agrees_with_native_session_window(spark, sf001):
+    """Cross-check against Spark's built-in session_window on real
+    microsecond event data (no exact-gap ties, so the delta>gap vs
+    delta>=gap boundary difference cannot fire): identical session
+    bounds, counts and quantized sums."""
+    from tsf import events as E
+    ev = spark.read.parquet(f"{sf001}/events.parquet")
+    ours = {(r["user_id"], r["session_start"]):
+            (r["n_events"], r["session_end"], r["sum_value"])
+            for r in E.session_stats(ev, gap_s=14400).collect()}
+    q = F.sum(F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5))
+              .cast("bigint"))
+    native = (ev.groupBy("user_id",
+                         F.session_window("ts", "14400 seconds").alias("sw"))
+              .agg(F.count("*").alias("n"), F.min("ts").alias("lo"),
+                   F.max("ts").alias("hi"),
+                   (q.cast("double") / F.lit(1e4)).alias("sv")))
+    theirs = {(r["user_id"], r["lo"]): (r["n"], r["hi"], r["sv"])
+              for r in native.collect()}
+    assert ours == theirs and len(ours) > 0
+
+
+def test_stream_session_stats_matches_batch(spark, sf001, tmp_path):
+    """Streaming sessionization (native session_window, availableNow)
+    finalizes to exactly the batch operator's sessions."""
+    from tsf import events as E, streaming
+    ev = (spark.read.parquet(f"{sf001}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    evdir = str(tmp_path / "events")
+    ev.write.parquet(evdir)
+    stream = spark.readStream.schema(ev.schema).parquet(evdir)
+    agg = streaming.stream_session_stats(stream, gap_s=14400)
+    qr = (agg.writeStream.format("memory").queryName("sess_stream")
+          .outputMode("complete").trigger(availableNow=True).start())
+    qr.awaitTermination(120)
+    got = {(r["user_id"], r["session_start"]):
+           (r["n_events"], r["session_end"], r["sum_value"])
+           for r in spark.sql("SELECT * FROM sess_stream").collect()}
+    want = {(r["user_id"], r["session_start"].replace(tzinfo=None)):
+            (r["n_events"], r["session_end"], r["sum_value"])
+            for r in E.session_stats(ev, gap_s=14400).collect()}
+    # memory-sink timestamps come back tz-aware; normalize before compare
+    got = {(u, s.replace(tzinfo=None)): (n, e.replace(tzinfo=None), v)
+           for (u, s), (n, e, v) in got.items()}
+    want = {(u, s): (n, e.replace(tzinfo=None) if e.tzinfo else e, v)
+            for (u, s), (n, e, v) in want.items()}
+    assert got == want and len(got) > 0

@@ -190,6 +190,30 @@ def stream_source_counts(events: DataFrame, watermark: str = "10 minutes",
                     "event_type", "cnt", "sum_value"))
 
 
+def stream_session_stats(events: DataFrame, gap_s: int = 1800,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Watermarked streaming sessionization via Spark's NATIVE
+    ``session_window`` (gap-merged state store windows) — the streaming
+    counterpart of tsf.events.sessionize. Boundary semantics differ by a
+    measure-zero case: session_window starts a new session at
+    ``delta >= gap`` (window end is last_ts + gap, exclusive) while the
+    batch operator uses ``delta > gap``; on microsecond event time the
+    two agree except at exact-gap ties. The value sum uses the same
+    1e-4-quantized bigint statistic as the batch rollup, so finalized
+    sessions are bit-comparable against tsf.events.session_stats."""
+    q = F.sum(F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5))
+              .cast("bigint"))
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id",
+                     F.session_window("ts", f"{gap_s} seconds").alias("sw"))
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 (q.cast("double") / F.lit(1e4)).alias("sum_value"))
+            .drop("sw"))
+
+
 # ------------------------------------------------------- streaming dedup
 
 #: per-content-hash state: how many copies have been consumed so far
