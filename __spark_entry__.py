@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 69 queries, 65 value-hash-checked against `oracle_sql()`
+pipeline ops): 70 queries, 66 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 threshold firstcrossings, the PRODUCTION xxhash64 sketch pipelines via
 the tsf/xxh64_sql.py bit-exact XXH64 replay, LSH/IVF probe membership
@@ -550,6 +550,17 @@ def q_epoch_shuffle(spark, sf_dir):
                                   n_shards=8)
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5): split is a pure
+    function of (doc_id, seed) via the production xxhash64, so it
+    survives re-runs, repartitioning and corpus growth. Row-local, zero
+    shuffle; every per-doc assignment is value-checked against the
+    DuckDB xxh64 replay."""
+    return sampling.dataset_split(_seq(spark, sf_dir), seed=7) \
+        .select("doc_id", "source",
+                F.col("n_tok").cast("int").alias("n_tok"), "split")
+
+
 def q_pack_examples(spark, sf_dir):
     """GPT-style sequence-packing layout stats: docs concatenated in
     deterministic (source, shard, doc_id) order, split at 512-token
@@ -1072,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "pack_examples": q_pack_examples,
         "epoch_shuffle": q_epoch_shuffle,
+        "dataset_split": q_dataset_split,
         "dup_span_stats": q_dup_span_stats,
         "text_quality": q_text_quality,
         "langid": q_langid,
@@ -2037,6 +2049,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "dup_span_stats": dedup.dup_span_stats_duckdb(_SEQ, L=20),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(
             _SEQ, epoch=3, n_shards=8),
+        "dataset_split": sampling.dataset_split_duckdb(_SEQ, seed=7),
         "pack_examples": sampling.pack_examples_duckdb(
             _SEQ, example_len=512, n_shards=4),
         "text_quality": textstats.text_stats_duckdb(),

@@ -128,7 +128,8 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "firstcrossing", "dim_stack", "window_z", "events_hourly",
           "gapfill_linear", "dedup_exact", "dedup_minhash", "dedup_simhash",
           "dedup_ngram_jaccard", "dedup_groups", "mix_sample",
-          "pack_examples", "epoch_shuffle", "dup_span_stats",
+          "pack_examples", "epoch_shuffle", "dataset_split",
+          "dup_span_stats",
           "simhash_check", "text_quality",
           # decontam_overlap is timed separately below with a
           # schema-agnostic benchmark slice (pmod(xxhash64(string), 7)):
@@ -299,7 +300,8 @@ def main() -> None:
                 "gapfill_linear", "tpch_q1", "topk_orders", "vocab_topk", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
                 "dedup_groups", "dedup_lsh_groups", "mix_sample",
-                "pack_examples", "epoch_shuffle", "dup_span_stats",
+                "pack_examples", "epoch_shuffle", "dataset_split",
+                "dup_span_stats",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
                 "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
                 "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",

@@ -113,3 +113,50 @@ def test_epoch_shuffle_reproducible_and_repermuting(spark):
     # hash sharding is roughly balanced
     sizes = a.groupby("shard").size()
     assert len(sizes) == 4 and sizes.min() > 30
+
+
+def test_dataset_split_deterministic_and_complete(spark, sf001):
+    from tsf.io import sequences_from_documents
+    from tsf.sampling import dataset_split
+    seq = sequences_from_documents(spark, sf001)
+    a = dataset_split(seq, seed=7).select("doc_id", "split").collect()
+    b = dataset_split(seq.repartition(13), seed=7) \
+        .select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    splits = {s for _, s in map(tuple, a)}
+    assert splits <= {"train", "val", "test"}
+    n = len(a)
+    n_train = sum(1 for _, s in map(tuple, a) if s == "train")
+    assert 0.8 * n <= n_train <= n  # 90% nominal, small-sample slack
+
+
+def test_dataset_split_is_growth_stable(spark, sf001):
+    """A doc's assignment must not change when the corpus grows — it is
+    a pure function of (doc_id, seed)."""
+    from tsf.io import sequences_from_documents
+    from tsf.sampling import dataset_split
+    seq = sequences_from_documents(spark, sf001)
+    full = {r["doc_id"]: r["split"]
+            for r in dataset_split(seq, seed=7).collect()}
+    half = {r["doc_id"]: r["split"]
+            for r in dataset_split(seq.where("doc_id % 2 = 0"),
+                                   seed=7).collect()}
+    assert all(full[k] == v for k, v in half.items())
+
+
+def test_dataset_split_thresholds_reject_bad_fractions():
+    import pytest
+    from tsf.sampling import split_thresholds
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.4})
+    assert split_thresholds({"a": 0.9, "b": 0.05, "c": 0.05}) == [
+        ("a", 9000), ("b", 9500), ("c", 10000)]
+
+
+def test_dataset_split_zero_exchange(spark, sf001):
+    from tsf.io import sequences_from_documents
+    from tsf.sampling import dataset_split
+    seq = sequences_from_documents(spark, sf001)
+    p = dataset_split(seq, seed=7)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in p, p

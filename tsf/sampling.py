@@ -181,3 +181,72 @@ def pack_examples_duckdb(seq_cte: str, example_len: int = 2048,
            count(*) AS n_docs, min(doc_id) AS first_doc
     FROM e GROUP BY 1, 2, 3
     """
+
+
+# ------------------------------------------------------- dataset splits
+#
+# Deterministic train/val/test assignment: split membership is a pure
+# function of (doc_id, seed) — `bucket = pmod(xxhash64(xxhash64(doc_id),
+# seed), n_buckets)` against cumulative integer thresholds — so the
+# split survives re-runs, engine changes, repartitioning and corpus
+# growth (a doc's assignment never depends on other docs). Row-local:
+# ONE scan, zero shuffle; at 100 TB the split is free with the read.
+# The seed rides as the second xxhash64 input (Spark folds multi-arg
+# xxhash64 left-to-right, seeding each arg's hash with the accumulator),
+# same composition the epoch shuffle uses, so tsf/xxh64_sql.py replays
+# every assignment bit-exactly in DuckDB.
+
+def split_thresholds(fractions: dict[str, float],
+                     n_buckets: int = 10000) -> list[tuple[str, int]]:
+    """(name, exclusive upper bucket) pairs, cumulative-rounded so the
+    thresholds are integers and the last split absorbs rounding dust."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, cum = [], 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, int(round(cum * n_buckets))))
+    out.append((names[-1], n_buckets))
+    return out
+
+
+def dataset_split(docs: DataFrame,
+                  fractions: dict[str, float] | None = None,
+                  seed: int = 0, n_buckets: int = 10000) -> DataFrame:
+    """Append a ``split`` column (deterministic hash assignment)."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    b = F.pmod(F.xxhash64(F.col("doc_id").cast("string"),
+                          F.lit(int(seed))),
+               F.lit(n_buckets))
+    expr = None
+    for name, hi in split_thresholds(fractions, n_buckets):
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr)
+
+
+def dataset_split_duckdb(seq_cte: str,
+                         fractions: dict[str, float] | None = None,
+                         seed: int = 0, n_buckets: int = 10000) -> str:
+    """DuckDB replay of :func:`dataset_split` over the sequences CTE
+    (columns doc_id, source, n_tok): same xxhash64 composition via
+    tsf/xxh64_sql.py, same cumulative thresholds."""
+    from tsf.xxh64_sql import hash_bytes_layers, hash_int_layers
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    q = hash_bytes_layers(
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, n_tok "
+        f"FROM ({seq_cte})", "doc_id", "hb", "sb")
+    q = hash_int_layers(q, str(int(seed)), "hb", "h", "si")
+    cases = " ".join(
+        f"WHEN b < {hi} THEN '{name}'"
+        for name, hi in split_thresholds(fractions, n_buckets))
+    return f"""
+    WITH hh AS (SELECT doc_id, source, n_tok,
+                       ((h % {n_buckets}) + {n_buckets}) % {n_buckets} AS b
+                FROM ({q}))
+    SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok,
+           CASE {cases} END AS split
+    FROM hh
+    """
