@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 70 queries, 66 value-hash-checked against `oracle_sql()`
+pipeline ops): 71 queries, 67 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 threshold firstcrossings, the PRODUCTION xxhash64 sketch pipelines via
 the tsf/xxh64_sql.py bit-exact XXH64 replay, LSH/IVF probe membership
@@ -597,6 +597,15 @@ def q_gopher_quality(spark, sf_dir):
     return textstats.with_repetition_signals(_docs(spark, sf_dir))
 
 
+def q_source_quantiles(spark, sf_dir):
+    """Exact per-source quantiles of document length (type-1, tie-broken
+    by doc_id): corpus-derived filter thresholds. One Exchange + one
+    per-source sort; ALL quantiles from a single window pass (the q list
+    explodes per row, rank hits are kept)."""
+    return textstats.source_quantiles(_docs(spark, sf_dir),
+                                      col="n_chars")
+
+
 def q_word_freq_stats(spark, sf_dir):
     """CCNet-style corpus-commonness quality signals: per-doc OOV count
     and average relative corpus frequency vs a top-1000 vocabulary.
@@ -1091,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "gopher_quality": q_gopher_quality,
         "word_freq_stats": q_word_freq_stats,
+        "source_quantiles": q_source_quantiles,
         "decontam_overlap": q_decontam_overlap,
         "pii_scrub": q_pii_scrub,
         "series_pairwise_pearson": q_series_pairwise_pearson,
@@ -2052,6 +2062,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "dataset_split": sampling.dataset_split_duckdb(_SEQ, seed=7),
         "pack_examples": sampling.pack_examples_duckdb(
             _SEQ, example_len=512, n_shards=4),
+        "source_quantiles": textstats.source_quantiles_duckdb(),
         "text_quality": textstats.text_stats_duckdb(),
         "langid": textstats.langid_duckdb(),
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),

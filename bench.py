@@ -136,6 +136,7 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # the driver query's doc_id % 7 predicate assumes BIGINT ids
           # and the x10 fixture's replica ids are strings ('0-r0')
           "token_counts", "gopher_quality", "word_freq_stats",
+          "source_quantiles",
           # sessionize/asof scale linearly on the replicated events
           # (user_id * k + rep keeps per-user group sizes constant);
           # pii_scrub is timed separately below (the driver query's
@@ -309,7 +310,7 @@ def main() -> None:
                 "series_pairwise_pearson", "pairwise_phase_sync",
                 "pairwise_mi", "pairwise_featureset", "pairwise_super_check",
                 "token_counts", "gopher_quality", "decontam_overlap",
-                "word_freq_stats", "pii_scrub",
+                "word_freq_stats", "source_quantiles", "pii_scrub",
                 "sessionize_stats", "events_asof",
                 "media_meta", "media_features",
                 "frame_sample", "compression_roundtrip"]

@@ -191,3 +191,36 @@ def test_stream_session_stats_matches_batch(spark, sf001, tmp_path):
     want = {(u, s): (n, e.replace(tzinfo=None) if e.tzinfo else e, v)
             for (u, s), (n, e, v) in want.items()}
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------- exact source quantiles
+
+def test_source_quantiles_hand_fixture(spark):
+    from tsf import textstats
+    rows = [Row(doc_id=i, source="a", n_chars=v)
+            for i, v in enumerate([10, 20, 30, 40])]
+    rows += [Row(doc_id=10 + i, source="b", n_chars=v)
+             for i, v in enumerate([5, 7, 9])]
+    df = spark.createDataFrame(rows)
+    got = {(r["source"], r["q"]): r["value"]
+           for r in textstats.source_quantiles(
+               df, col="n_chars", qs=(0.25, 0.5, 0.75, 1.0)).collect()}
+    # type-1: value at rank ceil(q*n); a: n=4 -> ranks 1,2,3,4
+    assert got == {("a", 0.25): 10.0, ("a", 0.5): 20.0,
+                   ("a", 0.75): 30.0, ("a", 1.0): 40.0,
+                   # b: n=3 -> ceil(.25*3)=1, ceil(.5*3)=2, ceil(.75*3)=3
+                   ("b", 0.25): 5.0, ("b", 0.5): 7.0,
+                   ("b", 0.75): 9.0, ("b", 1.0): 9.0}
+
+
+def test_source_quantiles_single_window_pass(spark, sf001):
+    """All quantiles come from ONE window pass: exactly one hash
+    Exchange (the per-source sort), not one per requested q."""
+    from tsf import textstats
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    p = _plan(textstats.source_quantiles(docs, col="n_chars"))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # two Window nodes (row_number sort-frame + count full-frame) share
+    # that one source-keyed Exchange; a union-per-q form would have one
+    # Exchange+Window PAIR per requested quantile
+    assert p.count("Window") <= 2, p

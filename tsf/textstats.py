@@ -465,3 +465,53 @@ def decontam_duckdb(bench_pred: str, n: int = DECONTAM_N) -> str:
     FROM corpus c JOIN bench_grams b USING (gram)
     GROUP BY c.doc_id
     """
+
+
+# ------------------------------------------------------- corpus quantiles
+#
+# Exact per-group quantiles of a numeric column (type-1 / lower-value
+# definition: the value at rank ceil(q * n), ties broken by doc_id so
+# the pick is total-ordered and engine-independent). Used to choose
+# filter thresholds from the corpus itself ("drop the shortest 5%").
+#
+# Scale shape: ONE hash Exchange on the group key + a per-group sort.
+# Exact quantiles fundamentally need the per-group order; when a single
+# group is 100 TB the built-in approx_percentile (positional t-digest)
+# is the scale path — this operator is the exact, oracle-replayable
+# form for threshold derivation and for validating the sketch.
+
+def source_quantiles(df: DataFrame, col: str = "n_tok",
+                     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                     key: str = "source") -> DataFrame:
+    """(key, q, value): exact quantiles of ``col`` per group."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(key).orderBy(F.col(col), F.col("doc_id"))
+    d = (df.select(key, "doc_id", col)
+         .withColumn("_rn", F.row_number().over(w))
+         .withColumn("_n", F.count("*").over(Window.partitionBy(key))))
+    # one window pass for ALL quantiles: explode the q list per row and
+    # keep the rank hits (a union of per-q picks would replay the window
+    # — and its Exchange+Sort — once per quantile)
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    return (d.select(key, col, "_rn", "_n",
+                     F.explode(qarr).alias("q"))
+            .where(F.col("_rn") == F.ceil(F.col("q") * F.col("_n")))
+            .select(key, "q", F.col(col).cast("double").alias("value")))
+
+
+def source_quantiles_duckdb(table: str = "documents", col: str = "n_chars",
+                            qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                            key: str = "source") -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT {key}, {q} AS q, CAST({col} AS DOUBLE) AS value "
+        f"FROM d WHERE _rn = CAST(ceil({q} * _n) AS BIGINT)"
+        for q in qs)
+    return f"""
+    WITH d AS (
+      SELECT {key}, doc_id, {col},
+             row_number() OVER (PARTITION BY {key}
+                                ORDER BY {col}, doc_id) AS _rn,
+             count(*) OVER (PARTITION BY {key}) AS _n
+      FROM {table})
+    {sel}
+    """
