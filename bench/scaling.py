@@ -128,17 +128,35 @@ def main() -> None:
     # to one side (observed: adjacent pairs 0.76 vs 1.02 purely from a
     # slow window landing on the 4N run). Alternation cancels linear
     # drift in the median.
+    pair_meta = []
     for p in range(7):
         sizes = (n, 4 * n) if p % 2 == 0 else (4 * n, n)
-        rs = {c: run_child(c, bench.SCRATCH) for c in sizes}
+        # host-stability gate: probe single-thread gflops before and
+        # after the pair; a >25% mid-pair drift means a hypervisor
+        # throttle window landed on ONE side (the r4 tail suspect), so
+        # the pair is re-measured (<=2 retries; the last attempt is
+        # kept regardless so a permanently-noisy host still reports)
+        for attempt in range(3):
+            g0 = bench.host_calibration()["host_gflops"]
+            rs = {c: run_child(c, bench.SCRATCH) for c in sizes}
+            g1 = bench.host_calibration()["host_gflops"]
+            drift = abs(g1 - g0) / max(g0, g1)
+            if drift <= 0.25 or attempt == 2:
+                break
+            print(json.dumps({"pair_retry": p, "attempt": attempt,
+                              "gflops_before": g0, "gflops_after": g1,
+                              "drift": round(drift, 3)}))
         lo_r, hi_r = rs[n], rs[4 * n]
         effs.append((lo_r["tier0_sec"] / hi_r["tier0_sec"]) / 4.0)
+        pair_meta.append({"gflops_before": g0, "gflops_after": g1,
+                          "drift": round(drift, 3), "attempts": attempt + 1})
         for c, r in ((n, lo_r), (4 * n, hi_r)):
             if c not in curve or r["tier0_sec"] < curve[c]["tier0_sec"]:
                 curve[c] = r
         print(json.dumps({"pair_eff": round(effs[-1], 3),
                           "tier0_sec_N": round(lo_r["tier0_sec"], 2),
-                          "tier0_sec_4N": round(hi_r["tier0_sec"], 2)}))
+                          "tier0_sec_4N": round(hi_r["tier0_sec"], 2),
+                          **pair_meta[-1]}))
     lo, hi = curve[n], curve[4 * n]
     eff = sorted(effs)[(len(effs) - 1) // 2]  # lower median: conservative
     result = {"N_executors": n, "4N_executors": 4 * n,
@@ -153,6 +171,7 @@ def main() -> None:
               "efficiency": round(eff, 3),
               "efficiency_min_pair": round(min(effs), 3),
               "efficiency_all_pairs": [round(e, 3) for e in sorted(effs)],
+              "pair_host_stability": pair_meta,
               "pass": eff >= 0.8}
     print(json.dumps(result))
 
@@ -178,7 +197,13 @@ with ``taskset`` to exactly its core budget. The host VM's throughput
 drifts minute-to-minute (adjacent same-code pairs have measured 0.76 vs
 1.02), so the two sizes ran back-to-back in SEVEN adjacent pairs with
 ALTERNATING within-pair order (N,4N / 4N,N / ...) to cancel monotonic
-drift. Full per-pair distribution (sorted):
+drift, and each pair is GATED on host stability: a single-thread gflops
+probe runs before and after the pair, and a >25% mid-pair drift
+(a hypervisor throttle window landing on one side) re-measures the pair,
+up to 2 retries ({sum(m["attempts"] - 1 for m in pair_meta)} retries
+fired this run; per-pair drift
+{", ".join(f"{m['drift']:.0%}" for m in pair_meta)}).
+Full per-pair distribution (sorted):
 {", ".join(f"{e:.3f}" for e in sorted(effs))} — median
 {result['efficiency']}, minimum {result['efficiency_min_pair']}.
 The reported efficiency is the conservative (lower) median. Per-size
