@@ -224,3 +224,20 @@ def test_source_quantiles_single_window_pass(spark, sf001):
     # that one source-keyed Exchange; a union-per-q form would have one
     # Exchange+Window PAIR per requested quantile
     assert p.count("Window") <= 2, p
+
+
+def test_asof_join_tolerance(ev):
+    """A match older than tolerance_s is discarded (merge_asof
+    semantics): user 1's click at 42min matches the view at 41min under
+    any tolerance >= 60s, but the click at 10min loses its 0min view
+    under a 5-minute bound."""
+    clicks = ev.where("event_type = 'click'")
+    views = ev.where("event_type = 'view'")
+    j = E.asof_join(clicks, views, key="user_id", ts="ts",
+                    right_cols=["value"], tiebreak="event_id",
+                    tolerance_s=300)
+    got = {r["event_id"]: (r["event_id_asof"], r["value_asof"])
+           for r in j.collect()}
+    assert got[3] == (2, 3.0)          # 1min stale: kept
+    assert got[1] == (None, None)      # 10min stale: discarded
+    assert got[9] == (8, 9.0)          # simultaneous: zero staleness

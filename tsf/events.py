@@ -88,10 +88,16 @@ def session_stats(events: DataFrame, key: str = "user_id", ts: str = "ts",
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
               right_cols: list[str], tiebreak: str,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              tolerance_s: int | None = None) -> DataFrame:
     """Most-recent-prior join: left rows + latest right row at or before
     each left ts (per key). Right ties on ts resolve to the largest
     ``tiebreak``. Left rows with no prior right row keep NULLs.
+
+    ``tolerance_s`` bounds staleness (pandas ``merge_asof`` semantics):
+    a matched right row OLDER than tolerance_s seconds is discarded
+    (NULLs), applied as a row-local post-filter on the picked struct —
+    the window pass is unchanged, so tolerance costs nothing at scale.
 
     Returns all left columns plus ``<c>{suffix}`` for c in right_cols
     and ``<ts>{suffix}`` / ``<tiebreak>{suffix}`` (the matched row's
@@ -124,6 +130,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
          .orderBy(F.col(ts), F.col("_side"), F.col(f"_r.{tiebreak}"))
          .rowsBetween(Window.unboundedPreceding, 0))
     out = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    if tolerance_s is not None:
+        fresh = (_us(F.col(ts)) - _us(F.col(f"_m.{ts}"))
+                 <= int(tolerance_s) * 1_000_000)
+        out = out.withColumn("_m", F.when(fresh, F.col("_m")))
     return (out.where(F.col("_side") == 1)
             .select(*left.columns,
                     *[F.col(f"_m.{c}").alias(f"{c}{suffix}")
