@@ -68,3 +68,44 @@ def test_rollup_job_publish(spark, tmp_path):
     # pruning works on the published table (tier identity partition)
     t1 = icelite.scan(spark, pub, where=[("tier", "==", 1)])
     assert 0 < t1.count() < len(want)
+
+
+def test_export_job_end_to_end(spark, tmp_path):
+    """The full training-data export pipeline on sf0.001: stages drop
+    monotonically, output layout is (split, shard)-partitioned with
+    contiguous pos order inside each shard, and re-running with the same
+    seeds reproduces the identical export (determinism)."""
+    import jobs.export_job as job
+    out = str(tmp_path / "export")
+    argv = ["--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out, "--near-dedup",
+            "--bench-pred", "doc_id % 7 = 0",
+            "--mix", "src0:0.5", "--epoch", "1", "--shards", "4"]
+    stats = job.main(argv)
+    assert stats["input_docs"] > 0
+    assert (stats["input_docs"] >= stats["after_quality"]
+            >= stats["after_exact_dedup"] >= stats["after_near_dedup"]
+            >= stats["after_decontam"] >= stats["after_mix"]
+            >= stats["written_docs"] > 0)
+    seq = spark.read.parquet(f"{out}/sequences")
+    assert set(seq.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"}
+    # pos is dense 1..n within each shard (epoch_shuffle's row_number)
+    from pyspark.sql import functions as F
+    per = (seq.groupBy("shard")
+           .agg(F.count("*").alias("n"), F.min("pos").alias("lo"),
+                F.max("pos").alias("hi")).collect())
+    assert all(r["lo"] == 1 and r["hi"] == r["n"] for r in per)
+    # no bench doc and no PII-looking text survives
+    assert seq.where("CAST(doc_id AS BIGINT) % 7 = 0").count() == 0
+    # determinism: a second run writes the identical export
+    out2 = str(tmp_path / "export2")
+    job.main(["--input", "/root/testdata/sf0.001/documents.parquet",
+              "--output", out2, "--near-dedup",
+              "--bench-pred", "doc_id % 7 = 0",
+              "--mix", "src0:0.5", "--epoch", "1", "--shards", "4"])
+    a = spark.read.parquet(f"{out}/sequences")
+    b = spark.read.parquet(f"{out2}/sequences")
+    cols = sorted(a.columns)
+    assert sorted(map(tuple, a.select(*cols).collect())) == \
+        sorted(map(tuple, b.select(*cols).collect()))
