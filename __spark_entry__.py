@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 71 queries, 67 value-hash-checked against `oracle_sql()`
+pipeline ops): 72 queries, 68 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 threshold firstcrossings, the PRODUCTION xxhash64 sketch pipelines via
 the tsf/xxh64_sql.py bit-exact XXH64 replay, LSH/IVF probe membership
@@ -667,6 +667,25 @@ def q_events_asof(spark, sf_dir):
                     F.col("value_asof").alias("view_value"))
 
 
+def q_events_asof_tol(spark, sf_dir):
+    """As-of join with a 2h staleness bound (pandas merge_asof
+    tolerance semantics): matches older than the bound fall back to
+    NULLs. Same single window pass — the bound is a row-local
+    post-filter on the picked struct."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ["event_id", "ts", "user_id", "value"]
+    clicks = ev.where("event_type = 'click'").select(*cols)
+    views = ev.where("event_type = 'view'").select(*cols)
+    j = evops.asof_join(clicks, views, key="user_id", ts="ts",
+                        right_cols=["value"], tiebreak="event_id",
+                        tolerance_s=7200)
+    return j.select("event_id", "user_id",
+                    evops._us("ts").alias("ts_us"), "value",
+                    F.col("event_id_asof").alias("view_event_id"),
+                    evops._us("ts_asof").alias("view_ts_us"),
+                    F.col("value_asof").alias("view_value"))
+
+
 def _docs_with_pii(docs: DataFrame) -> DataFrame:
     """Deterministic PII injection: the synthetic corpus carries no PII,
     so each doc gains class-(doc_id % 3) identifiers derived from its id
@@ -1076,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize_stats": q_sessionize_stats,
         "events_asof": q_events_asof,
+        "events_asof_tol": q_events_asof_tol,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_linear": q_gapfill_linear,
         "tpch_q1": q_tpch_q1,
@@ -1936,6 +1956,37 @@ def _oracle_sql_base() -> dict[str, str]:
                    mm.eid AS view_event_id, epoch_us(mm.rts) AS view_ts_us,
                    mm.v AS view_value
             FROM m WHERE side = 1
+        """,
+        "events_asof_tol": """
+            WITH l AS (SELECT event_id, ts, user_id, value FROM events
+                       WHERE event_type = 'click'),
+            r AS (SELECT event_id, ts, user_id, value FROM events
+                  WHERE event_type = 'view'),
+            u AS (
+              SELECT user_id, ts, 1 AS side, event_id, value,
+                     NULL::BIGINT AS r_eid, NULL::TIMESTAMP AS r_ts,
+                     NULL::DOUBLE AS r_val
+              FROM l
+              UNION ALL
+              SELECT user_id, ts, 0, NULL, NULL, event_id, ts, value
+              FROM r),
+            m AS (
+              SELECT *,
+                     last_value(CASE WHEN side = 0 THEN
+                         {'eid': r_eid, 'rts': r_ts, 'v': r_val} END
+                         IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, side, r_eid
+                             ROWS UNBOUNDED PRECEDING) AS mm
+              FROM u),
+            t AS (
+              SELECT *, CASE WHEN epoch_us(ts) - epoch_us(mm.rts)
+                                  <= 7200::BIGINT * 1000000
+                             THEN mm END AS tm
+              FROM m)
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+                   tm.eid AS view_event_id, epoch_us(tm.rts) AS view_ts_us,
+                   tm.v AS view_value
+            FROM t WHERE side = 1
         """,
         "pii_scrub": f"""
             WITH aug AS (
