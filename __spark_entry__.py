@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 72 queries, 68 value-hash-checked against `oracle_sql()`
+pipeline ops): 73 queries, 69 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 threshold firstcrossings, the PRODUCTION xxhash64 sketch pipelines via
 the tsf/xxh64_sql.py bit-exact XXH64 replay, LSH/IVF probe membership
@@ -714,6 +714,40 @@ def q_pii_scrub(spark, sf_dir):
     return pii.pii_scrub(_docs_with_pii(_docs(spark, sf_dir)))
 
 
+#: deterministic "daily increment" slice for the incremental-dedup query
+INCR_PRED = "doc_id % 5 = 0"
+
+
+def _minhash_index_path(sf_dir: str) -> str:
+    import hashlib
+    src = f"{sf_dir}/documents.parquet"
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    return f"/tmp/tsf_ann_index/minhash_{key}"
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup against the PERSISTED banded minhash index:
+    the corpus (doc_id % 5 != 0) indexes once; the increment
+    (doc_id % 5 == 0) broadcasts its banded rows and probes only the
+    touched (band, bucket) partitions via dynamic partition pruning —
+    the daily-crawl path that never re-pairs the full corpus. The DuckDB
+    oracle replays the whole hash chain (xxh64 shingles -> signatures ->
+    band hashes -> est jaccard) with the old/new split."""
+    from tsf.dedup import build_minhash_index, dedup_against_index
+    docs = _docs(spark, sf_dir)
+    p = _minhash_index_path(sf_dir)
+    if not Path(p, "_minhash_params.json").exists():
+        # 8 buckets at driver scale (64 dirs); at 100 TB size buckets so
+        # a directory is a few files of ~1 GB
+        build_minhash_index(docs.where(f"NOT ({INCR_PRED})"), p,
+                            buckets=8)
+    out = dedup_against_index(spark, docs.where(INCR_PRED), p,
+                              threshold=0.5)
+    return out.select("new_doc_id", "dup_of",
+                      F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
 def q_series_pairwise_pearson(spark, sf_dir):
     """Reference-native pairwise operator: Pearson/covariance between the
     tier-0 mean series of same-source docs, aligned on window_id."""
@@ -1107,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_groups": q_dedup_groups,
         "dedup_lsh_groups": q_dedup_lsh_groups,
+        "dedup_incremental": q_dedup_incremental,
         "simhash_check": q_simhash_check,
         "minhash_check": q_minhash_check,
         "mix_sample": q_mix_sample,
@@ -2100,6 +2135,8 @@ def _oracle_sql_base() -> dict[str, str]:
         # replays Spark's xxhash64 (string/long/int paths) bit-exactly
         # in pure DuckDB SQL, so these two are no longer rows-only
         "dedup_minhash": dedup.minhash_pairs_duckdb(threshold=0.3),
+        "dedup_incremental": dedup.dedup_incremental_duckdb(
+            INCR_PRED, threshold=0.5),
         "dedup_simhash": dedup.simhash_near_dups_duckdb(max_hamming=3),
         "dedup_groups": dedup.duplicate_groups_duckdb(
             0.3, where_sql="length(text) % 2 = 0"),

@@ -300,7 +300,8 @@ def main() -> None:
                 "events_hourly", "gapfill_locf",
                 "gapfill_linear", "tpch_q1", "topk_orders", "vocab_topk", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-                "dedup_groups", "dedup_lsh_groups", "mix_sample",
+                "dedup_groups", "dedup_lsh_groups", "dedup_incremental",
+                "mix_sample",
                 "pack_examples", "epoch_shuffle", "dataset_split",
                 "dup_span_stats",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",

@@ -957,3 +957,71 @@ def test_dup_span_stats_interval_union(spark):
     assert r["n_spans"] == 41 and r["n_dup_spans"] == 41
     assert r["dup_token_frac"] == 1.0
     assert out["u"]["n_dup_spans"] == 0
+
+
+# --------------------------------------------- incremental minhash index
+
+def test_incremental_dedup_finds_planted_dup(spark, tmp_path):
+    from pyspark.sql import Row
+    from tsf.dedup import build_minhash_index, dedup_against_index
+    words = lambda seed: " ".join(f"w{seed}x{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=words(i)) for i in range(20)])
+    p = str(tmp_path / "idx")
+    build_minhash_index(corpus, p, buckets=4)
+    inc = spark.createDataFrame([
+        Row(doc_id=100, text=words(7)),          # exact dup of doc 7
+        Row(doc_id=101, text=words(7) + " tail extra"),  # near dup
+        Row(doc_id=102, text=words(999)),        # fresh
+    ])
+    got = {r["new_doc_id"]: (r["dup_of"], r["est_jaccard"])
+           for r in dedup_against_index(spark, inc, p, 0.5).collect()}
+    assert got[100] == (7, 1.0)
+    assert got[101][0] == 7 and got[101][1] >= 0.5
+    assert 102 not in got
+
+
+def test_incremental_dedup_probe_prunes_partitions(spark, tmp_path):
+    """The probe enumerates the increment's touched (band, bkt) pairs
+    (bounded by the layout) and pushes them as literal partition
+    filters — the index scan lists only touched directories."""
+    from pyspark.sql import Row
+    from tsf.dedup import build_minhash_index, dedup_against_index
+    words = lambda seed: " ".join(f"w{seed}x{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=words(i)) for i in range(20)])
+    p = str(tmp_path / "idx")
+    build_minhash_index(corpus, p, buckets=4)
+    inc = spark.createDataFrame([Row(doc_id=100, text=words(7))])
+    out = dedup_against_index(spark, inc, p, 0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the index scan carries LITERAL (band = x AND bkt = y) partition
+    # filters (static pruning; the touched set is bounded by the layout)
+    import re
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "PartitionFilters: [" in ln]
+    pfs = [ln.split("PartitionFilters: [")[1] for ln in scans]
+    # (the location path may be truncated in the plan string, so select
+    # the bands scan by its literal partition filter, not by path)
+    assert any(re.search(r"band#\d+ = \d+", pf) for pf in pfs), plan
+
+
+def test_incremental_index_append(spark, tmp_path):
+    """Appending an accepted increment makes its docs visible to the
+    NEXT increment's probe; self-matches stay excluded."""
+    from pyspark.sql import Row
+    from tsf.dedup import (append_minhash_index, build_minhash_index,
+                           dedup_against_index)
+    words = lambda seed: " ".join(f"w{seed}x{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=words(i)) for i in range(10)])
+    p = str(tmp_path / "idx")
+    build_minhash_index(corpus, p, buckets=4)
+    day1 = spark.createDataFrame([Row(doc_id=50, text=words(777))])
+    assert dedup_against_index(spark, day1, p, 0.5).count() == 0
+    append_minhash_index(day1, p)
+    # re-probing the appended doc itself: no self-match
+    assert dedup_against_index(spark, day1, p, 0.5).count() == 0
+    day2 = spark.createDataFrame([Row(doc_id=60, text=words(777))])
+    got = dedup_against_index(spark, day2, p, 0.5).collect()
+    assert len(got) == 1 and got[0]["dup_of"] == 50

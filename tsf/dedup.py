@@ -922,3 +922,146 @@ def ngram_jaccard_duckdb(threshold: float = 0.3, k: int = 3) -> str:
     FROM d a JOIN d b ON a.doc_id < b.doc_id
     WHERE round({jac}, 6) >= {threshold}
     """
+
+
+# ------------------------------------------------ incremental minhash index
+#
+# Daily-increment dedup: a 100 TB corpus cannot be re-paired against
+# itself every time a crawl lands. The signature index persists ONCE —
+# banded minhash rows partitioned by (band, bucket) plus a signature
+# side table — and each increment probes it:
+#
+#   new docs -> signatures -> banded rows -> equi-join the index on
+#   (band, bkt, bh) -> est-jaccard verify against the matched old
+#   signatures only.
+#
+# Scale shape: the increment is small, so Spark broadcasts its banded
+# rows and DYNAMIC PARTITION PRUNING prunes the index scan to the
+# (band, bkt) directories the increment actually touches (plan-asserted
+# in tests); the signature side table is read only for matched doc_ids.
+# `append_minhash_index` folds an accepted increment in as new parquet
+# files under the same layout — no rewrite of existing partitions.
+
+def build_minhash_index(docs: DataFrame, path: str, k: int = 3,
+                        num_hashes: int = 32, bands: int = 8,
+                        buckets: int = 32, mode: str = "overwrite") -> dict:
+    """Persist the banded signature index for `docs` at `path`."""
+    import json as _json
+    from pathlib import Path as _P
+    rows = num_hashes // bands
+    sig = scoped_persist(minhash_signatures(docs, k, num_hashes))
+    band_cols = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
+                              for r in range(rows)]).alias("bh"))
+        for b in range(bands)])).alias("bb")
+    banded = (sig.select("doc_id", band_cols)
+              .select("doc_id", F.col("bb.band").alias("band"),
+                      F.col("bb.bh").alias("bh"))
+              .withColumn("bkt",
+                          F.pmod("bh", F.lit(buckets)).cast("int")))
+    # one shuffle keyed on the layout -> one file per (band, bkt) dir
+    # (without it every task writes a sliver into every directory)
+    banded.repartition("band", "bkt").write.mode(mode) \
+        .partitionBy("band", "bkt").parquet(f"{path}/bands")
+    sig.write.mode(mode).parquet(f"{path}/sigs")
+    params = {"k": k, "num_hashes": num_hashes, "bands": bands,
+              "buckets": buckets}
+    _P(path, "_minhash_params.json").write_text(_json.dumps(params))
+    return params
+
+
+def append_minhash_index(docs: DataFrame, path: str) -> None:
+    """Fold an accepted increment into an existing index (append-only:
+    new parquet files land under the same (band, bkt) directories)."""
+    import json as _json
+    from pathlib import Path as _P
+    p = _json.loads(_P(path, "_minhash_params.json").read_text())
+    build_minhash_index(docs, path, mode="append", **p)
+
+
+def dedup_against_index(spark, new_docs: DataFrame, path: str,
+                        threshold: float = 0.5) -> DataFrame:
+    """(new_doc_id, dup_of, est_jaccard >= threshold) for an increment
+    probed against the persisted index. Self-matches (same doc_id) are
+    excluded so re-probing already-appended docs stays sane."""
+    import json as _json
+    from pathlib import Path as _P
+    from pyspark.sql.functions import broadcast
+    p = _json.loads(_P(path, "_minhash_params.json").read_text())
+    k, num_hashes = p["k"], p["num_hashes"]
+    bands, buckets = p["bands"], p["buckets"]
+    rows = num_hashes // bands
+    sig_new = scoped_persist(minhash_signatures(new_docs, k, num_hashes))
+    band_cols = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
+                              for r in range(rows)]).alias("bh"))
+        for b in range(bands)])).alias("bb")
+    banded_new = (sig_new.select("doc_id", band_cols)
+                  .select(F.col("doc_id").alias("new_doc_id"),
+                          F.col("bb.band").alias("band"),
+                          F.col("bb.bh").alias("bh"))
+                  # int, matching the parsed partition-directory type:
+                  # a CAST around the index's partition column in the
+                  # join key disqualifies dynamic partition pruning
+                  .withColumn("bkt",
+                              F.pmod("bh", F.lit(buckets)).cast("int")))
+    banded_new = scoped_persist(banded_new)
+    # STATIC partition pruning: enumerate the increment's touched
+    # (band, bkt) pairs — bounded by the LAYOUT (<= bands * buckets
+    # tuples, metadata not data, so the driver collect stays O(layout)
+    # at any corpus size) — and push them as literal partition filters;
+    # the index scan then lists only those directories. (Spark's dynamic
+    # partition pruning skips this join shape: its benefit heuristic
+    # wants a selective Filter on the build side.)
+    touched = banded_new.select("band", "bkt").distinct().collect()
+    idx = spark.read.parquet(f"{path}/bands")
+    cond = F.lit(False)
+    for r in touched:
+        cond = cond | ((F.col("band") == r["band"])
+                       & (F.col("bkt") == r["bkt"]))
+    cand = (idx.where(cond)
+            .join(broadcast(banded_new), ["band", "bkt", "bh"])
+            .where(F.col("doc_id") != F.col("new_doc_id"))
+            .select(F.col("new_doc_id"), F.col("doc_id").alias("dup_of"))
+            .dropDuplicates(["new_doc_id", "dup_of"]))
+    sig_old = spark.read.parquet(f"{path}/sigs")
+    est = (cand
+           .join(sig_old.select(F.col("doc_id").alias("dup_of"),
+                                F.col("sig").alias("sig_a")), "dup_of")
+           .join(broadcast(sig_new.select(
+               F.col("doc_id").alias("new_doc_id"),
+               F.col("sig").alias("sig_b"))), "new_doc_id")
+           .select("new_doc_id", "dup_of",
+                   (F.expr("size(filter(zip_with(sig_a, sig_b, "
+                           "(x, y) -> x = y), v -> v))")
+                    / F.lit(num_hashes)).alias("est_jaccard")))
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
+def dedup_incremental_duckdb(new_pred: str, k: int = 3,
+                             num_hashes: int = 32, bands: int = 8,
+                             threshold: float = 0.5) -> str:
+    """DuckDB replay of build_minhash_index(NOT new_pred) +
+    dedup_against_index(new_pred): identical production hash family (see
+    minhash_pairs_duckdb); candidates pair an OLD-corpus doc with a
+    NEW-increment doc instead of ordered pairs within one corpus."""
+    base = minhash_pairs_duckdb(k, num_hashes, bands, threshold)
+    old_cand = ("cand AS (SELECT DISTINCT a.doc_id AS doc_a, "
+                "c.doc_id AS doc_b\n"
+                "             FROM bb a JOIN bb c\n"
+                "               ON a.band = c.band AND a.bh = c.bh\n"
+                "              AND a.doc_id < c.doc_id)")
+    assert old_cand in base, "minhash_pairs_duckdb cand CTE changed"
+    new_cand = (
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b\n"
+        "             FROM bb a JOIN bb c\n"
+        "               ON a.band = c.band AND a.bh = c.bh\n"
+        f"              AND NOT ({new_pred.replace('doc_id', 'a.doc_id')})\n"
+        f"              AND ({new_pred.replace('doc_id', 'c.doc_id')})\n"
+        "              AND a.doc_id <> c.doc_id)")
+    out = base.replace(old_cand, new_cand)
+    return out.replace(
+        "SELECT doc_a, doc_b, est_jaccard FROM est",
+        "SELECT doc_b AS new_doc_id, doc_a AS dup_of, est_jaccard FROM est")
