@@ -407,3 +407,50 @@ def test_stateful_finalize_refuses_token_loss():
     # frontier overshoots the declared length
     with _pytest.raises(ValueError, match="refusing to finalize"):
         run([(0, list(range(8)), "s"), (5, [], "s")])
+
+
+def test_stream_dedup_against_index(spark, tmp_path):
+    """Streaming incremental near-dedup: batch 1's fresh docs join the
+    index, so batch 2's copy of them is rejected; corpus dups are
+    rejected from the start; the out_path union holds exactly the fresh
+    docs."""
+    from pyspark.sql import Row
+    from tsf.dedup import build_minhash_index
+
+    words = lambda seed: " ".join(f"w{seed}x{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=words(i)) for i in range(10)])
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx, buckets=4)
+
+    arrivals = str(tmp_path / "arrivals")
+    out = str(tmp_path / "fresh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("doc_id long, text string").parquet(arrivals))
+        q = streaming.stream_dedup_against_index(
+            spark, stream, idx, out, ckpt, threshold=0.5)
+        q.awaitTermination(180)
+
+    # batch 1: one corpus dup (of doc 3), one fresh, one within-batch
+    # exact dup pair (first doc_id wins)
+    spark.createDataFrame([
+        Row(doc_id=100, text=words(3)),
+        Row(doc_id=101, text=words(500)),
+        Row(doc_id=102, text=words(600)),
+        Row(doc_id=103, text=words(600)),
+    ]).write.mode("append").parquet(arrivals)
+    run_once()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {101, 102}
+
+    # batch 2: a dup of batch 1's fresh doc must now be rejected too
+    spark.createDataFrame([
+        Row(doc_id=200, text=words(500)),
+        Row(doc_id=201, text=words(700)),
+    ]).write.mode("append").parquet(arrivals)
+    run_once()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {101, 102, 201}

@@ -416,3 +416,48 @@ def stream_tier0_stateful(chunk_stream: DataFrame,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_dedup_against_index(spark: SparkSession, docs_stream: DataFrame,
+                               index_path: str, out_path: str,
+                               checkpoint_dir: str,
+                               threshold: float = 0.5) -> StreamingQuery:
+    """Streaming incremental near-dedup: every micro-batch probes the
+    persisted banded minhash index (tsf.dedup.build_minhash_index),
+    writes only FRESH docs to ``out_path``, and folds the accepted batch
+    into the index so later batches — and later runs — dedup against it.
+
+    Composition of exactly-once pieces: the streaming checkpoint replays
+    unfinished batches; a replayed batch re-probes the index and, since
+    its docs were already appended, would see itself — so the probe
+    EXCLUDES self-matches by doc_id (tsf.dedup.dedup_against_index
+    semantics) and the parquet append of fresh rows is idempotent per
+    batch via a batch_id subdirectory (a replay overwrites its own
+    directory, never duplicating rows in the union view). Within-batch
+    duplicates collapse to the first doc_id before the probe."""
+    from tsf import dedup as D
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            # within-batch exact collapse (first-wins by doc_id)
+            keep = D.exact_dedup(batch_df).select(
+                F.col("keep_doc_id").alias("doc_id"))
+            fresh = batch_df.join(keep, "doc_id")
+            dup = D.dedup_against_index(spark, fresh, index_path,
+                                        threshold).select("new_doc_id") \
+                .distinct().withColumnRenamed("new_doc_id", "doc_id")
+            fresh = fresh.join(dup, "doc_id", "left_anti").persist()
+            # idempotent per-batch landing zone: a checkpoint replay
+            # rewrites the same directory instead of appending twice
+            fresh.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}")
+            D.append_minhash_index(fresh, index_path)
+        finally:
+            batch_df.unpersist()
+
+    return (docs_stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
