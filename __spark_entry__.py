@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 73 queries, 69 value-hash-checked against `oracle_sql()`
+pipeline ops): 75 queries, 71 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 threshold firstcrossings, the PRODUCTION xxhash64 sketch pipelines via
 the tsf/xxh64_sql.py bit-exact XXH64 replay, LSH/IVF probe membership
@@ -429,6 +429,49 @@ def q_tpch_q1(spark, sf_dir):
                  F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
                  F.round(F.avg("l_discount"), 6).alias("avg_disc"),
                  F.count("*").alias("count_order")))
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): customer ⋈ orders ⋈ lineitem
+    with selective filters. The customer dim is explicitly broadcast
+    (segment filter makes it small); the orders⋈lineitem join shuffles
+    on orderkey — exactly the plan a 100 TB run wants, plan-asserted in
+    tests/test_plans.py. Revenue uses exact integer cents so the
+    aggregate is order-free across engines."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.sum((F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                 .cast("bigint")
+                 * F.floor((1 - F.col("l_discount")) * 100 + F.lit(0.5))
+                 .cast("bigint")))
+    return (li.where(F.col("l_shipdate") > F.lit("1995-03-15"))
+            .join(o.where(F.col("o_orderdate") < F.lit("1995-03-15")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(
+                cu.where(F.col("c_mktsegment") == "BUILDING")),
+                F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg((rev.cast("double") / F.lit(1e4)).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(20)
+            .select("l_orderkey",
+                    F.col("o_orderdate").cast("string")
+                    .alias("o_orderdate"), "o_orderpriority", "revenue"))
+
+
+def q_events_cube(spark, sf_dir):
+    """Multi-dimensional aggregate (CUBE over event_type × weekday):
+    all four grouping-set combinations in ONE pass — Spark's Expand +
+    single aggregate, the shape a reporting rollup needs instead of
+    4 self-unions. NULL marks the rolled-up dimension (matching SQL
+    CUBE semantics in the DuckDB oracle)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sq = F.sum(F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5))
+               .cast("bigint"))
+    return (ev.withColumn("weekday", F.dayofweek("ts").cast("int"))
+            .cube("event_type", "weekday")
+            .agg(F.count("*").alias("cnt"),
+                 (sq.cast("double") / F.lit(1e4)).alias("sum_value")))
 
 
 def q_topk_orders(spark, sf_dir):
@@ -1133,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": q_gapfill_locf,
         "gapfill_linear": q_gapfill_linear,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "events_cube": q_events_cube,
         "topk_orders": q_topk_orders,
         "vocab_topk": q_vocab_topk,
         "dedup_exact": q_dedup_exact,
@@ -1943,6 +1988,34 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                        / 10000.0 AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   o_orderpriority,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * CAST(floor((1 - l_discount) * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE)
+                     / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND CAST(o_orderdate AS VARCHAR) < '1995-03-15'
+              AND CAST(l_shipdate AS VARCHAR) > '1995-03-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 20
+        """,
+        "events_cube": """
+            SELECT event_type,
+                   CAST(dayofweek(ts) + 1 AS INT) AS weekday,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS sum_value
+            FROM events
+            GROUP BY CUBE (1, 2)
         """,
         "sessionize_stats": f"""
             WITH b AS (

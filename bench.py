@@ -298,7 +298,8 @@ def main() -> None:
                 "series_acf", "series_features", "acf_features",
                 "kernel_features", "firstcrossing", "dim_stack",
                 "events_hourly", "gapfill_locf",
-                "gapfill_linear", "tpch_q1", "topk_orders", "vocab_topk", "dedup_exact",
+                "gapfill_linear", "tpch_q1", "tpch_q3", "events_cube",
+                "topk_orders", "vocab_topk", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
                 "dedup_groups", "dedup_lsh_groups", "dedup_incremental",
                 "mix_sample",

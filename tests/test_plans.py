@@ -203,3 +203,22 @@ def test_gopher_quality_zero_shuffle_row_local(spark, sf001):
     assert "Exchange" not in p, p
     assert "Join" not in p, p
     assert "Generate" not in p, p
+
+
+def test_tpch_q3_broadcasts_customer_dim(spark):
+    """The filtered customer dim broadcasts (no shuffle of the fact
+    side for that join); the fact-fact join shuffles on orderkey; the
+    top-20 is TakeOrderedAndProject, never a global sort."""
+    import __spark_entry__ as e
+    p = _plan(e.q_tpch_q3(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_events_cube_single_pass(spark):
+    """CUBE computes all grouping sets via one Expand + one aggregate —
+    not a union of per-set scans (one FileScan total)."""
+    import __spark_entry__ as e
+    p = _plan(e.q_events_cube(spark, "/root/testdata/sf0.001"))
+    assert "Expand" in p, p
+    assert p.count("FileScan parquet") == 1, p
