@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 75 queries, 71 value-hash-checked against `oracle_sql()`
+pipeline ops): 76 queries, 72 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 threshold firstcrossings, the PRODUCTION xxhash64 sketch pipelines via
 the tsf/xxh64_sql.py bit-exact XXH64 replay, LSH/IVF probe membership
@@ -692,6 +692,15 @@ def q_sessionize_stats(spark, sf_dir):
                     "duration_us", "sum_value")
 
 
+def q_session_funnel(spark, sf_dir):
+    """view→click conversion funnel per session (4h gap): step counts
+    and the inclusive first-view <= last-click conversion flag, as
+    conditional aggregates over the sessionized rows — same single
+    user-keyed Exchange as sessionize_stats, no join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return evops.session_funnel(ev, gap_s=SESSION_GAP_S)
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join: every click event paired with the latest view event
     at-or-before it per user (inclusive ties; right ties resolve to the
@@ -1171,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_z": q_window_z,
         "events_hourly": q_events_hourly,
         "sessionize_stats": q_sessionize_stats,
+        "session_funnel": q_session_funnel,
         "events_asof": q_events_asof,
         "events_asof_tol": q_events_asof_tol,
         "gapfill_locf": q_gapfill_locf,
@@ -2037,6 +2047,30 @@ def _oracle_sql_base() -> dict[str, str]:
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
                    CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
                         AS DOUBLE) / 10000.0 AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
+        "session_funnel": f"""
+            WITH b AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > {SESSION_GAP_S}::BIGINT * 1000000
+                     THEN 1 ELSE 0 END AS nb
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(nb) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_no
+              FROM b)
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   count(*) FILTER (event_type = 'view') AS n_step_a,
+                   count(*) FILTER (event_type = 'click') AS n_step_b,
+                   coalesce(min(CASE WHEN event_type = 'view'
+                                     THEN epoch_us(ts) END)
+                            <= max(CASE WHEN event_type = 'click'
+                                        THEN epoch_us(ts) END),
+                            false) AS converted
             FROM s GROUP BY 1, 2
         """,
         "events_asof": """

@@ -313,7 +313,7 @@ def main() -> None:
                 "pairwise_mi", "pairwise_featureset", "pairwise_super_check",
                 "token_counts", "gopher_quality", "decontam_overlap",
                 "word_freq_stats", "source_quantiles", "pii_scrub",
-                "sessionize_stats", "events_asof",
+                "sessionize_stats", "session_funnel", "events_asof",
                 "media_meta", "media_features",
                 "frame_sample", "compression_roundtrip"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x

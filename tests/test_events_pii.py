@@ -241,3 +241,36 @@ def test_asof_join_tolerance(ev):
     assert got[3] == (2, 3.0)          # 1min stale: kept
     assert got[1] == (None, None)      # 10min stale: discarded
     assert got[9] == (8, 9.0)          # simultaneous: zero staleness
+
+
+def test_session_funnel_hand_fixture(ev):
+    """user 1 session 0 (view@0 then click@10) converts; session 1
+    (view@41, click@42) converts; user 3's single session has clicks
+    both BEFORE and at the same ts as views — the inclusive first-view
+    <= last-click rule converts it; user 2 converts (view@0, click@30)."""
+    got = {(r["user_id"], r["session_no"]):
+           (r["n_step_a"], r["n_step_b"], r["converted"])
+           for r in E.session_funnel(ev).collect()}
+    assert got[(1, 0)] == (1, 1, True)
+    assert got[(1, 1)] == (1, 1, True)
+    assert got[(2, 0)] == (1, 1, True)
+    assert got[(3, 0)] == (2, 2, True)
+
+
+def test_session_funnel_no_conversion(spark):
+    """click strictly before the only view -> not converted; a session
+    with no views or no clicks -> not converted."""
+    rows = [Row(event_id=0, ts=_ts(0), user_id=9, event_type="click",
+                value=0.0),
+            Row(event_id=1, ts=_ts(1), user_id=9, event_type="view",
+                value=0.0),
+            Row(event_id=2, ts=_ts(0), user_id=10, event_type="view",
+                value=0.0)]
+    got = {r["user_id"]: r["converted"]
+           for r in E.session_funnel(spark.createDataFrame(rows)).collect()}
+    assert got == {9: False, 10: False}
+
+
+def test_session_funnel_single_exchange(ev):
+    p = _plan(E.session_funnel(ev))
+    assert p.count("Exchange hashpartitioning") == 1, p

@@ -138,3 +138,27 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
             .select(*left.columns,
                     *[F.col(f"_m.{c}").alias(f"{c}{suffix}")
                       for c in carried]))
+
+
+def session_funnel(events: DataFrame, key: str = "user_id", ts: str = "ts",
+                   gap_s: int = 1800, step_a: str = "view",
+                   step_b: str = "click", type_col: str = "event_type",
+                   tiebreak: str = "event_id") -> DataFrame:
+    """Two-step conversion funnel per session: counts of each step and
+    whether the session CONVERTED (some step-A event at-or-before some
+    step-B event inside the same session; simultaneous counts, matching
+    the inclusive as-of convention). Same single key-Exchange shape as
+    session_stats — the funnel flags are conditional aggregates over the
+    sessionized rows, no extra shuffle, no join."""
+    s = sessionize(events, key, ts, gap_s, tiebreak)
+    ts_us = _us(F.col(ts))
+    first_a = F.min(F.when(F.col(type_col) == step_a, ts_us))
+    last_b = F.max(F.when(F.col(type_col) == step_b, ts_us))
+    return (s.groupBy(key, "session_no")
+            .agg(F.count(F.when(F.col(type_col) == step_a, 1))
+                 .alias("n_step_a"),
+                 F.count(F.when(F.col(type_col) == step_b, 1))
+                 .alias("n_step_b"),
+                 (first_a <= last_b).alias("_conv"))
+            .withColumn("converted", F.coalesce("_conv", F.lit(False)))
+            .drop("_conv"))
