@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 76 queries, 72 value-hash-checked against `oracle_sql()`
+pipeline ops): 77 queries, 73 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 threshold firstcrossings, the PRODUCTION xxhash64 sketch pipelines via
 the tsf/xxh64_sql.py bit-exact XXH64 replay, LSH/IVF probe membership
@@ -614,6 +614,14 @@ def q_pack_examples(spark, sf_dir):
                                   n_shards=4)
 
 
+def q_chunk_examples(spark, sf_dir):
+    """Sliding-window training-example layout (length 128, stride 64):
+    overlapping chunks per doc via a bounded sequence() explode —
+    zero shuffle (plan-asserted)."""
+    return sampling.chunk_examples(_seq(spark, sf_dir), length=128,
+                                   stride=64)
+
+
 def q_text_quality(spark, sf_dir):
     d = textstats.with_text_stats(_docs(spark, sf_dir))
     return d.select("doc_id", "n_words", "avg_word_len", "stopword_ratio",
@@ -1201,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_check": q_minhash_check,
         "mix_sample": q_mix_sample,
         "pack_examples": q_pack_examples,
+        "chunk_examples": q_chunk_examples,
         "epoch_shuffle": q_epoch_shuffle,
         "dataset_split": q_dataset_split,
         "dup_span_stats": q_dup_span_stats,
@@ -2257,6 +2266,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "dataset_split": sampling.dataset_split_duckdb(_SEQ, seed=7),
         "pack_examples": sampling.pack_examples_duckdb(
             _SEQ, example_len=512, n_shards=4),
+        "chunk_examples": sampling.chunk_examples_duckdb(
+            _SEQ, length=128, stride=64),
         "source_quantiles": textstats.source_quantiles_duckdb(),
         "text_quality": textstats.text_stats_duckdb(),
         "langid": textstats.langid_duckdb(),

@@ -160,3 +160,45 @@ def test_dataset_split_zero_exchange(spark, sf001):
     p = dataset_split(seq, seed=7)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in p, p
+
+
+def test_chunk_examples_layout(spark):
+    from pyspark.sql import Row
+    from tsf.sampling import chunk_examples
+    seq = spark.createDataFrame([
+        Row(doc_id="a", source="s", n_tok=600,
+            tokens=list(range(600))),
+        Row(doc_id="b", source="s", n_tok=512,
+            tokens=list(range(512))),
+        Row(doc_id="c", source="s", n_tok=100,
+            tokens=list(range(100))),
+        Row(doc_id="d", source="s", n_tok=768,
+            tokens=list(range(768))),
+    ])
+    got = {(r["doc_id"], r["chunk_id"]):
+           (r["start"], r["n_tok_chunk"], r["is_tail"])
+           for r in chunk_examples(seq, length=512, stride=256).collect()}
+    assert got[("a", 0)] == (0, 512, False)
+    assert got[("a", 1)] == (256, 344, True)   # tail covers 256..600
+    assert got[("b", 0)] == (0, 512, False)    # exact fit: one chunk
+    assert ("b", 1) not in got
+    assert got[("c", 0)] == (0, 100, True)     # short doc: one tail chunk
+    assert got[("d", 0)] == (0, 512, False)
+    assert got[("d", 1)] == (256, 512, False)  # exact-stride final chunk
+    assert ("d", 2) not in got
+    # every token position of every doc is covered by >= 1 chunk
+    for doc, n in [("a", 600), ("b", 512), ("c", 100), ("d", 768)]:
+        spans = [(s, s + m) for (d_, _), (s, m, _) in got.items()
+                 if d_ == doc]
+        covered = set()
+        for lo, hi in spans:
+            covered.update(range(lo, hi))
+        assert covered == set(range(n)), doc
+
+
+def test_chunk_examples_zero_shuffle(spark, sf001):
+    from tsf.io import sequences_from_documents
+    from tsf.sampling import chunk_examples
+    seq = sequences_from_documents(spark, sf001)
+    p = chunk_examples(seq)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p

@@ -250,3 +250,54 @@ def dataset_split_duckdb(seq_cte: str,
            CASE {cases} END AS split
     FROM hh
     """
+
+
+def chunk_examples(seq: DataFrame, length: int = 512,
+                   stride: int = 256) -> DataFrame:
+    """Sliding-window training-example layout: overlapping chunks of
+    ``length`` tokens every ``stride`` positions per doc (the GPT-style
+    alternative to contiguous packing when context overlap is wanted).
+    Chunks start at 0, stride, 2*stride, ... while any tokens remain;
+    the final chunk is the truncated tail (n_tok_chunk < length allowed
+    only there). Row-local: a bounded sequence() explode per doc — ZERO
+    shuffle; at 100 TB the chunking is free with the scan.
+
+    Returns (doc_id, source, chunk_id, start, n_tok_chunk, is_tail)."""
+    n_chunks = F.when(
+        F.col("n_tok") <= length, F.lit(1)
+    ).otherwise(
+        F.ceil((F.col("n_tok") - length) / F.lit(stride)).cast("int") + 1)
+    d = seq.select("doc_id", "source", "n_tok",
+                   F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                   .alias("chunk_id"))
+    start = F.col("chunk_id").cast("long") * stride
+    ntc = F.least(F.lit(length), F.col("n_tok") - start)
+    return (d.select("doc_id", "source",
+                     F.col("chunk_id").cast("int").alias("chunk_id"),
+                     start.alias("start"),
+                     ntc.cast("int").alias("n_tok_chunk"),
+                     (ntc < length).alias("is_tail"))
+            .where(F.col("n_tok_chunk") > 0))
+
+
+def chunk_examples_duckdb(seq_cte: str, length: int = 512,
+                          stride: int = 256) -> str:
+    """DuckDB replay of :func:`chunk_examples`."""
+    return f"""
+    WITH seq AS ({seq_cte}),
+    d AS (SELECT doc_id, source, n_tok,
+                 CASE WHEN n_tok <= {length} THEN 1
+                      ELSE CAST(ceil((n_tok - {length}) * 1.0
+                                     / {stride}) AS INT) + 1 END AS nc
+          FROM seq),
+    e AS (SELECT doc_id, source, n_tok,
+                 unnest(range(0, nc)) AS chunk_id FROM d)
+    SELECT doc_id, source, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * {stride} AS BIGINT) AS start,
+           CAST(least({length}, n_tok - chunk_id * {stride}) AS INT)
+             AS n_tok_chunk,
+           least({length}, n_tok - chunk_id * {stride}) < {length}
+             AS is_tail
+    FROM e
+    WHERE least({length}, n_tok - chunk_id * {stride}) > 0
+    """
