@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 77 queries, 73 value-hash-checked against `oracle_sql()`
+pipeline ops): 78 queries, 74 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 threshold firstcrossings, the PRODUCTION xxhash64 sketch pipelines via
 the tsf/xxh64_sql.py bit-exact XXH64 replay, LSH/IVF probe membership
@@ -583,6 +583,20 @@ def q_dup_span_stats(spark, sf_dir):
     and the exact covered-token fraction (interval union). Window-count
     over the span hash — one shuffle, no self-join."""
     return dedup.dup_span_stats(_seq(spark, sf_dir), L=20)
+
+
+def q_remove_dup_spans(spark, sf_dir):
+    """Duplicated-span REMOVAL (Lee et al. 2021 ExactSubstr transform):
+    positions covered by non-canonical occurrences of corpus-repeated
+    20-token spans are dropped; the smallest-(doc_id, pos) occurrence
+    survives, so one copy of each repeated substring remains. Compared
+    via a rolling-hash fingerprint of the cleaned arrays."""
+    from tsf.textstats import FP_MOD
+    out = dedup.remove_dup_spans(_seq(spark, sf_dir), L=20)
+    fp = (f"aggregate(tokens_clean, 0L, "
+          f"(a, x) -> (a * 31 + x) % {FP_MOD})")
+    return out.select("doc_id", "n_tok", "n_tok_clean", "n_removed",
+                      F.expr(fp).alias("clean_fp"))
 
 
 def q_epoch_shuffle(spark, sf_dir):
@@ -1213,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "dataset_split": q_dataset_split,
         "dup_span_stats": q_dup_span_stats,
+        "remove_dup_spans": q_remove_dup_spans,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -2261,6 +2276,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "minhash_check": dedup.minhash_check_duckdb(),
         "mix_sample": sampling.mix_sample_duckdb(MIX_WEIGHTS, default=0.25),
         "dup_span_stats": dedup.dup_span_stats_duckdb(_SEQ, L=20),
+        "remove_dup_spans": dedup.remove_dup_spans_duckdb(_SEQ, L=20),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(
             _SEQ, epoch=3, n_shards=8),
         "dataset_split": sampling.dataset_split_duckdb(_SEQ, seed=7),

@@ -304,7 +304,7 @@ def main() -> None:
                 "dedup_groups", "dedup_lsh_groups", "dedup_incremental",
                 "mix_sample",
                 "pack_examples", "chunk_examples", "epoch_shuffle",
-                "dataset_split", "dup_span_stats",
+                "dataset_split", "dup_span_stats", "remove_dup_spans",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
                 "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
                 "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",

@@ -1025,3 +1025,41 @@ def test_incremental_index_append(spark, tmp_path):
     day2 = spark.createDataFrame([Row(doc_id=60, text=words(777))])
     got = dedup_against_index(spark, day2, p, 0.5).collect()
     assert len(got) == 1 and got[0]["dup_of"] == 50
+
+
+def test_remove_dup_spans_planted(spark):
+    """A 6-token span planted in two docs: the canonical (smallest
+    (doc_id, pos)) occurrence survives, the other doc loses exactly the
+    covered positions; untouched docs round-trip identically."""
+    from pyspark.sql import Row
+    from tsf.dedup import remove_dup_spans
+    span = [7, 8, 9, 10, 11, 12]
+    a = list(range(100, 110)) + span + list(range(200, 210))
+    b = list(range(300, 312)) + span + list(range(400, 408))
+    c = list(range(500, 526))
+    seq = spark.createDataFrame([
+        Row(doc_id="a", tokens=a, n_tok=len(a), source="s"),
+        Row(doc_id="b", tokens=b, n_tok=len(b), source="s"),
+        Row(doc_id="c", tokens=c, n_tok=len(c), source="s"),
+    ])
+    got = {r["doc_id"]: r for r in remove_dup_spans(seq, L=6).collect()}
+    # doc a (canonical: "a" < "b") keeps everything
+    assert got["a"]["tokens_clean"] == a and got["a"]["n_removed"] == 0
+    # doc b loses exactly the 6 span positions
+    assert got["b"]["tokens_clean"] == b[:12] + b[18:]
+    assert got["b"]["n_removed"] == 6
+    assert got["c"]["tokens_clean"] == c and got["c"]["n_removed"] == 0
+
+
+def test_remove_dup_spans_self_repeat(spark):
+    """A span repeated WITHIN one doc: the first occurrence survives,
+    later ones are removed (overlap union, no double-count)."""
+    from pyspark.sql import Row
+    from tsf.dedup import remove_dup_spans
+    span = [1, 2, 3, 4, 5, 6]
+    t = span + [50, 51] + span + [60, 61] + span
+    seq = spark.createDataFrame(
+        [Row(doc_id="x", tokens=t, n_tok=len(t), source="s")])
+    r = remove_dup_spans(seq, L=6).collect()[0]
+    assert r["tokens_clean"] == span + [50, 51, 60, 61]
+    assert r["n_removed"] == 12

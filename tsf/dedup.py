@@ -1065,3 +1065,103 @@ def dedup_incremental_duckdb(new_pred: str, k: int = 3,
     return out.replace(
         "SELECT doc_a, doc_b, est_jaccard FROM est",
         "SELECT doc_b AS new_doc_id, doc_a AS dup_of, est_jaccard FROM est")
+
+
+# ------------------------------------------------- duplicated-span REMOVAL
+#
+# The actionable form of dup_span_stats (Lee et al. 2021 "Deduplicating
+# Training Data Makes Language Models Better", the ExactSubstr
+# transformation): every position covered by a NON-CANONICAL occurrence
+# of a corpus-repeated L-token span is dropped from the doc's token
+# array; the canonical occurrence (smallest (doc_id, pos), total order)
+# survives, so exactly one copy of every repeated substring remains in
+# the corpus.
+#
+# Scale shape: same as dup_span_stats — one span-hash Exchange (the
+# count + canonical pick are two window functions over the same hash
+# partitioning), then duplicate-occurrence starts group per doc
+# (doc-keyed Exchange) and the rewrite is a row-local HOF filter: for
+# each position, drop it iff some duplicate start covers it
+# (O(n_tok x n_dup_starts) per doc worst case, trivial when dup starts
+# are sparse; the token arrays themselves never shuffle).
+
+def remove_dup_spans(seq: DataFrame, L: int = SPAN_L) -> DataFrame:
+    """doc_id, tokens_clean, n_tok_clean, n_removed (+ n_tok) — every
+    non-canonical duplicated-span position removed."""
+    from tsf.textstats import FP_MOD
+    span_hash = (f"aggregate(slice(tokens, i, {L}), 0L, "
+                 f"(a, x) -> (a * 31 + x) % {FP_MOD})")
+    pos = (seq.where(F.col("n_tok") >= L)
+           .select("doc_id",
+                   F.explode(F.expr(
+                       f"transform(sequence(1, n_tok - {L} + 1), "
+                       f"i -> struct(i AS pos, {span_hash} AS h))"))
+                   .alias("s"))
+           .select("doc_id", F.col("s.pos").alias("pos"),
+                   F.col("s.h").alias("h")))
+    wh = Window.partitionBy("h")
+    ranked = (pos
+              .withColumn("cnt", F.count("*").over(wh))
+              .withColumn("rk", F.row_number().over(
+                  wh.orderBy("doc_id", "pos"))))
+    dup_starts = (ranked.where((F.col("cnt") > 1) & (F.col("rk") > 1))
+                  .groupBy("doc_id")
+                  .agg(F.sort_array(F.collect_list("pos"))
+                       .alias("_starts")))
+    out = (seq.join(dup_starts, "doc_id", "left")
+           .withColumn("_starts", F.coalesce(
+               "_starts", F.array().cast("array<int>"))))
+    keep = (f"filter(transform(tokens, (x, i) -> "
+            f"struct(x AS x, i + 1 AS p)), s -> NOT exists(_starts, "
+            f"st -> s.p >= st AND s.p <= st + {L} - 1))")
+    out = out.withColumn("tokens_clean",
+                         F.expr(f"transform({keep}, s -> s.x)"))
+    return (out.select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+        "tokens_clean",
+        F.size("tokens_clean").cast("long").alias("n_tok_clean"))
+        .withColumn("n_removed", F.col("n_tok") - F.col("n_tok_clean")))
+
+
+def remove_dup_spans_duckdb(seq_cte: str, L: int = SPAN_L) -> str:
+    """DuckDB replay of :func:`remove_dup_spans`, reduced to a
+    fingerprint of the cleaned array (the driver compares doc_id,
+    n_tok, n_tok_clean, n_removed, clean_fp)."""
+    from tsf.textstats import FP_MOD
+    span_hash = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                 f"list_transform(list_slice(tokens, i, i + {L} - 1), "
+                 f"zx -> CAST(zx AS BIGINT))), "
+                 f"(a, x) -> (a * 31 + x) % {FP_MOD})")
+    return f"""
+    WITH seq AS ({seq_cte}),
+    pos AS (SELECT doc_id, t.pos AS pos, t.h AS h
+            FROM (SELECT doc_id, list_transform(
+                      range(1, n_tok - {L} + 2),
+                      i -> {{'pos': i, 'h': {span_hash}}}) AS ss
+                  FROM seq WHERE n_tok >= {L}) q,
+            UNNEST(q.ss) AS u(t)),
+    ranked AS (SELECT doc_id, pos,
+                      count(*) OVER (PARTITION BY h) AS cnt,
+                      row_number() OVER (PARTITION BY h
+                                         ORDER BY doc_id, pos) AS rk
+               FROM pos),
+    ds AS (SELECT doc_id, list(pos ORDER BY pos) AS starts
+           FROM ranked WHERE cnt > 1 AND rk > 1 GROUP BY 1),
+    j AS (SELECT seq.doc_id, seq.n_tok, seq.tokens,
+                 coalesce(ds.starts, []) AS starts
+          FROM seq LEFT JOIN ds USING (doc_id)),
+    cl AS (SELECT doc_id, n_tok,
+                  list_transform(
+                    list_filter(range(1, n_tok + 1),
+                      i -> len(list_filter(starts,
+                             st -> i >= st AND i <= st + {L} - 1)) = 0),
+                    i -> tokens[CAST(i AS BIGINT)]) AS tc
+           FROM j)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(len(tc) AS BIGINT) AS n_tok_clean,
+           CAST(n_tok - len(tc) AS BIGINT) AS n_removed,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(tc, zx -> CAST(zx AS BIGINT))),
+                (a, x) -> (a * 31 + x) % {FP_MOD}) AS BIGINT) AS clean_fp
+    FROM cl
+    """
