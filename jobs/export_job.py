@@ -93,6 +93,20 @@ def run(spark, args) -> dict:
                 .join(keepers, "doc_id"))
         mark("after_near_dedup", docs)
 
+    # 3b. history dedup (optional): probe the persisted minhash index —
+    #     the daily-increment path; accepted docs fold into the index so
+    #     the NEXT export run dedups against this one too
+    from pathlib import Path as _P
+    index_exists = bool(args.index) and _P(
+        args.index, "_minhash_params.json").exists()
+    if index_exists:
+        hist = dedup.dedup_against_index(
+            spark, docs, args.index, args.near_threshold) \
+            .select("new_doc_id").distinct() \
+            .withColumnRenamed("new_doc_id", "doc_id")
+        docs = docs.join(hist, "doc_id", "left_anti")
+        mark("after_history_dedup", docs)
+
     # 4. benchmark decontamination (optional): drop the bench slice and
     #    every doc sharing an 8-gram with it
     if args.bench_pred:
@@ -131,15 +145,32 @@ def run(spark, args) -> dict:
                                   seed=args.split_seed)
     out = seq.select("doc_id", "tokens").join(meta, "doc_id")
 
+    out = out.persist()
     (out.repartition("split", "shard")
         .sortWithinPartitions("pos")
         .write.mode("overwrite")
         .partitionBy("split", "shard")
         .parquet(f"{args.output}/sequences"))
-    written = spark.read.parquet(f"{args.output}/sequences")
-    stats["written_docs"] = written.count()
-    stats["written_tokens"] = written.agg(
-        F.sum("n_tok")).first()[0] or 0
+    # stats come from the written frame itself: an export where every
+    # doc deduped away lands as an EMPTY partitioned directory, which
+    # parquet cannot re-read without a schema
+    stats["written_docs"] = out.count()
+    stats["written_tokens"] = out.agg(F.sum("n_tok")).first()[0] or 0
+    if args.index and stats["written_docs"] > 0:
+        # fold this export's survivors into the history index (the
+        # FIRST run creates it; later runs append-only); doc_id type
+        # must stay stable across runs, so re-read the original text
+        # rows for the exported ids
+        src = spark.read.parquet(args.input)
+        accepted = src.join(
+            out.select(F.col("doc_id")
+                       .cast(src.schema["doc_id"].dataType)
+                       .alias("doc_id")), "doc_id")
+        if index_exists:
+            dedup.append_minhash_index(accepted, args.index)
+        else:
+            dedup.build_minhash_index(accepted, args.index)
+    out.unpersist()
     return stats
 
 
@@ -149,6 +180,10 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--output", required=True)
     p.add_argument("--min-words", type=int, default=1)
     p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--index", default=None,
+                   help="persisted minhash index path: dedup this "
+                        "export against ALL previous exports' docs and "
+                        "fold the survivors in (daily-increment mode)")
     p.add_argument("--near-threshold", type=float, default=0.3)
     p.add_argument("--bench-pred", default=None,
                    help="SQL predicate selecting the benchmark slice")

@@ -109,3 +109,26 @@ def test_export_job_end_to_end(spark, tmp_path):
     cols = sorted(a.columns)
     assert sorted(map(tuple, a.select(*cols).collect())) == \
         sorted(map(tuple, b.select(*cols).collect()))
+
+
+def test_export_job_incremental_index(spark, tmp_path):
+    """Two export runs with a shared history index: run 2 over the SAME
+    corpus exports zero docs (everything is a near-dup of run 1's
+    survivors), and a partially-fresh corpus exports only the fresh
+    docs."""
+    import jobs.export_job as job
+    from pyspark.sql import functions as F
+    idx = str(tmp_path / "history_idx")
+    day1_in = "/root/testdata/sf0.001/documents.parquet"
+    s1 = job.main(["--input", day1_in, "--index", idx, "--no-stats",
+                   "--output", str(tmp_path / "day1")])
+    assert s1["written_docs"] > 0
+    # day 2: the SAME texts under fresh doc ids (a re-crawl) — all of
+    # them dedup against the history index; nothing exports
+    day2_in = str(tmp_path / "day2_docs")
+    (spark.read.parquet(day1_in)
+     .withColumn("doc_id", F.col("doc_id") + 1000000)
+     .write.parquet(day2_in))
+    s2 = job.main(["--input", day2_in, "--index", idx, "--no-stats",
+                   "--output", str(tmp_path / "day2")])
+    assert s2["written_docs"] == 0
