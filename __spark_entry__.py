@@ -2,7 +2,7 @@
 
 `entry(spark)` runs the flagship tier-0 rollup on sf0.001. `queries()`
 exposes one entry per implemented operator (SURVEY.md §2 + training-data
-pipeline ops): 78 queries, 74 value-hash-checked against `oracle_sql()`
+pipeline ops): 82 queries, 78 value-hash-checked against `oracle_sql()`
 DuckDB replays (including regression-PACF closed forms, histogram modes,
 threshold firstcrossings, the PRODUCTION xxhash64 sketch pipelines via
 the tsf/xxh64_sql.py bit-exact XXH64 replay, LSH/IVF probe membership
@@ -697,6 +697,36 @@ def q_decontam_overlap(spark, sf_dir):
 
 
 #: idle gap for the sessionization query: 4h splits the sf corpus's
+#: deterministic corpus slice probed by the bloom_decontam driver query
+BLOOM_PROBE_PRED = "doc_id % 3 = 0"
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring (the fasttext-classifier stage):
+    hashed bag-of-words linear model, inference in ONE row-local
+    projection — zero Exchange (plan-asserted). Deterministic integer
+    weight table (xxhash64-derived) so the oracle replays inference
+    bit-for-bit; a trained model drops in through the same bucket
+    seam."""
+    return textstats.quality_classifier(_docs(spark, sf_dir))
+
+
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-filter benchmark decontamination — the scale path when the
+    eval gram set is too big to broadcast as strings: benchmark grams
+    fold into a fixed-size bitmap (k=3 seeded xxhash64 positions), the
+    corpus probe is row-local with ZERO Exchange (plan-asserted). Hits
+    are a superset of the exact decontam_overlap answer (Bloom false
+    positives, never negatives); the oracle replays the exact bit set.
+    The probe covers a deterministic third of the corpus so the
+    byte-level xxh64 replay stays inside the driver's sweep budget
+    (bench.py probes the full corpus)."""
+    docs = _docs(spark, sf_dir)
+    bm = textstats.bloom_bitmap(docs.where(DECONTAM_PRED))
+    return textstats.bloom_decontam(
+        docs.where(f"NOT ({DECONTAM_PRED}) AND ({BLOOM_PROBE_PRED})"), bm)
+
+
 #: median ~7.3h per-user spacing into ~6.9k sessions over 10k events
 #: (a mix of singleton and multi-event sessions on both sides)
 SESSION_GAP_S = 14400
@@ -1085,6 +1115,26 @@ def q_pairwise_pearson(spark, sf_dir):
     return similarity.pairwise_pearson(emb, max_vec_id=48)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding near-dup pruning by
+    coarse-quantizer cell — pairs compared WITHIN cells only (never all
+    pairs), keep = lowest vec_id in the duplicate neighborhood. The
+    oracle replays assignment, cell products and threshold end to end.
+    Threshold 0.3 is data-scaled for the synthetic embeddings (max
+    within-cell cosine ~0.49); production uses ~0.95+."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.semdedup(emb, threshold=0.3)
+
+
+def q_rand_proj(spark, sf_dir):
+    """Johnson–Lindenstrauss sign projection 64 -> 16 dims (Achlioptas):
+    cheap dimensionality reduction ahead of ANN/clustering passes. One
+    row-local projection, ZERO Exchange (plan-asserted); exploded
+    long-form so the value hash covers every component."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.rand_proj(emb, out_dim=16)
+
+
 def q_media_meta(spark, sf_dir):
     """Binary media column -> typed metadata (encode + header-decode both
     run in Spark; the oracle recomputes the metadata arithmetically)."""
@@ -1236,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_freq_stats": q_word_freq_stats,
         "source_quantiles": q_source_quantiles,
         "decontam_overlap": q_decontam_overlap,
+        "quality_classifier": q_quality_classifier,
+        "bloom_decontam": q_bloom_decontam,
         "pii_scrub": q_pii_scrub,
         "series_pairwise_pearson": q_series_pairwise_pearson,
         "pairwise_phase_sync": q_pairwise_phase_sync,
@@ -1249,6 +1301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_indexed": q_ann_lsh_topk_indexed,
         "ann_ivf_topk_indexed": q_ann_ivf_topk_indexed,
         "embedding_near_dups": q_embedding_near_dups,
+        "semdedup": q_semdedup,
+        "rand_proj": q_rand_proj,
         "pairwise_pearson": q_pairwise_pearson,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
@@ -2299,6 +2353,9 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 50
         """,
         "decontam_overlap": textstats.decontam_duckdb(DECONTAM_PRED),
+        "quality_classifier": textstats.quality_classifier_duckdb(),
+        "bloom_decontam": textstats.bloom_decontam_duckdb(
+            DECONTAM_PRED, probe_pred=BLOOM_PROBE_PRED),
         "series_pairwise_pearson": f"""
             WITH seq AS ({_SEQ}),
             f AS (SELECT * FROM seq WHERE n_tok >= 30),
@@ -2364,6 +2421,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_ivf_topk_indexed": similarity.ivf_topk_duckdb(),
         "embedding_near_dups": similarity.embedding_near_dups_duckdb(
             dim=64, threshold=0.35),
+        "semdedup": similarity.semdedup_duckdb(threshold=0.3),
+        "rand_proj": similarity.rand_proj_duckdb(dim=64, out_dim=16),
         "pairwise_pearson": """
             WITH d AS (SELECT vec_id, label,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -136,7 +136,12 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # the driver query's doc_id % 7 predicate assumes BIGINT ids
           # and the x10 fixture's replica ids are strings ('0-r0')
           "token_counts", "gopher_quality", "word_freq_stats",
-          "source_quantiles",
+          "source_quantiles", "quality_classifier", "rand_proj",
+          # bloom_decontam is timed separately below (schema-agnostic
+          # benchmark + probe slices, like decontam_overlap);
+          # semdedup joins the excluded pairwise family: the x10 fixture
+          # grows cells 10x while production scales the CELL COUNT with
+          # the corpus, so x10 times the fixture's quadratic, not the plan
           # sessionize/asof scale linearly on the replicated events
           # (user_id * k + rep keeps per-user group sizes constant);
           # pii_scrub is timed separately below (the driver query's
@@ -312,6 +317,8 @@ def main() -> None:
                 "series_pairwise_pearson", "pairwise_phase_sync",
                 "pairwise_mi", "pairwise_featureset", "pairwise_super_check",
                 "token_counts", "gopher_quality", "decontam_overlap",
+                "quality_classifier", "bloom_decontam", "semdedup",
+                "rand_proj",
                 "word_freq_stats", "source_quantiles", "pii_scrub",
                 "sessionize_stats", "session_funnel", "events_asof",
                 "media_meta", "media_features",
@@ -357,6 +364,18 @@ def main() -> None:
             _ts.decontam_overlap(docs_x10, bench_x10).count()
         spark.catalog.clearCache()
         timings_x10["decontam_overlap"] = time.time() - t0
+        # bloom decontam at x10, same schema-agnostic benchmark slice,
+        # FULL corpus probe (the probe is row-local — this times the
+        # bitmap-literal scan shape the operator exists for)
+        t0 = time.time()
+        with persist_scope():
+            bm_x10 = _ts.bloom_bitmap(bench_x10)
+            _ts.bloom_decontam(
+                docs_x10.where(
+                    "pmod(xxhash64(cast(doc_id as string)), 7) != 0"),
+                bm_x10).count()
+        spark.catalog.clearCache()
+        timings_x10["bloom_decontam"] = time.time() - t0
         # pii scrub at x10 on the raw replicated corpus (no id-derived
         # injection — the detector/redaction cost is what scales)
         from tsf import pii as _pii

@@ -1063,3 +1063,148 @@ def test_remove_dup_spans_self_repeat(spark):
     r = remove_dup_spans(seq, L=6).collect()[0]
     assert r["tokens_clean"] == span + [50, 51, 60, 61]
     assert r["n_removed"] == 12
+
+
+# ---------------------------------------------- hashed-linear classifier
+
+def test_quality_classifier_matches_exploded_reference(spark):
+    """The row-local fold must equal an independently-planned exploded
+    sum of the same per-word weights (validates the bucket->weight
+    composition AND the aggregate fold), and empty docs score 0/pass."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha  alpha"), (3, ""),
+         (4, "   "), (5, "delta")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in textstats.quality_classifier(df).collect()}
+    # independent plan: explode words, compute the weight per row via
+    # the same public expression, sum per doc
+    w = textstats._cls_weight_expr(
+        "w", textstats.CLS_SEED, textstats.CLS_BUCKETS)
+    ref = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id",
+                     F.explode(F.expr(textstats._WORDS)).alias("w"))
+             .groupBy("doc_id")
+             .agg(F.sum(F.expr(w)).alias("s")).collect()}
+    for d in (1, 2, 5):
+        assert out[d]["score_sum"] == ref[d], d
+        assert out[d]["cls_pass"] == (ref[d] >= 0)
+    # duplicate words contribute twice (bag, not set)
+    one = df.where("doc_id = 2").select(
+        F.expr(f"aggregate(transform({textstats._WORDS}, zw -> 1), 0, "
+               "(a, x) -> a + x)").alias("n")).first()["n"]
+    assert one == 2
+    for d in (3, 4):  # empty docs: no evidence, score 0, pass
+        assert (out[d]["n_words"], out[d]["score_sum"],
+                out[d]["cls_pass"]) == (0, 0, True)
+
+
+def test_quality_classifier_plan_zero_exchange(spark, sf001):
+    import __spark_entry__ as entrymod
+    df = entrymod.q_quality_classifier(spark, sf001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # fold, not explode
+
+
+# --------------------------------------------------- Bloom decontamination
+
+def test_bloom_decontam_superset_of_exact(spark):
+    """Bloom hits must be a SUPERSET of the exact broadcast-join answer
+    (false positives possible, false negatives impossible), and a doc
+    sharing an n-gram with the benchmark is always flagged."""
+    words = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"v{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, words), (1, words), (2, other), (3, other + " tail x y z")],
+        "doc_id long, text string")
+    bench = docs.where("doc_id = 0")
+    corpus = docs.where("doc_id != 0")
+    exact = {r["doc_id"] for r in
+             textstats.decontam_overlap(docs, bench).collect()}
+    bm = textstats.bloom_bitmap(bench)
+    out = {r["doc_id"]: r for r in
+           textstats.bloom_decontam(corpus, bm).collect()}
+    maybe = {d for d, r in out.items() if r["n_maybe"] > 0}
+    assert exact <= maybe
+    assert 1 in maybe                       # true overlap always caught
+    assert out[1]["n_maybe"] == out[1]["n_grams"]  # every gram shared
+    assert set(out) == {1, 2, 3}            # corpus rows all present
+
+
+def test_bloom_probe_plan_zero_exchange(spark, sf001):
+    """The probe side is Scan -> Project only: the bitmap rides as a
+    literal, so NO corpus byte crosses an Exchange (the build side is a
+    separate eval-set-sized job)."""
+    import __spark_entry__ as entrymod
+    docs = entrymod._docs(spark, sf001)
+    bm = textstats.bloom_bitmap(docs.where(entrymod.DECONTAM_PRED))
+    probe = textstats.bloom_decontam(
+        docs.where(f"NOT ({entrymod.DECONTAM_PRED})"), bm)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+# ----------------------------------------------------------------- SemDeDup
+
+def test_semdedup_planted_duplicates(spark):
+    """Two planted copies of a base vector (same cell by construction)
+    collapse onto the lowest vec_id; the survivor keeps, the copies
+    point dup_of at it; an orthogonal vector is untouched. Plan: the
+    within-cell self-join must be a real equi-join, never cartesian."""
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.999] + [0.03] + [0.0] * (dim - 2)
+    ortho = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    rows = [(0, base, 0), (1, ortho, 0), (2, near, 0), (3, base, 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in
+           similarity.semdedup(emb, n_cells=2, threshold=0.95).collect()}
+    assert out[0]["keep"] and out[1]["keep"]
+    assert not out[2]["keep"] and out[2]["dup_of"] == 0
+    assert not out[3]["keep"] and out[3]["dup_of"] == 0
+    assert out[3]["n_earlier_dups"] == 2   # dup of both 0 and 2
+    plan = (similarity.semdedup(emb, n_cells=2, threshold=0.95)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Cartesian" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# -------------------------------------------------- JL sign projection
+
+def test_rand_proj_preserves_distances(spark):
+    """JL property on a planted fixture: squared pairwise distances in
+    the 16-d projection stay within a loose multiplicative band of the
+    64-d originals (sign projections concentrate at 1/sqrt(k) rates),
+    and the projection is deterministic under repartitioning."""
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 64))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int")
+    p = (similarity.rand_proj(emb, out_dim=16).toPandas()
+         .pivot(index="vec_id", columns="j", values="val")
+         .sort_index())
+    pv = p.to_numpy()
+    ratios = []
+    for i in range(0, 40, 3):
+        for k in range(i + 1, 40, 7):
+            d0 = float(((vecs[i] - vecs[k]) ** 2).sum())
+            d1 = float(((pv[i] - pv[k]) ** 2).sum())
+            ratios.append(d1 / d0)
+    r = np.asarray(ratios)
+    assert 0.8 < float(np.median(r)) < 1.25, float(np.median(r))
+    assert float(r.min()) > 0.2 and float(r.max()) < 2.5
+    again = (similarity.rand_proj(emb.repartition(7), out_dim=16)
+             .toPandas().pivot(index="vec_id", columns="j", values="val")
+             .sort_index().to_numpy())
+    assert np.array_equal(pv, again)
+
+
+def test_rand_proj_plan_zero_exchange(spark, sf001):
+    import __spark_entry__ as entrymod
+    df = entrymod.q_rand_proj(spark, sf001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

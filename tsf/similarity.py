@@ -556,3 +556,144 @@ def ivf_train_centroids(emb: DataFrame, k: int = 16, max_iter: int = 10,
          .select(array_to_vector(F.expr(norm)).alias("features")))
     model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(d)
     return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic near-duplicate pruning over embeddings (Abbas et
+# al. 2023, arXiv:2303.09540): cluster the corpus with a coarse
+# quantizer, then compare pairs WITHIN each cluster only — the classic
+# "not all pairs" reduction (cost sum-of-squared-cell-sizes, never
+# N^2), reusing the IVF assignment machinery. Keep rule: the lowest
+# vec_id in each duplicate neighborhood survives (the paper keeps the
+# vector farthest from the centroid; lowest-id is the deterministic,
+# engine-independent variant — the cell products and threshold are
+# identical).
+# --------------------------------------------------------------------------
+
+def semdedup(emb: DataFrame, n_cells: int = 16, threshold: float = 0.95,
+             cents: list[list[float]] | None = None) -> DataFrame:
+    """(vec_id, cell, n_earlier_dups, dup_of, keep): within-cell cosine
+    near-duplicate marking. ``keep`` is False iff some LOWER vec_id in
+    the same cell has cosine >= threshold (that earliest one is
+    ``dup_of``). Scale shape: one shuffle-free assignment projection,
+    one cell-keyed self-join (per-cell products only — plan-asserted not
+    cartesian), one per-vec aggregate.
+
+    The caller owns cache lifetime (wrap in tsf.caching.persist_scope);
+    ``cents`` defaults to the deterministic vec_id-prefix quantizer and
+    accepts :func:`ivf_train_centroids` output as a drop-in."""
+    if cents is None:
+        cents = ivf_centroids(emb, n_cells)
+    cells = scoped_persist(
+        ivf_cells(emb, cents)
+        .select("vec_id", F.expr(EMB_DOUBLE).alias("v"), "cell"))
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = F.expr(_dot("a.v", "b.v")) / (
+        F.sqrt(F.expr(_dot("a.v", "a.v")))
+        * F.sqrt(F.expr(_dot("b.v", "b.v"))))
+    dups = (a.join(b, "cell")
+            .where(F.col("b.vec_id") < F.col("a.vec_id"))
+            .where(F.round(cos, 6) >= threshold)
+            .groupBy(F.col("a.vec_id").alias("vec_id"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.min(F.col("b.vec_id")).alias("dup_of")))
+    return (cells.join(dups, "vec_id", "left")
+            .select("vec_id", F.col("cell").cast("int").alias("cell"),
+                    F.coalesce("n_dups", F.lit(0)).cast("int")
+                    .alias("n_earlier_dups"),
+                    "dup_of",
+                    F.col("dup_of").isNull().alias("keep")))
+
+
+def semdedup_duckdb(n_cells: int = 16, threshold: float = 0.95) -> str:
+    """Self-contained DuckDB replay of :func:`semdedup` with the default
+    deterministic quantizer (same first-maximum argmax assignment as
+    :func:`ivf_topk_duckdb`, same rounded-cosine threshold)."""
+    vd = "list_transform({e}.embedding, zx -> CAST(zx AS DOUBLE))"
+    return f"""
+    WITH cents AS (SELECT vec_id AS cell, {vd.format(e='embeddings')} AS cv
+                   FROM embeddings WHERE vec_id < {n_cells}),
+    cl AS (SELECT list(cv ORDER BY cell) AS cvs FROM cents),
+    scored AS (SELECT e.vec_id, {vd.format(e='e')} AS v,
+                      list_transform(cl.cvs, zc ->
+                          list_dot_product({vd.format(e='e')}, zc)
+                          / sqrt(list_dot_product(zc, zc))) AS scores
+               FROM embeddings e, cl),
+    assigned AS (SELECT vec_id, v,
+                        list_position(scores, list_max(scores)) - 1 AS cell
+                 FROM scored),
+    dups AS (SELECT a.vec_id, count(*) AS n_dups, min(b.vec_id) AS dup_of
+             FROM assigned a JOIN assigned b
+               ON a.cell = b.cell AND b.vec_id < a.vec_id
+              AND round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6)
+                  >= {threshold}
+             GROUP BY 1)
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           CAST(coalesce(d.n_dups, 0) AS INT) AS n_earlier_dups,
+           d.dup_of AS dup_of, d.dup_of IS NULL AS keep
+    FROM assigned a LEFT JOIN dups d USING (vec_id)
+    """
+
+
+# --------------------------------------------------------------------------
+# Random sign projection (Achlioptas 2003 / Johnson–Lindenstrauss):
+# project dim-d embeddings onto out_dim +-1 directions, scaled by
+# 1/sqrt(out_dim) so expected pairwise distances are preserved. The
+# 100 TB use is cheap dimensionality reduction AHEAD of ANN / clustering
+# / near-dup passes (out_dim/dim of the vector bytes through every
+# downstream shuffle); the projection itself is one row-local projection
+# — ZERO Exchange, the matrix rides as literals (broadcast-sized:
+# out_dim x dim doubles).
+# --------------------------------------------------------------------------
+
+def proj_signs(dim: int, out_dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic +-1 sign matrix (out_dim x dim)."""
+    rng = np.random.default_rng(seed)
+    return np.where(rng.random((out_dim, dim)) < 0.5, -1.0, 1.0)
+
+
+def rand_proj(emb: DataFrame, out_dim: int = 16,
+              seed: int = 7) -> DataFrame:
+    """(vec_id, j, val): component ``j`` of the sign-projected embedding,
+    rounded to 6 dp (exploded long-form so the driver's value hash
+    covers every component)."""
+    row = (emb.where(F.col("embedding").isNotNull())
+           .select(F.size("embedding").alias("d")).first())
+    dim = row[0] if row is not None else 0
+    signs = proj_signs(dim, out_dim, seed)
+    scale = repr(float(np.sqrt(out_dim)))
+    comps = []
+    for j in range(out_dim):
+        s = ("array(" + ",".join(
+            f"cast({float(x)} as double)" for x in signs[j]) + ")")
+        comps.append(F.expr(f"{_dot(EMB_DOUBLE, s)} / {scale}"))
+    return (emb.select("vec_id", F.array(*comps).alias("p"))
+            .select("vec_id", F.posexplode("p").alias("j", "val"))
+            .select("vec_id", F.col("j").cast("int").alias("j"),
+                    F.round("val", 6).alias("val")))
+
+
+def rand_proj_duckdb(dim: int, out_dim: int = 16, seed: int = 7) -> str:
+    """DuckDB replay with the SAME literal sign rows (identical fold
+    order: list_dot_product == the Spark zip_with/aggregate fold)."""
+    signs = proj_signs(dim, out_dim, seed)
+    scale = repr(float(np.sqrt(out_dim)))
+
+    def arr(v):
+        return "[" + ",".join(f"CAST({float(x)} AS DOUBLE)" for x in v) + "]"
+
+    pr = "[" + ",".join(
+        f"list_dot_product(v, {arr(signs[j])}) / {scale}"
+        for j in range(out_dim)) + "]"
+    return f"""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, zx -> CAST(zx AS DOUBLE)) AS v
+               FROM embeddings),
+    p AS (SELECT vec_id, {pr} AS pr FROM d)
+    SELECT vec_id,
+           CAST(generate_subscripts(pr, 1) - 1 AS INT) AS j,
+           round(unnest(pr), 6) AS val
+    FROM p
+    """

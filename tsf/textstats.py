@@ -515,3 +515,195 @@ def source_quantiles_duckdb(table: str = "documents", col: str = "n_chars",
       FROM {table})
     {sel}
     """
+
+
+# --------------------------------------------- hashed-linear quality model
+#
+# Model-based quality scoring (the fasttext-classifier stage of CCNet /
+# LLaMA-style pipelines): a linear model over hashed bag-of-words
+# features — each word hashes into one of ``n_buckets`` feature buckets
+# and contributes that bucket's weight; the document score is the weight
+# sum. Inference is ONE row-local expression (hash + weight lookup +
+# fold inside a single projection): zero Exchange, no model join — the
+# scale shape a 100 TB scoring pass needs.
+#
+# The weight table here is a deterministic stand-in (bucket -> weight via
+# a second xxhash64, integer weights in [-1000, 1000]) so the DuckDB
+# oracle replays inference bit-for-bit through tsf/xxh64_sql.py; a
+# TRAINED model drops in through the same seam — replace the weight
+# expression with a lookup into a broadcast weight array (the bucket
+# hashing and the fold are unchanged).
+
+CLS_BUCKETS = 1 << 20  # hashed feature space (2^20 buckets)
+CLS_WSPAN = 2001       # integer weights in [-1000, 1000]
+CLS_SEED = 11          # word -> bucket hash seed
+
+
+def _cls_weight_expr(word: str, seed: int, n_buckets: int) -> str:
+    """Integer weight of ``word``: bucket = xxhash64(word, seed) mod D,
+    weight = xxhash64(bucket) mod 2001 - 1000 (both Spark xxhash64)."""
+    bucket = f"pmod(xxhash64({word}, {seed}), cast({n_buckets} as bigint))"
+    return (f"pmod(xxhash64({bucket}), cast({CLS_WSPAN} as bigint))"
+            f" - cast({CLS_WSPAN // 2} as bigint)")
+
+
+def quality_classifier(docs: DataFrame, seed: int = CLS_SEED,
+                       n_buckets: int = CLS_BUCKETS) -> DataFrame:
+    """(doc_id, n_words, score_sum, cls_pass): hashed-linear classifier
+    score per document, entirely row-local (zero Exchange). Empty docs
+    score 0 and pass (no evidence against them)."""
+    w = _cls_weight_expr("zw", seed, n_buckets)
+    score = (f"aggregate(transform({_WORDS}, zw -> {w}), "
+             f"cast(0 as bigint), (za, zx) -> za + zx)")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_WORDS})").cast("int").alias("n_words"),
+        F.expr(score).alias("score_sum"),
+        (F.expr(score) >= 0).alias("cls_pass"))
+
+
+def quality_classifier_duckdb(seed: int = CLS_SEED,
+                              n_buckets: int = CLS_BUCKETS) -> str:
+    """DuckDB replay via the xxh64 SQL layers: unnest words to rows (the
+    layered hash needs columns, not lambdas), hash word -> bucket ->
+    weight, re-aggregate per doc; LEFT JOIN keeps zero-word docs."""
+    from tsf.xxh64_sql import (hash_bytes_layers, hash_int_layers,
+                               hash_long_layers)
+    wl = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+    base = (f"SELECT doc_id, t.w AS w "
+            f"FROM documents, UNNEST({wl}) AS t(w)")
+    q = hash_bytes_layers(base, "w", "hb", "qb")
+    q = hash_int_layers(q, str(int(seed)), "hb", "h1", "qi")
+    bucket = f"(((h1 % {n_buckets}) + {n_buckets}) % {n_buckets})"
+    q = hash_long_layers(q, bucket, "42", "h2", "ql")
+    weight = (f"(((h2 % {CLS_WSPAN}) + {CLS_WSPAN}) % {CLS_WSPAN}"
+              f" - {CLS_WSPAN // 2})")
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, count(*) AS n_words, sum({weight}) AS score
+      FROM ({q}) GROUP BY 1)
+    SELECT d.doc_id, CAST(coalesce(p.n_words, 0) AS INT) AS n_words,
+           CAST(coalesce(p.score, 0) AS BIGINT) AS score_sum,
+           coalesce(p.score, 0) >= 0 AS cls_pass
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+# ------------------------------------------------- Bloom-filter decontam
+#
+# Benchmark decontamination when the eval gram set is too large to
+# broadcast as raw strings (decontam_overlap's plan): fold the benchmark
+# grams into an m-bit Bloom bitmap (k seeded xxhash64 positions per
+# gram, bit_or per 64-bit word) and probe it row-locally. The probe side
+# has ZERO Exchange — the bitmap rides into the expression as a literal
+# array<long> (m/64 words: fixed size regardless of benchmark
+# cardinality, e.g. 2^33 bits = 1 GiB covers ~10^9 grams at ~1% fpp,
+# broadcastable where 10^9 gram strings are not). Hits are a superset of
+# true overlaps (Bloom false positives, never negatives) — the exact
+# broadcast join remains the audit tool; this is the scale path.
+
+#: bits / hash count, sized for the sf fixtures (~3.2k benchmark grams
+#: -> ~7% fill, per-gram fpp ~4e-4, per-doc ~2% at ~45 grams/doc); at
+#: production benchmark sizes scale m with the gram count (1 GiB = 2^33
+#: bits covers ~10^9 grams at k=3 with ~1% per-gram fpp)
+BLOOM_M = 131072
+BLOOM_SEEDS = (101, 202, 303)
+
+
+def _bloom_pos(gram: str, seed: int, m: int) -> str:
+    return f"pmod(xxhash64({gram}, {seed}), cast({m} as bigint))"
+
+
+def bloom_bitmap(bench: DataFrame, n: int = DECONTAM_N, m: int = BLOOM_M,
+                 seeds: tuple[int, ...] = BLOOM_SEEDS) -> list[int]:
+    """Build the benchmark Bloom bitmap: ``m // 64`` longs. The gram
+    rows need no distinct (bit_or is idempotent); the aggregate is
+    eval-set-sized and collects at most m/64 rows — bounded metadata,
+    like a centroid table, not data."""
+    wdf = bench.select(F.expr(_WORDS).alias("w"))
+    g = wdf.select(F.explode(F.expr(_grams_expr(n, "w"))).alias("gram"))
+    pos = g.select(F.explode(F.array(*[
+        F.expr(_bloom_pos("gram", s, m)) for s in seeds])).alias("p"))
+    words = (pos.groupBy(F.expr("cast(p div 64 as int)").alias("wi"))
+             .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), "
+                         "cast(p % 64 as int)))").alias("bits"))
+             .collect())
+    out = [0] * (m // 64)
+    for r in words:
+        out[r["wi"]] = int(r["bits"])
+    return out
+
+
+def bloom_decontam(docs: DataFrame, bitmap: list[int],
+                   n: int = DECONTAM_N, m: int = BLOOM_M,
+                   seeds: tuple[int, ...] = BLOOM_SEEDS) -> DataFrame:
+    """(doc_id, n_grams, n_maybe, bloom_clean): per-doc count of distinct
+    word n-grams whose every seeded position is set in ``bitmap``.
+    Row-local probe — the only operators in the plan are Scan and
+    Project (plan-asserted in tests)."""
+    bits_lit = "array(" + ",".join(
+        f"cast({w} as bigint)" for w in bitmap) + ")"
+    d = (docs.withColumn("w", F.expr(_WORDS))
+         .withColumn("g", F.expr(
+             f"array_distinct({_grams_expr(n, 'w')})"))
+         .withColumn("_bm", F.expr(bits_lit)))
+    probes = "array(" + ",".join(
+        _bloom_pos("zg", s, m) for s in seeds) + ")"
+    bit = ("((shiftright(element_at(_bm, cast(zp[{i}] div 64 as int) + 1), "
+           "cast(zp[{i}] % 64 as int)) & 1) = 1)")
+    hit = " and ".join(bit.format(i=i) for i in range(len(seeds)))
+    n_maybe = (f"size(filter(transform(g, zg -> {probes}), "
+               f"zp -> {hit}))")
+    return d.select("doc_id",
+                    F.expr("size(g)").cast("int").alias("n_grams"),
+                    F.expr(n_maybe).cast("int").alias("n_maybe"),
+                    (F.expr(n_maybe) == 0).alias("bloom_clean"))
+
+
+def bloom_decontam_duckdb(bench_pred: str, n: int = DECONTAM_N,
+                          m: int = BLOOM_M,
+                          seeds: tuple[int, ...] = BLOOM_SEEDS,
+                          probe_pred: str = "TRUE") -> str:
+    """DuckDB replay: the set of set-bit positions (from every benchmark
+    gram under every seed) IS the bitmap; a gram is a maybe-hit iff all
+    its seeded positions are in the set. ``probe_pred`` restricts the
+    probed corpus slice (the replayed byte-level xxh64 costs ~1 ms per
+    gram in DuckDB — the driver query probes a deterministic third of
+    the corpus to stay inside the sweep budget)."""
+    from tsf.xxh64_sql import hash_bytes_layers, hash_int_layers
+    wl = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+    gl = (f"list_transform(range(1, greatest(len({wl}) - {n - 1}, 0) + 1), "
+          f"i -> array_to_string(list_slice({wl}, i, i + {n - 1}), ' '))")
+
+    def hashed(base: str) -> str:
+        q = hash_bytes_layers(base, "gram", "hb", "hg")
+        for k, s in enumerate(seeds):
+            q = hash_int_layers(q, str(int(s)), "hb", f"h{k}", f"hs{k}")
+        pcols = ", ".join(
+            f"(((h{k} % {m}) + {m}) % {m}) AS p{k}"
+            for k in range(len(seeds)))
+        return f"SELECT *, {pcols} FROM ({q})"
+
+    bench = hashed(f"SELECT t.gram AS gram FROM documents, "
+                   f"UNNEST({gl}) AS t(gram) WHERE {bench_pred}")
+    corpus = hashed(f"SELECT doc_id, t.gram AS gram FROM documents, "
+                    f"UNNEST(list_distinct({gl})) AS t(gram) "
+                    f"WHERE NOT ({bench_pred}) AND ({probe_pred})")
+    pos_union = " UNION ".join(
+        f"SELECT p{k} AS p FROM b" for k in range(len(seeds)))
+    hit = " AND ".join(
+        f"c.p{k} IN (SELECT p FROM bench_pos)"
+        for k in range(len(seeds)))
+    return f"""
+    WITH b AS MATERIALIZED ({bench}),
+    bench_pos AS MATERIALIZED ({pos_union}),
+    per_doc AS (
+      SELECT c.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS n_maybe
+      FROM ({corpus}) c GROUP BY 1)
+    SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS INT) AS n_grams,
+           CAST(coalesce(p.n_maybe, 0) AS INT) AS n_maybe,
+           coalesce(p.n_maybe, 0) = 0 AS bloom_clean
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    WHERE NOT ({bench_pred}) AND ({probe_pred})
+    """
