@@ -216,6 +216,15 @@ def ann_quality_extras(spark, extras: dict) -> None:
 
     extras["ann_ivf_kmeans_max_cell_frac"] = round(_max_cell_frac(km), 3)
     extras["ann_ivf_det_max_cell_frac"] = round(_max_cell_frac(det), 3)
+    # semdedup through the same cents seam: duplicate count under the
+    # deterministic vs the trained quantizer (identical vectors always
+    # share a cell under either; the counts differ only where the cell
+    # boundaries cut near-dup neighborhoods apart)
+    for tag, cents in (("det", det), ("kmeans", km)):
+        with persist_scope():
+            extras[f"semdedup_dups_{tag}"] = (
+                S.semdedup(emb, threshold=0.3, cents=cents)
+                .where("NOT keep").count())
     # recorded, not asserted: the hard >=0.9 planted-recall gate lives in
     # pytest (tests/test_pipeline_ops.py) where a failure is a test
     # failure; crashing the whole bench would cost the round's numbers

@@ -1,7 +1,8 @@
 """spark-submit entrypoint: the full training-data export pipeline over
-a documents table — quality filter -> exact + near dedup ->
-decontaminate -> PII-redact -> tokenize -> source mix -> train/val/test
-split -> epoch shuffle -> partitioned parquet.
+a documents table — quality filter (Gopher gates + optional
+hashed-linear classifier) -> exact + near dedup -> decontaminate ->
+PII-redact -> tokenize -> source mix -> train/val/test split -> epoch
+shuffle -> partitioned parquet.
 
 Every stage is one of the engine's oracle-checked operators; this job
 adds only wiring and per-stage accounting. Ship it exactly like the
@@ -76,6 +77,15 @@ def run(spark, args) -> dict:
         f"gopher_pass AND n_words >= {args.min_words}")
     docs = docs.join(sig.select("doc_id"), "doc_id")
     mark("after_quality", docs)
+
+    # 1b. model-based quality (optional): hashed-linear classifier gate
+    #     (row-local inference; deterministic stand-in weights — swap a
+    #     trained model through the same bucket seam)
+    if args.classifier:
+        ok = (textstats.quality_classifier(docs)
+              .where("cls_pass").select("doc_id"))
+        docs = docs.join(ok, "doc_id")
+        mark("after_classifier", docs)
 
     # 2. exact dedup: one keeper per identical text
     keep = dedup.exact_dedup(docs).select(
@@ -179,6 +189,9 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--input", required=True, help="documents parquet path")
     p.add_argument("--output", required=True)
     p.add_argument("--min-words", type=int, default=1)
+    p.add_argument("--classifier", action="store_true",
+                   help="also gate on the hashed-linear quality "
+                        "classifier score (cls_pass)")
     p.add_argument("--near-dedup", action="store_true")
     p.add_argument("--index", default=None,
                    help="persisted minhash index path: dedup this "

@@ -1170,6 +1170,13 @@ def test_semdedup_planted_duplicates(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Cartesian" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the trained-quantizer seam: identical vectors share a cell under
+    # ANY centroid list, so the planted dup survives a k-means swap
+    km = similarity.ivf_train_centroids(emb, k=2, seed=3)
+    out_km = {r["vec_id"]: r for r in
+              similarity.semdedup(emb, threshold=0.95,
+                                  cents=km).collect()}
+    assert not out_km[3]["keep"] and out_km[3]["dup_of"] == 0
 
 
 # -------------------------------------------------- JL sign projection

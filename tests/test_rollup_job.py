@@ -78,15 +78,17 @@ def test_export_job_end_to_end(spark, tmp_path):
     import jobs.export_job as job
     out = str(tmp_path / "export")
     argv = ["--input", "/root/testdata/sf0.001/documents.parquet",
-            "--output", out, "--near-dedup",
+            "--output", out, "--near-dedup", "--classifier",
             "--bench-pred", "doc_id % 7 = 0",
             "--mix", "src0:0.5", "--epoch", "1", "--shards", "4"]
     stats = job.main(argv)
     assert stats["input_docs"] > 0
     assert (stats["input_docs"] >= stats["after_quality"]
+            >= stats["after_classifier"]
             >= stats["after_exact_dedup"] >= stats["after_near_dedup"]
             >= stats["after_decontam"] >= stats["after_mix"]
             >= stats["written_docs"] > 0)
+    assert stats["after_classifier"] < stats["after_quality"]  # it bites
     seq = spark.read.parquet(f"{out}/sequences")
     assert set(seq.select("split").distinct().toPandas()["split"]) <= {
         "train", "val", "test"}
@@ -101,7 +103,7 @@ def test_export_job_end_to_end(spark, tmp_path):
     # determinism: a second run writes the identical export
     out2 = str(tmp_path / "export2")
     job.main(["--input", "/root/testdata/sf0.001/documents.parquet",
-              "--output", out2, "--near-dedup",
+              "--output", out2, "--near-dedup", "--classifier",
               "--bench-pred", "doc_id % 7 = 0",
               "--mix", "src0:0.5", "--epoch", "1", "--shards", "4"])
     a = spark.read.parquet(f"{out}/sequences")
