@@ -577,6 +577,21 @@ def q_mix_sample(spark, sf_dir):
                       "source")
 
 
+MIX_TEMP_SKEW = "source IN ('src0', 'src1') OR doc_id % 4 = 1"
+
+
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-flattened source mixing (count^alpha source sampling,
+    the multilingual-LM recipe): per-source keep rate (c_min/c)^(1-a),
+    smallest source keeps all, nothing upsampled. alpha=0.5 so the rate
+    math (sqrt + IEEE division) and every hash01 keep decision replay
+    bit-exactly; corpus never shuffles — counts broadcast back. The sf
+    fixtures are source-balanced, so the query skews the corpus first
+    (identically on both engines) to make the rates discriminate."""
+    return sampling.mix_temperature(
+        _docs(spark, sf_dir).where(MIX_TEMP_SKEW), alpha=0.5)
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Duplicated-token-span statistics (Lee et al. 2021 memorization
     signal): per doc, positions whose 20-token span repeats corpus-wide
@@ -1272,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_check": q_simhash_check,
         "minhash_check": q_minhash_check,
         "mix_sample": q_mix_sample,
+        "mix_temperature": q_mix_temperature,
         "pack_examples": q_pack_examples,
         "chunk_examples": q_chunk_examples,
         "epoch_shuffle": q_epoch_shuffle,
@@ -2329,6 +2345,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "simhash_check": dedup.simhash_check_duckdb(),
         "minhash_check": dedup.minhash_check_duckdb(),
         "mix_sample": sampling.mix_sample_duckdb(MIX_WEIGHTS, default=0.25),
+        "mix_temperature": sampling.mix_temperature_duckdb(
+            alpha=0.5, where=MIX_TEMP_SKEW),
         "dup_span_stats": dedup.dup_span_stats_duckdb(_SEQ, L=20),
         "remove_dup_spans": dedup.remove_dup_spans_duckdb(_SEQ, L=20),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(

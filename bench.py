@@ -128,6 +128,8 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "firstcrossing", "dim_stack", "window_z", "events_hourly",
           "gapfill_linear", "dedup_exact", "dedup_minhash", "dedup_simhash",
           "dedup_ngram_jaccard", "dedup_groups", "mix_sample",
+          # mix_temperature is timed separately below (schema-agnostic
+          # skew slice: the driver query's doc_id % 4 assumes BIGINT ids)
           "pack_examples", "epoch_shuffle", "dataset_split",
           "dup_span_stats",
           "simhash_check", "text_quality",
@@ -316,7 +318,7 @@ def main() -> None:
                 "topk_orders", "vocab_topk", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
                 "dedup_groups", "dedup_lsh_groups", "dedup_incremental",
-                "mix_sample",
+                "mix_sample", "mix_temperature",
                 "pack_examples", "chunk_examples", "epoch_shuffle",
                 "dataset_split", "dup_span_stats", "remove_dup_spans",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
@@ -393,6 +395,18 @@ def main() -> None:
             _pii.pii_scrub(docs_x10).count()
         spark.catalog.clearCache()
         timings_x10["pii_scrub"] = time.time() - t0
+        # temperature mixing at x10 with a schema-agnostic skew slice
+        # (string replica ids): counts-aggregate + broadcast-rate shape
+        from tsf import sampling as _samp
+        t0 = time.time()
+        with persist_scope():
+            _samp.mix_temperature(
+                docs_x10.where("source IN ('src0', 'src1') OR "
+                               "pmod(xxhash64(cast(doc_id as string)), 4)"
+                               " = 1"),
+                alpha=0.5).count()
+        spark.catalog.clearCache()
+        timings_x10["mix_temperature"] = time.time() - t0
         # PRODUCTION (xxhash64) LSH->verify->CC on the dup-dense x10
         # fixture — the scale alternative to dedup_groups' exact
         # AllPairs pair generation, timed head-to-head on the same data

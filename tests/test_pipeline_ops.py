@@ -1107,6 +1107,39 @@ def test_quality_classifier_plan_zero_exchange(spark, sf001):
     assert "Generate" not in plan, plan  # fold, not explode
 
 
+def test_quality_classifier_trained_weights_seam(spark):
+    """A TRAINED model through the same bucket seam: MLlib logistic
+    regression over hashed bag-of-words on a labeled fixture, quantized
+    to the integer weight array — inference must separate the planted
+    good/bad vocabularies perfectly and stay row-local (zero Exchange,
+    no model join: the weights ride as a foldable array literal)."""
+    good = ["clean", "prose", "article", "essay", "report"]
+    bad = ["zz9", "qq8", "xx7", "kk6", "jj5"]
+    rows = []
+    for i in range(40):
+        gw = " ".join(good[(i + j) % 5] for j in range(8))
+        bw = " ".join(bad[(i + j) % 5] for j in range(8))
+        rows.append((2 * i, gw, 1))
+        rows.append((2 * i + 1, bw, 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    weights, bias = textstats.train_quality_weights(
+        docs, n_buckets=512, max_iter=50)
+    assert len(weights) == 512 and all(isinstance(w, int) for w in weights)
+    out = textstats.quality_classifier(docs, weights=weights, bias=bias)
+    got = {r["doc_id"]: r["cls_pass"] for r in out.collect()}
+    assert all(got[d] == (lab == 1) for d, _, lab in rows)
+    # the scale shape is unchanged by the trained path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+    # training is deterministic on the same fixture (seeded hash,
+    # sorted assembly, LBFGS from a fixed init)
+    w2, b2 = textstats.train_quality_weights(docs, n_buckets=512,
+                                             max_iter=50)
+    assert (w2, b2) == (weights, bias)
+
+
 # --------------------------------------------------- Bloom decontamination
 
 def test_bloom_decontam_superset_of_exact(spark):

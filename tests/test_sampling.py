@@ -202,3 +202,53 @@ def test_chunk_examples_zero_shuffle(spark, sf001):
     seq = sequences_from_documents(spark, sf001)
     p = chunk_examples(seq)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p
+
+
+def _hash01_py(s: str) -> float:
+    h, m, a = 7, 1103515245, 12345
+    for ch in s:
+        h = (h * m + ord(ch) + a) % 4294967296
+    return h / 4294967296.0
+
+
+def test_mix_temperature_rates_and_membership(spark):
+    import math
+    # skewed strata: 300 / 75 / 25 docs
+    rows = ([(f"a{i:04d}", "big") for i in range(300)]
+            + [(f"b{i:04d}", "mid") for i in range(75)]
+            + [(f"c{i:04d}", "small") for i in range(25)])
+    docs = spark.createDataFrame(rows, "doc_id string, source string")
+    out = {r["doc_id"]: r for r in
+           sampling.mix_temperature(docs, alpha=0.5).collect()}
+    rates = {"big": math.sqrt(25 / 300), "mid": math.sqrt(25 / 75),
+             "small": 1.0}
+    # every keep decision and ppm rate matches the closed form exactly
+    want = {d: s for d, s in rows if _hash01_py(d) < rates[s]}
+    assert set(out) == set(want)
+    assert all(r["rate_ppm"] == math.floor(rates[r["source"]] * 1_000_000)
+               for r in out.values())
+    # the smallest source is never subsampled
+    assert sum(1 for r in out.values() if r["source"] == "small") == 25
+
+
+def test_mix_temperature_nested_in_alpha(spark):
+    docs = _docs(spark)  # 4 equal sources -> all rates 1.0 at any alpha
+    assert sampling.mix_temperature(docs, alpha=0.0).count() == 400
+    # skew it: drop most of src1..3
+    skew = docs.where("source = 'src0' OR doc_id LIKE '%7'")
+    kept = {}
+    for alpha in (0.0, 0.5, 1.0):
+        kept[alpha] = {r["doc_id"] for r in
+                       sampling.mix_temperature(skew, alpha=alpha).collect()}
+    assert kept[0.0] <= kept[0.5] <= kept[1.0]   # nested in temperature
+    assert len(kept[1.0]) == skew.count()        # alpha=1: natural mix
+
+
+def test_mix_temperature_plan_broadcasts_counts(spark):
+    docs = _docs(spark)
+    p = (sampling.mix_temperature(docs, alpha=0.5)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # the only hash shuffle is the tiny per-source count aggregate
+    assert p.count("Exchange hashpartitioning") == 1, p

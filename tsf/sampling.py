@@ -71,6 +71,76 @@ def mix_sample_duckdb(weights: dict[str, float], default: float = 0.0,
     """
 
 
+def mix_temperature(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Temperature-flattened source mixing (the multilingual-LM recipe:
+    sample sources ∝ count^alpha, XLM-R uses alpha≈0.3..0.7): per-source
+    keep rate ``(c_min / c_src) ** (1 - alpha)``, scaled so the SMALLEST
+    source keeps everything and no source is upsampled. alpha=1 keeps
+    the natural mix, alpha=0 equalizes expected per-source counts to
+    c_min, alpha=0.5 is sqrt-flattening. The keep decision reuses
+    :func:`mix_sample`'s hash01(doc_id), so temperature samples NEST:
+    raising alpha only adds documents, and membership is reproducible
+    across runs, engines and cluster sizes.
+
+    Cross-engine exactness: sqrt and IEEE division are correctly rounded
+    in both Spark and DuckDB, so at the default alpha=0.5 (and at 0 and
+    1) every keep decision and rate_ppm replays bit-exactly; other
+    alphas go through pow(), whose last ULP is libm-dependent — fine in
+    production, not oracle-grade.
+
+    Scale shape: the per-source counts are ONE tiny aggregate (map-side
+    partial combine, n_sources rows) broadcast back onto a second scan;
+    the corpus itself never shuffles — keep is a row-local filter.
+    Returns kept docs: (doc_id, source, rate_ppm) where rate_ppm =
+    floor(rate * 1e6) (integer, exact on both engines)."""
+    pw = 1.0 - float(alpha)
+    cnt = docs.groupBy("source").agg(F.count("*").alias("_c"))
+    # global min over the n_sources-row frame via an empty window — a
+    # SinglePartition exchange of tiny rows, NOT a second corpus scan
+    # (cnt.agg(min).crossJoin(cnt) would re-run the count aggregate)
+    cnt = cnt.withColumn("_cmin", F.min("_c").over(Window.partitionBy()))
+    ratio = F.col("_cmin").cast("double") / F.col("_c").cast("double")
+    if pw == 0.5:
+        rate = F.sqrt(ratio)
+    elif pw == 0.0:
+        rate = F.lit(1.0)
+    elif pw == 1.0:
+        rate = ratio
+    else:  # documented non-oracle-grade path
+        rate = F.pow(ratio, F.lit(pw))
+    rates = cnt.select("source", rate.alias("_rate"))
+    d = (docs.select("doc_id", "source")
+         .withColumn("_k", F.col("doc_id").cast("string"))
+         .join(F.broadcast(rates), "source"))
+    return (d.where(F.expr(_hash01_spark("_k")) < F.col("_rate"))
+            .select("doc_id", "source",
+                    F.floor(F.col("_rate") * 1000000)
+                    .cast("bigint").alias("rate_ppm")))
+
+
+def mix_temperature_duckdb(alpha: float = 0.5,
+                           select: str = "d.doc_id, d.source",
+                           where: str = "TRUE") -> str:
+    """DuckDB replay of :func:`mix_temperature` (alpha must be one of
+    the exact values 0, 0.5, 1): same counts, same IEEE sqrt/division,
+    same LCG hash01 membership, same floor-ppm rate. ``where`` narrows
+    the corpus identically on both engines (the sf fixtures are
+    perfectly source-balanced, where every rate is 1.0 — a skewing
+    predicate makes the rate math actually discriminate)."""
+    pw = 1.0 - float(alpha)
+    ratio = "((SELECT min(_c) FROM c) * 1.0) / (_c * 1.0)"
+    rate = {0.5: f"sqrt({ratio})", 0.0: "1.0", 1.0: ratio}[pw]
+    return f"""
+    WITH base AS (SELECT * FROM documents WHERE {where}),
+    c AS (SELECT source, count(*) AS _c FROM base GROUP BY 1),
+    r AS (SELECT source, {rate} AS _rate FROM c)
+    SELECT {select},
+           CAST(floor(_rate * 1000000) AS BIGINT) AS rate_ppm
+    FROM base d JOIN r USING (source)
+    WHERE {_hash01_duckdb("CAST(d.doc_id AS VARCHAR)")} < _rate
+    """
+
+
 def pack_examples(seq: DataFrame, example_len: int = 2048,
                   n_shards: int = 1) -> DataFrame:
     """Per-example packing stats for the deterministic greedy-concat

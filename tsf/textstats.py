@@ -548,18 +548,83 @@ def _cls_weight_expr(word: str, seed: int, n_buckets: int) -> str:
 
 
 def quality_classifier(docs: DataFrame, seed: int = CLS_SEED,
-                       n_buckets: int = CLS_BUCKETS) -> DataFrame:
+                       n_buckets: int = CLS_BUCKETS,
+                       weights: list[int] | None = None,
+                       bias: int = 0) -> DataFrame:
     """(doc_id, n_words, score_sum, cls_pass): hashed-linear classifier
     score per document, entirely row-local (zero Exchange). Empty docs
-    score 0 and pass (no evidence against them)."""
-    w = _cls_weight_expr("zw", seed, n_buckets)
-    score = (f"aggregate(transform({_WORDS}, zw -> {w}), "
-             f"cast(0 as bigint), (za, zx) -> za + zx)")
-    return docs.select(
+    score ``bias`` and pass iff bias >= 0 (no word evidence).
+
+    ``weights=None`` uses the deterministic xxhash64-derived stand-in
+    weight table (SQL-replayable, the driver-query path). A TRAINED
+    model drops in through the same bucket seam: pass the integer
+    weight array from :func:`train_quality_weights` — it rides the
+    expression as a foldable array literal (bounded metadata, like the
+    Bloom bitmap), so inference stays one scan, zero Exchange, no model
+    join, at any corpus size."""
+    if weights is not None:
+        n_buckets = len(weights)
+        bucket = (f"pmod(xxhash64(zw, {int(seed)}), "
+                  f"cast({n_buckets} as bigint))")
+        w = f"cast(element_at(_wts, cast({bucket} as int) + 1) as bigint)"
+        score_e = (f"cast({int(bias)} as bigint) + "
+                   f"aggregate(transform({_WORDS}, zw -> {w}), "
+                   f"cast(0 as bigint), (za, zx) -> za + zx)")
+        d = docs.withColumn("_wts", F.lit([int(x) for x in weights]))
+    else:
+        w = _cls_weight_expr("zw", seed, n_buckets)
+        score_e = (f"aggregate(transform({_WORDS}, zw -> {w}), "
+                   f"cast(0 as bigint), (za, zx) -> za + zx)")
+        d = docs
+    return d.select(
         "doc_id",
         F.expr(f"size({_WORDS})").cast("int").alias("n_words"),
-        F.expr(score).alias("score_sum"),
-        (F.expr(score) >= 0).alias("cls_pass"))
+        F.expr(score_e).alias("score_sum"),
+        (F.expr(score_e) >= 0).alias("cls_pass"))
+
+
+def train_quality_weights(docs: DataFrame, label_col: str = "label",
+                          seed: int = CLS_SEED, n_buckets: int = 4096,
+                          scale: int = 1000, max_iter: int = 100,
+                          reg_param: float = 0.0) -> tuple[list[int], int]:
+    """Train the hashed-linear quality model (fasttext-style): logistic
+    regression (MLlib LBFGS) over hashed bag-of-words counts, quantized
+    to the integer weight range :func:`quality_classifier` consumes.
+    Returns ``(weights, bias)``; ``cls_pass`` then approximates
+    P(label=1) >= 0.5 (sign preserved up to integer quantization).
+
+    Scale contract: the LABELED SAMPLE is bounded — quality classifiers
+    train on 10^4..10^6 labeled docs, never the corpus — so the sparse
+    feature assembly collects the sample's (doc, bucket, count) triples
+    driver-side (bounded metadata, like the k-means centroid table).
+    The corpus-scale half is INFERENCE, which stays row-local through
+    the weight-array literal."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors
+
+    spark = docs.sparkSession
+    bucket = (f"pmod(xxhash64(zw, {int(seed)}), "
+              f"cast({n_buckets} as bigint))")
+    trips = (docs.select(F.col("doc_id"),
+                         F.col(label_col).cast("double").alias("_y"),
+                         F.explode(F.expr(
+                             f"transform({_WORDS}, zw -> {bucket})"))
+                         .alias("_b"))
+             .groupBy("doc_id", "_y", "_b").count().collect())
+    by_doc: dict = {}
+    for r in trips:
+        by_doc.setdefault((r["doc_id"], r["_y"]), []).append(
+            (int(r["_b"]), float(r["count"])))
+    rows = [(Vectors.sparse(n_buckets, sorted(pairs)), y)
+            for (_, y), pairs in sorted(by_doc.items())]
+    train = spark.createDataFrame(rows, ["features", "label"])
+    lr = LogisticRegression(maxIter=int(max_iter), regParam=reg_param,
+                            standardization=False)
+    m = lr.fit(train)
+    coefs = list(m.coefficients.toArray())
+    mx = max(max(abs(c) for c in coefs), abs(float(m.intercept)), 1e-12)
+    weights = [int(round(c / mx * scale)) for c in coefs]
+    return weights, int(round(float(m.intercept) / mx * scale))
 
 
 def quality_classifier_duckdb(seed: int = CLS_SEED,
