@@ -669,6 +669,14 @@ def q_token_counts(spark, sf_dir):
     return textstats.with_token_counts(_docs(spark, sf_dir))
 
 
+def q_token_diversity(spark, sf_dir):
+    """Per-doc token-diversity signals (distinct count, mode token +
+    dominance ppm) over the pre-tokenized arrays — degenerate/looping
+    text filters. Row-local array_sort + one run-length fold: zero
+    Exchange, the token payload never shuffles (plan-asserted)."""
+    return textstats.token_diversity(_seq(spark, sf_dir))
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style repetition filters (Rae et al. 2021): top-2-gram /
     duplicate-5-gram character fractions + most-common-word share, with
@@ -1297,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "token_diversity": q_token_diversity,
         "token_counts": q_token_counts,
         "gopher_quality": q_gopher_quality,
         "word_freq_stats": q_word_freq_stats,
@@ -2360,6 +2369,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "text_quality": textstats.text_stats_duckdb(),
         "langid": textstats.langid_duckdb(),
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),
+        "token_diversity": textstats.token_diversity_duckdb(_SEQ),
         "token_counts": textstats.token_counts_duckdb(),
         "gopher_quality": textstats.repetition_signals_duckdb(),
         "word_freq_stats": textstats.word_freq_stats_duckdb(),

@@ -1248,3 +1248,32 @@ def test_rand_proj_plan_zero_exchange(spark, sf001):
     df = entrymod.q_rand_proj(spark, sf001)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# --------------------------------------------------- token diversity
+
+def test_token_diversity_fixture(spark):
+    """Hand-computed modes incl. the smallest-token tie-break, and the
+    empty doc keeps a row with a NULL mode."""
+    seq = spark.createDataFrame(
+        [(1, [5, 3, 5, 3, 5], 5, "s"),      # mode 5 x3
+         (2, [9, 2, 9, 2], 4, "s"),         # tie 2x2 vs 9x2 -> 2
+         (3, [], 0, "s"),                   # empty
+         (4, [7], 1, "s")],
+        "doc_id long, tokens array<int>, n_tok int, source string")
+    out = {r["doc_id"]: r for r in
+           textstats.token_diversity(seq).collect()}
+    assert (out[1]["n_distinct"], out[1]["top_token"], out[1]["top_cnt"],
+            out[1]["top_frac_ppm"]) == (2, 5, 3, 600000)
+    assert (out[2]["top_token"], out[2]["top_cnt"]) == (2, 2)  # tie-break
+    assert (out[3]["n_tok"], out[3]["n_distinct"], out[3]["top_token"],
+            out[3]["top_cnt"], out[3]["top_frac_ppm"]) == (0, 0, None, 0, 0)
+    assert (out[4]["top_token"], out[4]["top_frac_ppm"]) == (7, 1000000)
+
+
+def test_token_diversity_plan_zero_exchange(spark, sf001):
+    import __spark_entry__ as entrymod
+    df = entrymod.q_token_diversity(spark, sf001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # fold, not explode

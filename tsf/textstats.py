@@ -126,6 +126,63 @@ def fingerprint_duckdb(seq_cte: str) -> str:
     """
 
 
+def token_diversity(seq: DataFrame) -> DataFrame:
+    """Per-document token-diversity signals over the pre-tokenized
+    arrays (degenerate/looping generations and boilerplate have few
+    distinct tokens and a dominant mode): doc_id, n_tok, n_distinct,
+    top_token (mode, smallest-token tie-break), top_cnt, top_frac_ppm
+    (integer-exact ``top_cnt * 1e6 div n_tok``).
+
+    Scale shape: sort each token array, then ONE run-length fold per row
+    (equal tokens are adjacent after the sort) — Scan → Project, zero
+    Exchange, no explode; the token payload never shuffles. Empty docs
+    keep a row (n_distinct 0, NULL mode)."""
+    run = "IF(a.prev <=> x, a.run + 1L, 1L)"
+    fold = (
+        "aggregate(array_sort(tokens), "
+        "named_struct('prev', CAST(NULL AS INT), 'run', 0L, "
+        "'best', 0L, 'arg', CAST(NULL AS INT)), "
+        f"(a, x) -> named_struct('prev', x, 'run', {run}, "
+        f"'best', IF({run} > a.best, {run}, a.best), "
+        f"'arg', IF({run} > a.best, x, a.arg)), "
+        "a -> named_struct('best', a.best, 'arg', a.arg))")
+    d = seq.select("doc_id",
+                   F.col("n_tok").cast("int").alias("n_tok"),
+                   F.expr("size(array_distinct(tokens))").cast("int")
+                   .alias("n_distinct"),
+                   F.expr(fold).alias("_m"))
+    return d.select(
+        "doc_id", "n_tok", "n_distinct",
+        F.col("_m.arg").alias("top_token"),
+        F.col("_m.best").cast("int").alias("top_cnt"),
+        F.expr("_m.best * 1000000L div greatest(n_tok, 1)")
+        .cast("bigint").alias("top_frac_ppm"))
+
+
+def token_diversity_duckdb(seq_cte: str) -> str:
+    """DuckDB replay: unnest → per-(doc, token) counts → mode via
+    (cnt DESC, token ASC) rank; LEFT JOIN keeps empty docs."""
+    return f"""
+    WITH seq AS ({seq_cte}),
+    tok AS (
+      SELECT doc_id, t.tk AS tk, count(*) AS cnt
+      FROM seq, UNNEST(tokens) AS t(tk) GROUP BY 1, 2),
+    mode AS (
+      SELECT doc_id, tk, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, tk ASC) AS rk
+      FROM tok)
+    SELECT s.doc_id, CAST(s.n_tok AS INT) AS n_tok,
+           CAST(len(list_distinct(s.tokens)) AS INT) AS n_distinct,
+           CAST(m.tk AS INT) AS top_token,
+           CAST(coalesce(m.cnt, 0) AS INT) AS top_cnt,
+           CAST(coalesce(m.cnt, 0) * 1000000 // greatest(s.n_tok, 1)
+                AS BIGINT) AS top_frac_ppm
+    FROM seq s LEFT JOIN (SELECT * FROM mode WHERE rk = 1) m
+      USING (doc_id)
+    """
+
+
 #: GPT-2-ish pre-tokenizer regex, simplified to the dialect subset Spark's
 #: regexp_extract_all and DuckDB's regexp_extract_all share: letter runs,
 #: digit runs, single non-alnum-non-space marks.
