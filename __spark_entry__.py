@@ -577,6 +577,18 @@ def q_mix_sample(spark, sf_dir):
                       "source")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact-quota stratified sampling (eval-set construction): exactly
+    7 docs per source, ranked by xxhash64(doc_id, seed) — deterministic,
+    rank-nested across quotas, value-checked per assignment via the
+    xxh64 SQL replay. Scale shape: WindowGroupLimit keeps each input
+    partition's local top-7 BEFORE the group shuffle (plan-asserted),
+    so the Exchange moves O(groups x N) rows, not the corpus."""
+    out = sampling.stratified_sample(_docs(spark, sf_dir), 7, seed=5)
+    return out.select("doc_id", "source",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 MIX_TEMP_SKEW = "source IN ('src0', 'src1') OR doc_id % 4 = 1"
 
 
@@ -1296,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_check": q_minhash_check,
         "mix_sample": q_mix_sample,
         "mix_temperature": q_mix_temperature,
+        "stratified_sample": q_stratified_sample,
         "pack_examples": q_pack_examples,
         "chunk_examples": q_chunk_examples,
         "epoch_shuffle": q_epoch_shuffle,
@@ -2356,6 +2369,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "mix_sample": sampling.mix_sample_duckdb(MIX_WEIGHTS, default=0.25),
         "mix_temperature": sampling.mix_temperature_duckdb(
             alpha=0.5, where=MIX_TEMP_SKEW),
+        "stratified_sample": sampling.stratified_sample_duckdb(7, seed=5),
         "dup_span_stats": dedup.dup_span_stats_duckdb(_SEQ, L=20),
         "remove_dup_spans": dedup.remove_dup_spans_duckdb(_SEQ, L=20),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(

@@ -252,3 +252,35 @@ def test_mix_temperature_plan_broadcasts_counts(spark):
     assert "SortMergeJoin" not in p, p
     # the only hash shuffle is the tiny per-source count aggregate
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_stratified_sample_exact_quota_nested_deterministic(spark):
+    docs = _docs(spark)  # 4 sources x 100 docs
+    s7 = sampling.stratified_sample(docs, 7, seed=3).collect()
+    import collections
+    per = collections.Counter(r["source"] for r in s7)
+    assert per == {f"src{i}": 7 for i in range(4)}          # exact quota
+    assert {r["rank"] for r in s7} == set(range(1, 8))       # dense ranks
+    # deterministic + nested: quota-7 is a prefix of quota-15
+    s7b = {(r["doc_id"], r["rank"])
+           for r in sampling.stratified_sample(docs, 7, seed=3).collect()}
+    s15 = {(r["doc_id"], r["rank"])
+           for r in sampling.stratified_sample(docs, 15, seed=3).collect()}
+    assert {(d, k) for d, k in s7b} <= s15
+    assert s7b == {(r["doc_id"], r["rank"]) for r in s7}
+    # a different seed draws a different sample
+    other = {r["doc_id"]
+             for r in sampling.stratified_sample(docs, 7, seed=4).collect()}
+    assert other != {r["doc_id"] for r in s7}
+    # quota above the stratum size keeps the whole stratum
+    assert sampling.stratified_sample(docs, 1000, seed=3).count() == 400
+
+
+def test_stratified_sample_plan_window_group_limit(spark, sf001):
+    import __spark_entry__ as entrymod
+    df = entrymod.q_stratified_sample(spark, sf001)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # the rank<=N filter must push a per-partition top-N BEFORE the
+    # group Exchange: at 100 TB the shuffle moves O(groups x N) rows
+    assert "WindowGroupLimit" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p

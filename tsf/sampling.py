@@ -141,6 +141,46 @@ def mix_temperature_duckdb(alpha: float = 0.5,
     """
 
 
+def stratified_sample(docs: DataFrame, n_per_group: int,
+                      by: str = "source", seed: int = 0) -> DataFrame:
+    """EXACT-quota stratified sampling (eval/val-set construction:
+    "exactly N docs per source"): rank docs within each group by
+    ``xxhash64(doc_id, seed)`` (doc_id tie-break) and keep rank <=
+    ``n_per_group``. Deterministic — the same (corpus, seed) always
+    yields the same sample on any engine or cluster size — and
+    rank-nested: the quota-N sample is a prefix of the quota-2N sample.
+
+    Scale shape: Spark plans the rank filter as WindowGroupLimit
+    (plan-asserted) — each input partition keeps only its local top-N
+    BEFORE the group shuffle, so the Exchange moves O(groups x N) rows,
+    not the corpus; the full-group sort never materializes."""
+    h = F.xxhash64(F.col("doc_id").cast("string"), F.lit(int(seed)))
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col("doc_id").asc())
+    return (docs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(n_per_group)))
+
+
+def stratified_sample_duckdb(n_per_group: int, by: str = "source",
+                             seed: int = 0,
+                             select: str = "doc_id, source") -> str:
+    """DuckDB replay of :func:`stratified_sample` — same xxhash64
+    (string bytes + hashInt seed fold via tsf/xxh64_sql.py), same
+    ordering and quota."""
+    from tsf.xxh64_sql import hash_bytes_layers, hash_int_layers
+    q = hash_bytes_layers(
+        "SELECT *, CAST(doc_id AS VARCHAR) AS _k FROM documents",
+        "_k", "hb", "sb")
+    q = hash_int_layers(q, str(int(seed)), "hb", "h", "si")
+    return f"""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY {by}
+                                   ORDER BY h ASC, doc_id ASC) AS rank
+      FROM ({q}))
+    SELECT {select}, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {int(n_per_group)}
+    """
+
+
 def pack_examples(seq: DataFrame, example_len: int = 2048,
                   n_shards: int = 1) -> DataFrame:
     """Per-example packing stats for the deterministic greedy-concat
