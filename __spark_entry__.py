@@ -536,6 +536,21 @@ def q_dedup_groups(spark, sf_dir):
     return dedup.duplicate_groups(docs, pairs)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection over near-dup groups: keep the
+    LONGEST copy (n_chars score, smallest-id tie-break) instead of the
+    min-id default. One equi-join + one partial-combining hash aggregate
+    (min_by over a total struct order) — the group-keyed Exchange moves
+    one row per partial, never the group membership. Quarter corpus:
+    the oracle chains the recursive-CTE closure (the sweep's priciest
+    replay) under the keeper ranking."""
+    docs = _docs(spark, sf_dir).where("length(text) % 4 = 0")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    groups = dedup.duplicate_groups(docs, pairs)
+    return dedup.keep_best(groups, _docs(spark, sf_dir),
+                           score_col="n_chars")
+
+
 def q_dedup_lsh_groups(spark, sf_dir):
     """The SCALE dedup decision path end-to-end: banded minhash LSH
     candidates -> exact jaccard verify on candidates only -> connected
@@ -1302,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_groups": q_dedup_groups,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_lsh_groups": q_dedup_lsh_groups,
         "dedup_incremental": q_dedup_incremental,
         "simhash_check": q_simhash_check,
@@ -2361,6 +2377,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "dedup_incremental": dedup.dedup_incremental_duckdb(
             INCR_PRED, threshold=0.5),
         "dedup_simhash": dedup.simhash_near_dups_duckdb(max_hamming=3),
+        "dedup_keep_best": dedup.keep_best_duckdb(
+            dedup.duplicate_groups_duckdb(
+                0.3, where_sql="length(text) % 4 = 0"),
+            score_sql="n_chars"),
         "dedup_groups": dedup.duplicate_groups_duckdb(
             0.3, where_sql="length(text) % 2 = 0"),
         "dedup_lsh_groups": dedup.lsh_dedup_groups_duckdb(threshold=0.3),

@@ -318,7 +318,7 @@ def main() -> None:
                 "gapfill_linear", "tpch_q1", "tpch_q3", "events_cube",
                 "topk_orders", "vocab_topk", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-                "dedup_groups", "dedup_lsh_groups", "dedup_incremental",
+                "dedup_groups", "dedup_keep_best", "dedup_lsh_groups", "dedup_incremental",
                 "mix_sample", "mix_temperature", "stratified_sample",
                 "pack_examples", "chunk_examples", "epoch_shuffle",
                 "dataset_split", "dup_span_stats", "remove_dup_spans",

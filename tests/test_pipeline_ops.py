@@ -1277,3 +1277,29 @@ def test_token_diversity_plan_zero_exchange(spark, sf001):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # fold, not explode
+
+
+# --------------------------------------------------- quality-aware keeper
+
+def test_keep_best_argmax_and_tiebreak(spark):
+    """Keeper = highest score, smallest doc_id on ties; singletons keep
+    themselves; n_docs counts the group."""
+    groups = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("a3", "a1"), ("b9", "b9")],
+        "doc_id string, group_id string")
+    docs = spark.createDataFrame(
+        [("a1", 5), ("a2", 9), ("a3", 9), ("b9", 1)],
+        "doc_id string, n_chars int")
+    from tsf.dedup import keep_best
+    out = {r["group_id"]: r for r in keep_best(groups, docs).collect()}
+    assert (out["a1"]["keep_doc_id"], out["a1"]["best_score"],
+            out["a1"]["n_docs"]) == ("a2", 9.0, 3)   # tie 9: a2 < a3
+    assert (out["b9"]["keep_doc_id"], out["b9"]["n_docs"]) == ("b9", 1)
+    # the aggregate partial-combines map-side (one group-keyed Exchange,
+    # carrying partial structs, never group membership)
+    p = (keep_best(groups, docs)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_min_by" in p, p
+    # doc_id equi-join (2) + group agg (1); no broadcast of the
+    # corpus-sized sides, no extra pass over group membership
+    assert p.count("Exchange hashpartitioning") <= 3, p

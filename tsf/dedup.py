@@ -906,6 +906,51 @@ def duplicate_groups_duckdb(threshold: float = 0.3, k: int = 3,
     """
 
 
+def keep_best(groups: DataFrame, docs: DataFrame,
+              score_col: str = "n_chars") -> DataFrame:
+    """Quality-aware canonical selection: instead of the min-id default,
+    keep each near-dup group's HIGHEST-``score_col`` member (smallest
+    doc_id on ties). Returns (group_id, keep_doc_id, best_score,
+    n_docs) — the actionable "which copy survives" table a training
+    pipeline feeds its filter stage.
+
+    Scale shape: one equi-join (groups ⋈ docs on doc_id) then ONE hash
+    aggregate — the argmax is ``min_by(doc_id, struct(-score, doc_id))``
+    whose struct order is total (doc_id is unique), so the keeper is
+    deterministic AND the aggregate partial-combines map-side: the only
+    group-keyed Exchange carries one (group_id, struct) row per partial,
+    never the group membership."""
+    d = groups.join(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.col(score_col).cast("double").alias("_s")),
+        "doc_id")
+    ordk = F.struct((-F.col("_s")).alias("ns"), F.col("doc_id").alias("i"))
+    return (d.groupBy("group_id")
+            .agg(F.min_by("doc_id", ordk).alias("keep_doc_id"),
+                 F.max("_s").alias("best_score"),
+                 F.count("*").alias("n_docs")))
+
+
+def keep_best_duckdb(groups_sql: str, score_sql: str = "n_chars") -> str:
+    """DuckDB replay of :func:`keep_best` over any (doc_id, group_id)
+    oracle CTE: rank by (score DESC, doc_id ASC), keep rank 1."""
+    return f"""
+    WITH g AS ({groups_sql}),
+    j AS (SELECT g.group_id, g.doc_id, CAST(d.s AS DOUBLE) AS s
+          FROM g JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              {score_sql} AS s FROM documents) d
+          USING (doc_id)),
+    r AS (SELECT group_id, doc_id, s,
+                 row_number() OVER (PARTITION BY group_id
+                                    ORDER BY s DESC, doc_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY group_id) AS n_docs
+          FROM j)
+    SELECT group_id, doc_id AS keep_doc_id, s AS best_score,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM r WHERE rk = 1
+    """
+
+
 def ngram_jaccard_duckdb(threshold: float = 0.3, k: int = 3) -> str:
     """Naive ALL-PAIRS oracle — no prefix filter: equality with the engine
     proves the prefix filter is lossless on the fixture."""
