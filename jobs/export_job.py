@@ -93,12 +93,17 @@ def run(spark, args) -> dict:
     docs = docs.join(keep, "doc_id")
     mark("after_exact_dedup", docs)
 
-    # 3. near dedup (optional): LSH -> verify -> CC, keep group minima
+    # 3. near dedup (optional): LSH -> verify -> CC; keeper policy is
+    #    group minimum (default) or the group's longest copy
     if args.near_dedup:
         g = dedup.lsh_dedup_groups(
             docs, threshold=args.near_threshold,
             checkpoint_dir=f"{args.output}/_cc_checkpoint")
-        keepers = g.where("doc_id = group_id").select("doc_id")
+        if args.keep_longest:
+            keepers = dedup.keep_best(g, docs, "n_chars").select(
+                F.col("keep_doc_id").alias("doc_id"))
+        else:
+            keepers = g.where("doc_id = group_id").select("doc_id")
         docs = (docs.withColumn("doc_id", F.col("doc_id").cast("string"))
                 .join(keepers, "doc_id"))
         mark("after_near_dedup", docs)
@@ -193,6 +198,10 @@ def main(argv: list[str] | None = None) -> dict:
                    help="also gate on the hashed-linear quality "
                         "classifier score (cls_pass)")
     p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--keep-longest", action="store_true",
+                   help="near-dedup keeper policy: keep each group's "
+                        "longest copy (n_chars, smallest-id ties) "
+                        "instead of the min-id default")
     p.add_argument("--index", default=None,
                    help="persisted minhash index path: dedup this "
                         "export against ALL previous exports' docs and "

@@ -78,7 +78,8 @@ def test_export_job_end_to_end(spark, tmp_path):
     import jobs.export_job as job
     out = str(tmp_path / "export")
     argv = ["--input", "/root/testdata/sf0.001/documents.parquet",
-            "--output", out, "--near-dedup", "--classifier",
+            "--output", out, "--near-dedup", "--keep-longest",
+            "--classifier",
             "--bench-pred", "doc_id % 7 = 0",
             "--mix", "src0:0.5", "--epoch", "1", "--shards", "4"]
     stats = job.main(argv)
@@ -103,7 +104,8 @@ def test_export_job_end_to_end(spark, tmp_path):
     # determinism: a second run writes the identical export
     out2 = str(tmp_path / "export2")
     job.main(["--input", "/root/testdata/sf0.001/documents.parquet",
-              "--output", out2, "--near-dedup", "--classifier",
+              "--output", out2, "--near-dedup", "--keep-longest",
+              "--classifier",
               "--bench-pred", "doc_id % 7 = 0",
               "--mix", "src0:0.5", "--epoch", "1", "--shards", "4"])
     a = spark.read.parquet(f"{out}/sequences")
