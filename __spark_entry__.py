@@ -592,6 +592,15 @@ def q_mix_sample(spark, sf_dir):
                       "source")
 
 
+def q_length_histogram(spark, sf_dir):
+    """Sequence-length histogram + packing diagnostics: power-of-two
+    buckets (bit-length shift, no float log2 — boundary rounding differs
+    per libm) with per-stratum doc/token counts and the pad-to-2048
+    waste. One scan, map-side partial aggregate; the only Exchange
+    carries (source, bucket) rows."""
+    return sampling.length_histogram(_seq(spark, sf_dir), example_len=2048)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exact-quota stratified sampling (eval-set construction): exactly
     7 docs per source, ranked by xxhash64(doc_id, seed) — deterministic,
@@ -1325,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "mix_temperature": q_mix_temperature,
         "stratified_sample": q_stratified_sample,
+        "length_histogram": q_length_histogram,
         "pack_examples": q_pack_examples,
         "chunk_examples": q_chunk_examples,
         "epoch_shuffle": q_epoch_shuffle,
@@ -2390,6 +2400,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "mix_temperature": sampling.mix_temperature_duckdb(
             alpha=0.5, where=MIX_TEMP_SKEW),
         "stratified_sample": sampling.stratified_sample_duckdb(7, seed=5),
+        "length_histogram": sampling.length_histogram_duckdb(
+            _SEQ, example_len=2048),
         "dup_span_stats": dedup.dup_span_stats_duckdb(_SEQ, L=20),
         "remove_dup_spans": dedup.remove_dup_spans_duckdb(_SEQ, L=20),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(

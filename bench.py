@@ -127,7 +127,7 @@ def materialize_scaled_ops_fixture(spark) -> str:
 X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "firstcrossing", "dim_stack", "window_z", "events_hourly",
           "gapfill_linear", "dedup_exact", "dedup_minhash", "dedup_simhash",
-          "stratified_sample",
+          "stratified_sample", "length_histogram",
           "dedup_ngram_jaccard", "dedup_groups", "mix_sample",
           # mix_temperature is timed separately below (schema-agnostic
           # skew slice: the driver query's doc_id % 4 assumes BIGINT ids)
@@ -320,6 +320,7 @@ def main() -> None:
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
                 "dedup_groups", "dedup_keep_best", "dedup_lsh_groups", "dedup_incremental",
                 "mix_sample", "mix_temperature", "stratified_sample",
+                "length_histogram",
                 "pack_examples", "chunk_examples", "epoch_shuffle",
                 "dataset_split", "dup_span_stats", "remove_dup_spans",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",

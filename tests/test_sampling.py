@@ -284,3 +284,25 @@ def test_stratified_sample_plan_window_group_limit(spark, sf001):
     # group Exchange: at 100 TB the shuffle moves O(groups x N) rows
     assert "WindowGroupLimit" in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_length_histogram_buckets_and_pad(spark):
+    seq = spark.createDataFrame(
+        [(1, 1, "s"), (2, 2, "s"), (3, 3, "s"), (4, 2048, "s"),
+         (5, 2049, "s"), (6, 0, "s"), (7, 4095, "t")],
+        "doc_id long, n_tok int, source string")
+    out = {(r["source"], r["bucket_lo"]): r
+           for r in sampling.length_histogram(seq, 2048).collect()}
+    assert out[("s", 1)]["n_docs"] == 1            # n=1
+    assert out[("s", 2)]["n_docs"] == 2            # n=2,3
+    assert out[("s", 2048)]["n_docs"] == 2         # n=2048,2049
+    assert out[("s", 0)]["n_docs"] == 1            # empty doc
+    # pad to 2048: n=2048 wastes 0; n=2049 wastes 2047
+    assert out[("s", 2048)]["pad_tok"] == 0 + 2047
+    assert out[("t", 2048)]["sum_tok"] == 4095 and \
+        out[("t", 2048)]["pad_tok"] == 1           # 4095 -> 2 examples
+    assert out[("s", 0)]["pad_tok"] == 0
+    # one Exchange, carrying (source, bucket) rows only
+    p = (sampling.length_histogram(seq, 2048)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert p.count("Exchange") == 1 and "partial_count" in p, p

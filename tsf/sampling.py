@@ -141,6 +141,53 @@ def mix_temperature_duckdb(alpha: float = 0.5,
     """
 
 
+def length_histogram(seq: DataFrame, example_len: int = 2048) -> DataFrame:
+    """Sequence-length distribution + packing diagnostics per source:
+    power-of-two length buckets (bucket_lo = largest 2^k <= n_tok; 0 for
+    empty docs) with doc/token counts and ``pad_tok`` — the tokens a
+    pad-to-multiple-of-``example_len`` layout would waste on this
+    stratum (``ceil(n/L)*L - n``). Drives example-length choice and
+    quantifies what :func:`pack_examples` saves over padding.
+
+    Integer-exact on both engines (the bucket is a bit-length shift, no
+    float log2 whose boundary rounding differs per libm). Scale shape:
+    one scan, map-side partial aggregate, the only Exchange carries
+    (source, bucket) rows."""
+    L = int(example_len)
+    b = ("CASE WHEN n_tok <= 0 THEN CAST(0 AS BIGINT) ELSE "
+         "shiftleft(CAST(1 AS BIGINT), "
+         "length(bin(CAST(n_tok AS BIGINT))) - 1) END")
+    pad = (f"CASE WHEN n_tok <= 0 THEN CAST(0 AS BIGINT) ELSE "
+           f"((CAST(n_tok AS BIGINT) + {L - 1}) div {L}) * {L} "
+           f"- CAST(n_tok AS BIGINT) END")
+    return (seq.select("source", F.expr(b).alias("bucket_lo"),
+                       F.col("n_tok").cast("long").alias("_n"),
+                       F.expr(pad).alias("_pad"))
+            .groupBy("source", "bucket_lo")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_n").alias("sum_tok"),
+                 F.sum("_pad").alias("pad_tok")))
+
+
+def length_histogram_duckdb(seq_cte: str, example_len: int = 2048) -> str:
+    """DuckDB replay of :func:`length_histogram` (same bit-length
+    bucketing and integer pad arithmetic)."""
+    L = int(example_len)
+    b = ("CASE WHEN n_tok <= 0 THEN CAST(0 AS BIGINT) ELSE "
+         "CAST(CAST(1 AS BIGINT) << "
+         "(length(bin(CAST(n_tok AS BIGINT))) - 1) AS BIGINT) END")
+    pad = (f"CASE WHEN n_tok <= 0 THEN CAST(0 AS BIGINT) ELSE "
+           f"((CAST(n_tok AS BIGINT) + {L - 1}) // {L}) * {L} "
+           f"- CAST(n_tok AS BIGINT) END")
+    return f"""
+    WITH seq AS ({seq_cte})
+    SELECT source, {b} AS bucket_lo, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(sum({pad}) AS BIGINT) AS pad_tok
+    FROM seq GROUP BY 1, 2
+    """
+
+
 def stratified_sample(docs: DataFrame, n_per_group: int,
                       by: str = "source", seed: int = 0) -> DataFrame:
     """EXACT-quota stratified sampling (eval/val-set construction:
