@@ -628,6 +628,16 @@ def q_mix_temperature(spark, sf_dir):
         _docs(spark, sf_dir).where(MIX_TEMP_SKEW), alpha=0.5)
 
 
+def q_mix_temperature_tok(spark, sf_dir):
+    """Temperature mixing by TOKEN budget (the multilingual recipe
+    flattens the token distribution, not document counts): per-source
+    size = sum(n_chars), same IEEE-exact alpha=0.5 rate math and hash01
+    membership."""
+    return sampling.mix_temperature(
+        _docs(spark, sf_dir).where(MIX_TEMP_SKEW), alpha=0.5,
+        weight_col="n_chars")
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Duplicated-token-span statistics (Lee et al. 2021 memorization
     signal): per doc, positions whose 20-token span repeats corpus-wide
@@ -1333,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_check": q_minhash_check,
         "mix_sample": q_mix_sample,
         "mix_temperature": q_mix_temperature,
+        "mix_temperature_tok": q_mix_temperature_tok,
         "stratified_sample": q_stratified_sample,
         "length_histogram": q_length_histogram,
         "pack_examples": q_pack_examples,
@@ -2399,6 +2410,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "mix_sample": sampling.mix_sample_duckdb(MIX_WEIGHTS, default=0.25),
         "mix_temperature": sampling.mix_temperature_duckdb(
             alpha=0.5, where=MIX_TEMP_SKEW),
+        "mix_temperature_tok": sampling.mix_temperature_duckdb(
+            alpha=0.5, where=MIX_TEMP_SKEW, weight_col="n_chars"),
         "stratified_sample": sampling.stratified_sample_duckdb(7, seed=5),
         "length_histogram": sampling.length_histogram_duckdb(
             _SEQ, example_len=2048),

@@ -306,3 +306,21 @@ def test_length_histogram_buckets_and_pad(spark):
     p = (sampling.length_histogram(seq, 2048)
          ._jdf.queryExecution().executedPlan().toString())
     assert p.count("Exchange") == 1 and "partial_count" in p, p
+
+
+def test_mix_temperature_token_budget(spark):
+    """weight_col flattening: a source with FEW long docs and one with
+    MANY short docs have equal token budgets -> both keep everything;
+    by doc count the long-doc source would be subsampled."""
+    rows = ([(f"a{i:03d}", "longdocs", 100) for i in range(10)]
+            + [(f"b{i:03d}", "shortdocs", 10) for i in range(100)])
+    docs = spark.createDataFrame(rows, "doc_id string, source string, "
+                                       "n_chars int")
+    by_tok = sampling.mix_temperature(docs, alpha=0.5,
+                                      weight_col="n_chars")
+    assert by_tok.count() == 110                       # budgets equal
+    assert {r["rate_ppm"] for r in by_tok.collect()} == {1000000}
+    by_doc = sampling.mix_temperature(docs, alpha=0.5)
+    kept_long = by_doc.where("source = 'longdocs'").count()
+    assert kept_long == 10                             # smallest stratum
+    assert by_doc.where("source = 'shortdocs'").count() < 100

@@ -71,7 +71,8 @@ def mix_sample_duckdb(weights: dict[str, float], default: float = 0.0,
     """
 
 
-def mix_temperature(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+def mix_temperature(docs: DataFrame, alpha: float = 0.5,
+                    weight_col: str | None = None) -> DataFrame:
     """Temperature-flattened source mixing (the multilingual-LM recipe:
     sample sources ∝ count^alpha, XLM-R uses alpha≈0.3..0.7): per-source
     keep rate ``(c_min / c_src) ** (1 - alpha)``, scaled so the SMALLEST
@@ -88,13 +89,21 @@ def mix_temperature(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     alphas go through pow(), whose last ULP is libm-dependent — fine in
     production, not oracle-grade.
 
+    ``weight_col`` switches the size measure from doc counts to a
+    per-doc integer weight summed per source (e.g. ``n_chars`` /
+    ``n_tok``): multilingual pipelines usually flatten the TOKEN budget,
+    not the document count. Sums of integers are exact, so alpha in
+    {0, 0.5, 1} stays bit-replayable.
+
     Scale shape: the per-source counts are ONE tiny aggregate (map-side
     partial combine, n_sources rows) broadcast back onto a second scan;
     the corpus itself never shuffles — keep is a row-local filter.
     Returns kept docs: (doc_id, source, rate_ppm) where rate_ppm =
     floor(rate * 1e6) (integer, exact on both engines)."""
     pw = 1.0 - float(alpha)
-    cnt = docs.groupBy("source").agg(F.count("*").alias("_c"))
+    size = (F.count("*") if weight_col is None
+            else F.sum(F.col(weight_col).cast("long")))
+    cnt = docs.groupBy("source").agg(size.alias("_c"))
     # global min over the n_sources-row frame via an empty window — a
     # SinglePartition exchange of tiny rows, NOT a second corpus scan
     # (cnt.agg(min).crossJoin(cnt) would re-run the count aggregate)
@@ -120,7 +129,8 @@ def mix_temperature(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
 
 def mix_temperature_duckdb(alpha: float = 0.5,
                            select: str = "d.doc_id, d.source",
-                           where: str = "TRUE") -> str:
+                           where: str = "TRUE",
+                           weight_col: str | None = None) -> str:
     """DuckDB replay of :func:`mix_temperature` (alpha must be one of
     the exact values 0, 0.5, 1): same counts, same IEEE sqrt/division,
     same LCG hash01 membership, same floor-ppm rate. ``where`` narrows
@@ -128,11 +138,13 @@ def mix_temperature_duckdb(alpha: float = 0.5,
     perfectly source-balanced, where every rate is 1.0 — a skewing
     predicate makes the rate math actually discriminate)."""
     pw = 1.0 - float(alpha)
+    size = ("count(*)" if weight_col is None
+            else f"sum(CAST({weight_col} AS BIGINT))")
     ratio = "((SELECT min(_c) FROM c) * 1.0) / (_c * 1.0)"
     rate = {0.5: f"sqrt({ratio})", 0.0: "1.0", 1.0: ratio}[pw]
     return f"""
     WITH base AS (SELECT * FROM documents WHERE {where}),
-    c AS (SELECT source, count(*) AS _c FROM base GROUP BY 1),
+    c AS (SELECT source, {size} AS _c FROM base GROUP BY 1),
     r AS (SELECT source, {rate} AS _rate FROM c)
     SELECT {select},
            CAST(floor(_rate * 1000000) AS BIGINT) AS rate_ppm
