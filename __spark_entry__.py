@@ -689,6 +689,17 @@ def q_pack_examples(spark, sf_dir):
                                   n_shards=4)
 
 
+def q_pack_nfd(spark, sf_dir):
+    """Next-fit-decreasing bin packing: the NO-SPLIT example layout —
+    every doc lands intact in exactly one 2048-token example (truncating
+    only docs longer than that). The sequential NFD fold collapses to a
+    per-length bin-state recurrence (<= 2048 rows, folded on the driver /
+    a recursive CTE in DuckDB), so each doc's (example_id, slot) is pure
+    integer arithmetic from its within-length rank: tokens never shuffle,
+    the one Exchange carries (doc_id, len) metadata for the rank window."""
+    return sampling.pack_nfd(_seq(spark, sf_dir), example_len=2048)
+
+
 def q_chunk_examples(spark, sf_dir):
     """Sliding-window training-example layout (length 128, stride 64):
     overlapping chunks per doc via a bounded sequence() explode —
@@ -1347,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "length_histogram": q_length_histogram,
         "pack_examples": q_pack_examples,
+        "pack_nfd": q_pack_nfd,
         "chunk_examples": q_chunk_examples,
         "epoch_shuffle": q_epoch_shuffle,
         "dataset_split": q_dataset_split,
@@ -2422,6 +2434,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "dataset_split": sampling.dataset_split_duckdb(_SEQ, seed=7),
         "pack_examples": sampling.pack_examples_duckdb(
             _SEQ, example_len=512, n_shards=4),
+        "pack_nfd": sampling.pack_nfd_duckdb(_SEQ, example_len=2048),
         "chunk_examples": sampling.chunk_examples_duckdb(
             _SEQ, length=128, stride=64),
         "source_quantiles": textstats.source_quantiles_duckdb(),

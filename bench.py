@@ -131,7 +131,7 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "dedup_ngram_jaccard", "dedup_groups", "mix_sample",
           # mix_temperature is timed separately below (schema-agnostic
           # skew slice: the driver query's doc_id % 4 assumes BIGINT ids)
-          "pack_examples", "epoch_shuffle", "dataset_split",
+          "pack_examples", "pack_nfd", "epoch_shuffle", "dataset_split",
           "dup_span_stats",
           "simhash_check", "text_quality",
           # decontam_overlap is timed separately below with a
@@ -321,7 +321,7 @@ def main() -> None:
                 "dedup_groups", "dedup_keep_best", "dedup_lsh_groups", "dedup_incremental",
                 "mix_sample", "mix_temperature", "stratified_sample",
                 "length_histogram",
-                "pack_examples", "chunk_examples", "epoch_shuffle",
+                "pack_examples", "pack_nfd", "chunk_examples", "epoch_shuffle",
                 "dataset_split", "dup_span_stats", "remove_dup_spans",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
                 "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",

@@ -222,3 +222,19 @@ def test_events_cube_single_pass(spark):
     p = _plan(e.q_events_cube(spark, "/root/testdata/sf0.001"))
     assert "Expand" in p, p
     assert p.count("FileScan parquet") == 1, p
+
+
+def test_pack_nfd_metadata_only_shuffle_broadcast_bins(spark, sf001):
+    """NFD no-split packing: the bin-state table broadcasts (never a
+    shuffled join), the ONE hash Exchange is the within-length rank
+    window carrying (doc_id, len) metadata — token/text columns never
+    cross any Exchange."""
+    from tsf import sampling
+    seq = sequences_from_documents(spark, sf001)
+    out = sampling.pack_nfd(seq, example_len=2048)
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    ex = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert all("tokens" not in ln and "text" not in ln for ln in ex), ex

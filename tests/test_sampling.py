@@ -324,3 +324,73 @@ def test_mix_temperature_token_budget(spark):
     kept_long = by_doc.where("source = 'longdocs'").count()
     assert kept_long == 10                             # smallest stratum
     assert by_doc.where("source = 'shortdocs'").count() < 100
+
+
+def _nfd_naive(lens_by_doc, L):
+    """Reference NFD fold: docs sorted (len DESC, doc_id ASC); place in
+    the current example if it fits, else close it and open a new one."""
+    e, r, s = 0, L, 0
+    out = {}
+    for doc_id, ln in sorted(lens_by_doc.items(), key=lambda x: (-x[1], x[0])):
+        ln = min(ln, L)
+        if ln > r:
+            e, r, s = e + 1, L, 0
+        out[doc_id] = (e, s)
+        r, s = r - ln, s + 1
+    return out
+
+
+def test_pack_nfd_matches_naive_simulation(spark):
+    rng = np.random.default_rng(11)
+    lens = {f"d{i:03d}": int(rng.integers(1, 40)) for i in range(180)}
+    # length ties (the regular-layout fast path), exact-fit, and a
+    # longer-than-example doc that must truncate to a full example
+    lens.update({"t000": 70, "t001": 64, "t002": 64, "t003": 64})
+    rows = [(d, list(range(min(n, 64))), n, "s") for d, n in lens.items()]
+    rows.append(("z000", [], 0, "s"))            # empty doc: excluded
+    seq = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    got = {r["doc_id"]: (r["example_id"], r["slot"])
+           for r in sampling.pack_nfd(seq, example_len=64).collect()}
+    assert "z000" not in got
+    assert got == _nfd_naive(lens, 64)
+
+
+def test_pack_nfd_fold_vs_naive_many_shapes(spark):
+    """The bin-state recurrence == the doc-at-a-time fold on adversarial
+    length mixes: all-equal, all-distinct, exact divisors, and random."""
+    rng = np.random.default_rng(23)
+    cases = [
+        {f"a{i}": 8 for i in range(10)},                   # one bin
+        {f"b{i:02d}": i + 1 for i in range(30)},           # all distinct
+        {f"c{i:02d}": [32, 16, 8][i % 3] for i in range(24)},  # divisors
+        {f"r{i:03d}": int(rng.integers(1, 33)) for i in range(150)},
+    ]
+    for lens in cases:
+        rows = [(d, [], n, "s") for d, n in lens.items()]
+        seq = spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, n_tok int, source string")
+        got = {r["doc_id"]: (r["example_id"], r["slot"])
+               for r in sampling.pack_nfd(seq, example_len=32).collect()}
+        assert got == _nfd_naive(lens, 32), lens
+
+
+def test_pack_nfd_no_split_and_capacity(spark):
+    rng = np.random.default_rng(5)
+    lens = {f"d{i:03d}": int(rng.integers(1, 200)) for i in range(300)}
+    rows = [(d, [], n, "s") for d, n in lens.items()]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    df = sampling.pack_nfd(seq, example_len=128).toPandas()
+    # every doc exactly once (no split), truncation flagged correctly
+    assert len(df) == len(lens) and df["doc_id"].is_unique
+    assert (df["truncated"] == (df["doc_id"].map(lens) > 128)).all()
+    assert (df["len_used"] == df["doc_id"].map(lens).clip(upper=128)).all()
+    # capacity: each example's fill <= L; slots contiguous from 0
+    g = df.groupby("example_id")
+    assert (g["len_used"].sum() <= 128).all()
+    for _, grp in g:
+        assert sorted(grp["slot"]) == list(range(len(grp)))
+    # example ids contiguous from 0
+    assert sorted(df["example_id"].unique()) == \
+        list(range(df["example_id"].max() + 1))

@@ -470,3 +470,142 @@ def chunk_examples_duckdb(seq_cte: str, length: int = 512,
     FROM e
     WHERE least({length}, n_tok - chunk_id * {stride}) > 0
     """
+
+
+# ------------------------------------------------------- NFD bin packing
+#
+# Next-fit-decreasing histogram packing: the NO-SPLIT example layout.
+# pack_examples (greedy concat) has zero padding but splits documents
+# across example boundaries; chunk_examples duplicates context.  NFD
+# keeps every document intact inside ONE example (truncating only docs
+# longer than the example), at the cost of per-example padding — the
+# classic bin-packing trade-off (padding waste is reported per doc via
+# the example assignment; NFD's worst case is 2x optimal, and on
+# length-diverse corpora it recovers most of the histogram-packing gain
+# of Kosec et al. 2021 without their LP solve).
+#
+# Why it is exactly replayable: docs are packed in (len DESC, doc_id)
+# order, and within a run of equal lengths the layout is REGULAR —
+# m0 = r // len docs top up the current example, then k = L // len docs
+# fill each fresh example.  So the whole sequential fold collapses to a
+# per-BIN state recurrence over at most ``example_len`` distinct
+# lengths: bounded metadata, folded on the driver (Spark) and as a
+# recursive CTE (DuckDB).  Every doc's (example_id, slot) is then pure
+# integer arithmetic from its within-bin rank.
+#
+# Scale shape: the histogram aggregate partial-combines to <= L rows;
+# the bin-state table broadcasts; the only real Exchange carries
+# (doc_id, len) METADATA rows for the within-bin rank — token arrays
+# never shuffle, and the scan prunes to (doc_id, n_tok).  Skew note: a
+# single dominant length lands its rank window on one task; the rows
+# are ~16 bytes so this holds to ~10^9 docs per bin, beyond which the
+# production path is a range-partitioned two-pass rank (partition-local
+# row_number + broadcast per-partition offsets).
+
+def nfd_bin_states(hist: list[tuple[int, int]],
+                   example_len: int) -> list[dict]:
+    """Fold the per-length histogram [(len, cnt), ...] into per-bin
+    packing state, processing bins by len DESC.  Returns one row per
+    bin: {len, cnt, e_base, s_base, m0, k} where docs ranked t < m0 top
+    up example e_base at slot s_base + t and doc t >= m0 lands in
+    example e_base + 1 + (t - m0) // k at slot (t - m0) % k."""
+    L = int(example_len)
+    e, r, s = 0, L, 0          # current example id / remaining / filled
+    out = []
+    for ln, c in sorted(hist, key=lambda x: -x[0]):
+        assert 0 < ln <= L and c > 0
+        m0, k = r // ln, L // ln
+        out.append({"len": ln, "cnt": c, "e_base": e, "s_base": s,
+                    "m0": m0, "k": k})
+        if c <= m0:
+            r, s = r - c * ln, s + c
+        else:
+            rem = c - m0
+            n_new = -(-rem // k)
+            last = rem - (n_new - 1) * k
+            e, r, s = e + n_new, L - last * ln, last
+    return out
+
+
+def pack_nfd(seq: DataFrame, example_len: int = 2048) -> DataFrame:
+    """Per-doc NFD packing assignment: (doc_id, len_used, truncated,
+    example_id, slot).  Docs with n_tok == 0 are excluded (they fill no
+    tokens); docs longer than ``example_len`` are truncated to it."""
+    L = int(example_len)
+    d = seq.where(F.col("n_tok") > 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.least(F.col("n_tok"), F.lit(L)).cast("int").alias("len_used"),
+        (F.col("n_tok") > L).alias("truncated"))
+    hist = [(row["len_used"], row["cnt"]) for row in
+            d.groupBy("len_used").agg(F.count("*").alias("cnt"))
+            .collect()]                      # bounded: <= example_len rows
+    states = nfd_bin_states(hist, L)
+    spark = seq.sparkSession
+    tab = F.broadcast(spark.createDataFrame(
+        [(st["len"], st["e_base"], st["s_base"], st["m0"], st["k"])
+         for st in states],
+        "len_used int, e_base long, s_base long, m0 long, k long"))
+    t = F.row_number().over(
+        Window.partitionBy("len_used").orderBy("doc_id")) - 1
+    d = d.withColumn("t", t.cast("long")).join(tab, "len_used")
+    # integer division: t-m0 and k are non-negative longs, so `div`
+    # (truncation) == floor == DuckDB's `//`
+    ex = F.when(F.col("t") < F.col("m0"), F.col("e_base")).otherwise(
+        F.col("e_base") + 1 + F.expr("(t - m0) div k"))
+    slot = F.when(F.col("t") < F.col("m0"),
+                  F.col("s_base") + F.col("t")).otherwise(
+        F.expr("(t - m0) % k"))
+    return d.select("doc_id", "len_used", "truncated",
+                    ex.cast("long").alias("example_id"),
+                    slot.cast("long").alias("slot"))
+
+
+def pack_nfd_duckdb(seq_cte: str, example_len: int = 2048) -> str:
+    """DuckDB replay of :func:`pack_nfd`: the same bin-state recurrence
+    as a recursive CTE over bins ordered len DESC."""
+    L = int(example_len)
+    return f"""
+    WITH RECURSIVE seq AS ({seq_cte}),
+    d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(least(n_tok, {L}) AS INT) AS len_used,
+                 n_tok > {L} AS truncated
+          FROM seq WHERE n_tok > 0),
+    bins AS (SELECT len_used AS len, CAST(count(*) AS BIGINT) AS c,
+                    row_number() OVER (ORDER BY len_used DESC) AS i
+             FROM d GROUP BY 1),
+    st AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS e,
+             CAST({L} AS BIGINT) AS r, CAST(0 AS BIGINT) AS s,
+             CAST(NULL AS INT) AS len, CAST(NULL AS BIGINT) AS e_base,
+             CAST(NULL AS BIGINT) AS s_base, CAST(NULL AS BIGINT) AS m0,
+             CAST(NULL AS BIGINT) AS k
+      UNION ALL
+      SELECT b.i,
+             CASE WHEN b.c <= st.r // b.len THEN st.e
+                  ELSE st.e + ((b.c - st.r // b.len) + ({L} // b.len) - 1)
+                         // ({L} // b.len) END,
+             CASE WHEN b.c <= st.r // b.len THEN st.r - b.c * b.len
+                  ELSE {L} - ((b.c - st.r // b.len)
+                        - (((b.c - st.r // b.len) + ({L} // b.len) - 1)
+                           // ({L} // b.len) - 1) * ({L} // b.len))
+                       * b.len END,
+             CASE WHEN b.c <= st.r // b.len THEN st.s + b.c
+                  ELSE (b.c - st.r // b.len)
+                        - (((b.c - st.r // b.len) + ({L} // b.len) - 1)
+                           // ({L} // b.len) - 1) * ({L} // b.len) END,
+             b.len, st.e, st.s, st.r // b.len, {L} // b.len
+      FROM st JOIN bins b ON b.i = st.i + 1),
+    tab AS (SELECT len, e_base, s_base, m0, k FROM st WHERE i > 0),
+    rk AS (SELECT doc_id, len_used, truncated,
+                  CAST(row_number() OVER (PARTITION BY len_used
+                                          ORDER BY doc_id) - 1 AS BIGINT)
+                    AS t
+           FROM d)
+    SELECT rk.doc_id, rk.len_used, rk.truncated,
+           CAST(CASE WHEN rk.t < tab.m0 THEN tab.e_base
+                ELSE tab.e_base + 1 + (rk.t - tab.m0) // tab.k END
+                AS BIGINT) AS example_id,
+           CAST(CASE WHEN rk.t < tab.m0 THEN tab.s_base + rk.t
+                ELSE (rk.t - tab.m0) % tab.k END AS BIGINT) AS slot
+    FROM rk JOIN tab ON rk.len_used = tab.len
+    """
