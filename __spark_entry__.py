@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import dedup, gapfill, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
+from tsf import dedup, dsir, gapfill, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
 from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
@@ -760,6 +760,32 @@ def q_word_freq_stats(spark, sf_dir):
     return textstats.word_freq_stats(_docs(spark, sf_dir))
 
 
+#: the DSIR "target" slice: the high-quality reference distribution the
+#: importance weights pull the raw corpus toward
+DSIR_TARGET = "lang = 'en' AND source = 'src0'"
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): per-doc log ratio of
+    hashed-unigram+bigram models fit on the target slice vs the raw
+    corpus, in integer micro-nats (order-free BIGINT sums; the one ln()
+    is micro-rounded per bucket on identical doubles both engines).
+    Production xxhash64 features, replayed bit-exactly by the oracle.
+    Scale: bucket table broadcasts; the only corpus shuffles carry
+    (bucket, 2 longs) and (doc_id, 2 longs) after partial aggregation."""
+    return dsir.dsir_weights(_docs(spark, sf_dir), DSIR_TARGET,
+                             buckets=256)
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR Gumbel top-k importance resample: the 100 docs with the
+    largest micro-nat key = logw + Gumbel(0,1), noise a pure hash of
+    doc_id — reproducible across runs, engines, and cluster sizes;
+    TakeOrderedAndProject, never a global sort (plan-asserted)."""
+    return dsir.dsir_sample(_docs(spark, sf_dir), DSIR_TARGET, k=100,
+                            buckets=256)
+
+
 #: deterministic synthetic "benchmark" slice of the documents table for
 #: the decontamination query — every 7th doc stands in for the eval set
 #: (wide enough that replica groups straddle it: 9 hits at sf0.01)
@@ -1371,6 +1397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "gopher_quality": q_gopher_quality,
         "word_freq_stats": q_word_freq_stats,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "source_quantiles": q_source_quantiles,
         "decontam_overlap": q_decontam_overlap,
         "quality_classifier": q_quality_classifier,
@@ -2445,6 +2473,9 @@ def _oracle_sql_base() -> dict[str, str]:
         "token_counts": textstats.token_counts_duckdb(),
         "gopher_quality": textstats.repetition_signals_duckdb(),
         "word_freq_stats": textstats.word_freq_stats_duckdb(),
+        "dsir_weights": dsir.dsir_weights_duckdb(DSIR_TARGET, buckets=256),
+        "dsir_sample": dsir.dsir_sample_duckdb(DSIR_TARGET, k=100,
+                                               buckets=256),
         "vocab_topk": """
             SELECT t.word AS word, CAST(count(*) AS BIGINT) AS n
             FROM documents,

@@ -128,7 +128,7 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "firstcrossing", "dim_stack", "window_z", "events_hourly",
           "gapfill_linear", "dedup_exact", "dedup_minhash", "dedup_simhash",
           "stratified_sample", "length_histogram",
-          "dedup_ngram_jaccard", "dedup_groups", "mix_sample",
+          "dedup_ngram_jaccard", "dedup_groups", "mix_sample", "dsir_weights",
           # mix_temperature is timed separately below (schema-agnostic
           # skew slice: the driver query's doc_id % 4 assumes BIGINT ids)
           "pack_examples", "pack_nfd", "epoch_shuffle", "dataset_split",
@@ -323,6 +323,7 @@ def main() -> None:
                 "length_histogram",
                 "pack_examples", "pack_nfd", "chunk_examples", "epoch_shuffle",
                 "dataset_split", "dup_span_stats", "remove_dup_spans",
+                "dsir_weights", "dsir_sample",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
                 "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
                 "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",

@@ -238,3 +238,27 @@ def test_pack_nfd_metadata_only_shuffle_broadcast_bins(spark, sf001):
     assert p.count("Exchange hashpartitioning") == 1, p
     ex = [ln for ln in p.splitlines() if "Exchange" in ln]
     assert all("tokens" not in ln and "text" not in ln for ln in ex), ex
+
+
+def test_dsir_weights_broadcast_lr_no_text_shuffle(spark, sf001):
+    """DSIR weights: the micro-nat log-ratio table joins by BROADCAST
+    (never shuffled), and no Exchange carries raw text or gram strings
+    wider than the bucketed aggregates."""
+    from tsf import dsir
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    out = dsir.dsir_weights(docs, "lang = 'en' AND source = 'src0'",
+                            buckets=64)
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p, p
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex, "expected the bucket/doc aggregates"
+    assert all("text" not in ln and " g#" not in ln for ln in ex), ex
+
+
+def test_dsir_sample_take_ordered_not_global_sort(spark, sf001):
+    from tsf import dsir
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    out = dsir.dsir_sample(docs, "lang = 'en' AND source = 'src0'",
+                           k=10, buckets=64)
+    p = _plan(out)
+    assert "TakeOrderedAndProject" in p, p
