@@ -35,7 +35,8 @@ from tsf import dedup, dsir, gapfill, multimodal, pairwise, pii, sampling, simil
 from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
-from tsf.rollup import next_tier, tier0, tier0_vectors  # noqa: E402
+from tsf.rollup import (next_tier, outlier_windows_duckdb, tier0,  # noqa: E402
+                        tier0_vectors)
 
 STATS = ["cnt", "sum_tok", "min_tok", "max_tok", "mean", "std"]
 
@@ -658,6 +659,34 @@ def q_remove_dup_spans(spark, sf_dir):
           f"(a, x) -> (a * 31 + x) % {FP_MOD})")
     return out.select("doc_id", "n_tok", "n_tok_clean", "n_removed",
                       F.expr(fp).alias("clean_fp"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style exact line-level dedup (Raffel et al. 2020: keep one
+    occurrence of every duplicated line corpus-wide), rewriting each
+    document to its surviving lines. Canonical occurrence = smallest
+    (doc_id, line_no); lines are deterministic 4-word groups (the
+    corpus has no natural newlines). Raw text never crosses an
+    Exchange — dup positions broadcast back onto the unshuffled scan."""
+    return dedup.line_dedup(_docs(spark, sf_dir), lw=4)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 ranked retrieval for a fixed 3-term query.
+    idf in integer micro-nats (DSIR ln precedent); tf saturation as a
+    ratio of exact BIGINTs (k1=6/5, b=3/4 with denominators cleared),
+    so scores are bit-identical across engines. Row-local tf folds,
+    one broadcast stats row, TakeOrderedAndProject top-k."""
+    return textstats.bm25_topk(_docs(spark, sf_dir), k=20)
+
+
+def q_outlier_windows(spark, sf_dir):
+    """Tier-0 window anomaly sweep: flag tumbling windows whose mean
+    deviates from the doc mean by >2 standard errors (2*std/sqrt(c_w)),
+    with the test evaluated denominators-cleared over exact integer
+    sufficient stats (bit-deterministic booleans). Zero Exchange."""
+    from tsf.rollup import outlier_windows
+    return outlier_windows(_seq(spark, sf_dir), window=64)
 
 
 def q_epoch_shuffle(spark, sf_dir):
@@ -1390,6 +1419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "dup_span_stats": q_dup_span_stats,
         "remove_dup_spans": q_remove_dup_spans,
+        "line_dedup": q_line_dedup,
+        "bm25_topk": q_bm25_topk,
+        "outlier_windows": q_outlier_windows,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -2457,6 +2489,9 @@ def _oracle_sql_base() -> dict[str, str]:
             _SEQ, example_len=2048),
         "dup_span_stats": dedup.dup_span_stats_duckdb(_SEQ, L=20),
         "remove_dup_spans": dedup.remove_dup_spans_duckdb(_SEQ, L=20),
+        "line_dedup": dedup.line_dedup_duckdb(lw=4),
+        "bm25_topk": textstats.bm25_topk_duckdb(k=20),
+        "outlier_windows": outlier_windows_duckdb(_SEQ, window=64),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(
             _SEQ, epoch=3, n_shards=8),
         "dataset_split": sampling.dataset_split_duckdb(_SEQ, seed=7),

@@ -1303,3 +1303,85 @@ def test_keep_best_argmax_and_tiebreak(spark):
     # doc_id equi-join (2) + group agg (1); no broadcast of the
     # corpus-sized sides, no extra pass over group membership
     assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+# ------------------------------------------------------- line-level dedup
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    rows = [
+        (1, "a b c d e f g h"),   # lines: "a b c d" | "e f g h"
+        (2, "a b c d x y z w"),   # first line dups doc 1 -> dropped
+        (3, "x y z w e f g h"),   # both lines dup earlier docs -> empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(docs, lw=4).collect()}
+    assert out[1].text_clean == "a b c d\ne f g h" and out[1].n_removed == 0
+    assert out[2].text_clean == "x y z w" and out[2].n_removed == 1
+    assert (out[3].text_clean == "" and out[3].n_kept == 0
+            and out[3].n_removed == 2)
+
+
+def test_line_dedup_ragged_tail_and_empty_doc(spark):
+    rows = [(1, "p q r s t"),      # tail line "t" (1 word)
+            (2, ""),               # no words -> no lines
+            (3, "t")]              # dups doc 1's tail line
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(docs, lw=4).collect()}
+    assert out[1].n_lines == 2 and out[1].text_clean == "p q r s\nt"
+    assert out[2].n_lines == 0 and out[2].text_clean == ""
+    assert out[3].n_lines == 1 and out[3].n_kept == 0
+
+
+# ------------------------------------------------------------------ BM25
+
+def test_bm25_topk_matches_python_reference(spark):
+    import math
+    rows = [(1, "apple banana apple"), (2, "banana cherry"),
+            (3, "apple apple apple apple"), (4, "dog cat")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ("apple", "banana")
+    out = textstats.bm25_topk(docs, terms=terms, k=4).collect()
+
+    words = {d: t.split() for d, t in rows}
+    N = len(rows)
+    W = sum(len(w) for w in words.values())
+    tf = {d: [w.count(t) for t in terms] for d, w in words.items()}
+    dfreq = [sum(1 for d in words if tf[d][i] > 0)
+             for i in range(len(terms))]
+
+    def idf(dfi):
+        return math.floor(
+            math.log((N - dfi + 0.5) / (dfi + 0.5) + 1.0) * 1e6 + 0.5)
+
+    def score(d):
+        dl = len(words[d])
+        return sum(
+            idf(dfreq[i]) * (44 * W * tf[d][i])
+            / (20 * W * tf[d][i] + 6 * W + 18 * dl * N)
+            for i in range(len(terms)))
+
+    exp = sorted(words, key=lambda d: (-score(d), d))
+    assert [r.doc_id for r in out] == exp
+    for r in out:  # bit-exact: same IEEE ops in the same order
+        assert r.score_bm25 == score(r.doc_id)
+
+
+# ------------------------------------------------------- outlier windows
+
+def test_outlier_windows_flags_deviant_window(spark):
+    from tsf.rollup import outlier_windows
+    toks = [10] * 20 + [50] * 10 + [10] * 30
+    seq = spark.createDataFrame(
+        [("d1", toks, len(toks), "web"), ("d2", [7] * 25, 25, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    rows = outlier_windows(seq, window=10).collect()
+    d1 = sorted((r for r in rows if r.doc_id == "d1"),
+                key=lambda r: r.window_id)
+    assert [r.is_outlier for r in d1] == [False, False, True,
+                                          False, False, False]
+    assert [r.s_w for r in d1] == [100, 100, 500, 100, 100, 100]
+    d2 = sorted((r for r in rows if r.doc_id == "d2"),
+                key=lambda r: r.window_id)
+    # constant doc: var 0, every deviation 0 -> no flags; ragged tail
+    assert [r.c_w for r in d2] == [10, 10, 5]
+    assert not any(r.is_outlier for r in d2)

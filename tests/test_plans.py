@@ -262,3 +262,44 @@ def test_dsir_sample_take_ordered_not_global_sort(spark, sf001):
                            k=10, buckets=64)
     p = _plan(out)
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_outlier_windows_zero_shuffle(spark, sf001):
+    """Outlier sweep: doc stats + window sums are row-local HOF folds,
+    the window fan-out is a Generate — ZERO Exchange."""
+    from tsf.rollup import outlier_windows
+    seq = sequences_from_documents(spark, sf001)
+    p = _plan(outlier_windows(seq, window=20))
+    assert "Exchange" not in p, p
+
+
+def test_line_dedup_text_never_shuffles(spark, sf001):
+    """Line dedup: raw text never crosses an Exchange — the exploded
+    side projects (doc_id, ln, xxhash64(line)) before the hash-window
+    shuffle, and dropped positions BROADCAST back onto the unshuffled
+    documents scan. Exactly two hash Exchanges (h-window + per-doc
+    dropped regroup)."""
+    import re
+
+    from tsf.dedup import line_dedup
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    p = _plan(line_dedup(docs, lw=4))
+    assert "BroadcastHashJoin" in p, p
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]+)", p)
+    assert len(keys) == 2, keys
+    exlines = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert all("text" not in ln and "line" not in ln for ln in exlines), \
+        exlines
+
+
+def test_bm25_topk_take_ordered_broadcast_stats(spark, sf001):
+    """BM25: per-doc tf folds are row-local (no explode, no inverted
+    index); the one-row corpus-stats aggregate broadcasts back
+    (BroadcastNestedLoopJoin); top-k is TakeOrderedAndProject, never a
+    global sort; no hash Exchange anywhere."""
+    from tsf.textstats import bm25_topk
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    p = _plan(bm25_topk(docs, k=20))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "Exchange hashpartitioning" not in p, p

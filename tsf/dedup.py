@@ -1210,3 +1210,114 @@ def remove_dup_spans_duckdb(seq_cte: str, L: int = SPAN_L) -> str:
                 (a, x) -> (a * 31 + x) % {FP_MOD}) AS BIGINT) AS clean_fp
     FROM cl
     """
+
+
+# ------------------------------------------------------- line-level dedup
+
+#: words per "line" — the corpus has no natural newlines, so lines are
+#: deterministic fixed-width word groups (documented stand-in, same
+#: spirit as tsf.pii's injected identifiers); real corpora pass their
+#: natural line split through the same pipeline shape.
+LINE_W = 4
+
+
+def _lines_expr(lw: int) -> str:
+    """Spark SQL expr: text -> array<string> of lw-word lines."""
+    w = "filter(split(text, ' '), w -> length(w) > 0)"
+    return (f"CASE WHEN size({w}) = 0 THEN array() "
+            f"ELSE transform(sequence(1, CAST(ceil(size({w}) / {lw}.0) AS INT)), "
+            f"i -> array_join(slice({w}, (i - 1) * {lw} + 1, {lw}), ' ')) END")
+
+
+def line_dedup(docs: DataFrame, lw: int = LINE_W) -> DataFrame:
+    """C4-style exact line-level deduplication (Raffel et al. 2020 §2.2:
+    keep ONE occurrence of every duplicated line corpus-wide), rewriting
+    each document to its surviving lines.
+
+    Canonical occurrence = smallest (doc_id, line_no). Returns
+    (doc_id, n_lines, n_kept, n_removed, text_clean).
+
+    Scale shape (100 TB): raw text NEVER crosses an Exchange — the
+    exploded side projects (doc_id, line_no, xxhash64(line)) before the
+    one hash-keyed window Exchange; dropped positions regroup per doc
+    (duplicate volume only) and BROADCAST back onto the unshuffled
+    documents scan, where the rewrite is a row-local HOF filter. The
+    broadcast is bounded by duplicate volume, not corpus size — on a
+    dup-heavy corpus, swap the broadcast for a plain equi-join (same
+    answers; the docs side then shuffles once by doc_id).
+
+    Like :func:`remove_dup_spans`, duplicate detection is hash-keyed
+    (production ``xxhash64``); the DuckDB oracle replays the hash
+    bit-exactly via :mod:`tsf.xxh64_sql`, so even a collision would be
+    value-checked identically.
+    """
+    from pyspark.sql.functions import broadcast
+    lines = _lines_expr(lw)
+    occ = (docs
+           .select("doc_id", F.posexplode(F.expr(lines)).alias("ln", "line"))
+           .select("doc_id", "ln", F.xxhash64("line").alias("h")))
+    rk = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "ln"))
+    dropped = (occ.withColumn("rk", rk).where(F.col("rk") > 1)
+               .groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list("ln")).alias("_drop")))
+    out = (docs.join(broadcast(dropped), "doc_id", "left")
+           .withColumn("_drop", F.coalesce(
+               "_drop", F.array().cast("array<int>"))))
+    kept = (f"transform(filter(transform({lines}, (l, i) -> "
+            f"struct(l AS l, i AS p)), s -> NOT array_contains(_drop, s.p)), "
+            f"s -> s.l)")
+    out = out.withColumn("_kept", F.expr(kept))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.size("_kept").cast("long").alias("n_kept"),
+        (F.expr(f"size({lines})") - F.size("_kept")).cast("long")
+        .alias("n_removed"),
+        F.array_join("_kept", "\n").alias("text_clean"))
+
+
+def line_dedup_duckdb(lw: int = LINE_W) -> str:
+    """DuckDB replay of :func:`line_dedup` over the `documents` view,
+    hashing each distinct line with the bit-exact xxhash64 SQL fold."""
+    from tsf.xxh64_sql import hash_bytes_layers
+    gh = hash_bytes_layers("SELECT s FROM g", "s", "hs", "lb")
+    w = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+    return f"""
+    WITH d AS (SELECT doc_id, {w} AS w FROM documents),
+    ls AS (SELECT doc_id,
+                  CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(
+                      range(1, CAST(ceil(len(w) / {lw}.0) AS BIGINT) + 1),
+                      i -> array_to_string(list_slice(
+                          w, (i - 1) * {lw} + 1, (i - 1) * {lw} + {lw}),
+                          ' '))
+                  END AS lines
+           FROM d),
+    occ AS (SELECT doc_id, t.i - 1 AS ln, t.l AS line
+            FROM (SELECT doc_id, list_transform(
+                      range(1, len(lines) + 1),
+                      i -> {{'i': i, 'l': lines[i]}}) AS ss FROM ls) q,
+            UNNEST(q.ss) AS u(t)),
+    g AS (SELECT DISTINCT line AS s FROM occ),
+    gh AS MATERIALIZED (SELECT s, hs FROM ({gh})),
+    r AS (SELECT occ.doc_id, occ.ln,
+                 row_number() OVER (PARTITION BY gh.hs
+                                    ORDER BY occ.doc_id, occ.ln) AS rk
+          FROM occ JOIN gh ON occ.line = gh.s),
+    dr AS (SELECT doc_id, list(ln ORDER BY ln) AS dp
+           FROM r WHERE rk > 1 GROUP BY 1),
+    j AS (SELECT ls.doc_id, ls.lines,
+                 coalesce(dr.dp, CAST([] AS BIGINT[])) AS dp
+          FROM ls LEFT JOIN dr USING (doc_id)),
+    cl AS (SELECT doc_id, len(lines) AS n_lines,
+                  list_transform(list_filter(range(1, len(lines) + 1),
+                      i -> NOT list_contains(dp, i - 1)),
+                      i -> lines[i]) AS kept
+           FROM j)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(n_lines - len(kept) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+    FROM cl
+    """

@@ -425,3 +425,88 @@ def series_features(seq: DataFrame,
         make_series_fn(features, int(max_batch_cells),
                        return_type=return_type),
         series_schema(features, return_type=return_type))
+
+
+# ---------------------------------------------------- outlier windows
+
+#: shared comparison — |mean_w - mean_d| > 2*std_d/sqrt(c_w) (two
+#: standard errors of a c_w-sample mean) with denominators cleared:
+#: both sides are IEEE double products of EXACT BIGINT sufficient
+#: statistics (window count/sum, doc count/sum/sumsq), so the boolean
+#: is bit-identical across engines and cluster sizes.
+_OUT_LHS = ("(CAST(s_w * n_d - s_d * c_w AS DOUBLE)"
+            " * CAST(s_w * n_d - s_d * c_w AS DOUBLE)"
+            " * CAST(n_d - 1 AS DOUBLE))")
+_OUT_RHS = ("(4.0 * CAST(c_w AS DOUBLE)"
+            " * CAST(n_d AS DOUBLE)"
+            " * CAST(n_d * q_d - s_d * s_d AS DOUBLE))")
+
+
+def outlier_windows(seq: DataFrame, window: int = 64) -> DataFrame:
+    """Tier-0 anomaly flags: mark each tumbling window whose mean
+    deviates from its document's mean by more than 2 standard errors
+    (2*std_d/sqrt(c_w) — the rollup-level outlier sweep; ~5% of
+    windows fire under pure noise, deviating segments fire reliably).
+    Returns (doc_id, window_id, c_w, s_w, is_outlier).
+
+    The test is evaluated with denominators cleared —
+    (s_w*n_d - s_d*c_w)^2 * (n_d-1) > 4*c_w*n_d*(n_d*q_d - s_d^2) —
+    over exact integer sufficient statistics, so the flag is
+    bit-deterministic (no float aggregation anywhere).
+
+    Scale shape (100 TB): everything is row-local — doc totals and
+    per-window sums are HOF folds over the unshuffled token array, the
+    window fan-out is a Generate. ZERO Exchange (plan-asserted)."""
+    W = int(window)
+    wins = (f"CASE WHEN n_tok = 0 THEN array() "
+            f"ELSE transform(sequence(1, CAST(ceil(n_tok / {W}.0) AS INT)), "
+            f"i -> struct(CAST(i - 1 AS BIGINT) AS window_id, "
+            f"CAST(size(slice(tokens, (i - 1) * {W} + 1, {W})) AS BIGINT)"
+            f" AS c_w, "
+            f"aggregate(slice(tokens, (i - 1) * {W} + 1, {W}), 0L, "
+            f"(a, x) -> a + x) AS s_w)) END")
+    doc = seq.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_d"),
+        F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("s_d"),
+        F.expr("aggregate(tokens, 0L, (a, x) -> "
+               "a + CAST(x AS BIGINT) * CAST(x AS BIGINT))").alias("q_d"),
+        F.expr(wins).alias("wins"))
+    ex = doc.select("doc_id", "n_d", "s_d", "q_d",
+                    F.explode("wins").alias("w"))
+    return ex.select(
+        "doc_id",
+        F.col("w.window_id").alias("window_id"),
+        F.col("w.c_w").alias("c_w"),
+        F.col("w.s_w").alias("s_w"),
+        F.expr(f"{_OUT_LHS} > {_OUT_RHS}").alias("is_outlier"))
+
+
+def outlier_windows_duckdb(seq_cte: str, window: int = 64) -> str:
+    """DuckDB replay of :func:`outlier_windows` (same cleared-denominator
+    comparison over the same integer sufficient statistics)."""
+    W = int(window)
+    fold = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform({a}, zx -> {v})), (a, x) -> a + x)")
+    s_d = fold.format(a="tokens", v="CAST(zx AS BIGINT)")
+    q_d = fold.format(a="tokens",
+                      v="CAST(zx AS BIGINT) * CAST(zx AS BIGINT)")
+    sl = f"list_slice(tokens, (i - 1) * {W} + 1, (i - 1) * {W} + {W})"
+    s_w = fold.format(a=sl, v="CAST(zx AS BIGINT)")
+    return f"""
+    WITH seq AS ({seq_cte}),
+    doc AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_d,
+                   {s_d} AS s_d, {q_d} AS q_d, tokens
+            FROM seq WHERE n_tok > 0),
+    ex AS (SELECT doc_id, n_d, s_d, q_d,
+                  t.window_id AS window_id, t.c_w AS c_w, t.s_w AS s_w
+           FROM (SELECT doc_id, n_d, s_d, q_d, list_transform(
+                     range(1, CAST(ceil(n_d / {W}.0) AS BIGINT) + 1),
+                     i -> {{'window_id': CAST(i - 1 AS BIGINT),
+                            'c_w': CAST(len({sl}) AS BIGINT),
+                            's_w': {s_w}}}) AS ws
+                 FROM doc) q, UNNEST(q.ws) AS u(t))
+    SELECT doc_id, window_id, c_w, s_w,
+           ({_OUT_LHS} > {_OUT_RHS}) AS is_outlier
+    FROM ex
+    """

@@ -829,3 +829,91 @@ def bloom_decontam_duckdb(bench_pred: str, n: int = DECONTAM_N,
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     WHERE NOT ({bench_pred}) AND ({probe_pred})
     """
+
+
+# ------------------------------------------------------- BM25 retrieval
+
+#: default query terms for the driver query (corpus vocabulary words)
+BM25_TERMS = ("spark", "window", "merge")
+
+#: Okapi BM25 idf in integer MICRO-NATS — ONE format string used
+#: verbatim by both engines (the DSIR precedent: ln() runs on
+#: bit-identical doubles built from integer counts, then rounds to 6dp
+#: fixed point, so the per-term idf is an exact BIGINT both sides).
+_IDF_MICRO = ("CAST(floor(ln((CAST({N} AS DOUBLE) - CAST({df} AS DOUBLE)"
+              " + 0.5) / (CAST({df} AS DOUBLE) + 0.5) + 1.0)"
+              " * 1000000.0 + 0.5) AS BIGINT)")
+
+
+def _bm25_score_expr(terms) -> str:
+    """Per-doc BM25 score with k1=6/5, b=3/4 as a ratio of exact
+    BIGINTs per term: clearing denominators turns
+    tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with avgdl=wsum/n into
+    44*wsum*tf / (20*wsum*tf + 6*wsum + 18*dl*n), so the only float
+    steps are the idf ln (micro-rounded) and one IEEE-exact division +
+    fixed-order sum per term — bit-identical across engines."""
+    contribs = []
+    for i in range(len(terms)):
+        idf = _IDF_MICRO.format(N="n", df=f"df{i}")
+        num = f"(44 * wsum * tf{i})"
+        den = f"(20 * wsum * tf{i} + 6 * wsum + 18 * dl * n)"
+        contribs.append(f"(CAST({idf} * {num} AS DOUBLE)"
+                        f" / CAST({den} AS DOUBLE))")
+    return " + ".join(contribs)
+
+
+def bm25_topk(docs: DataFrame, terms=BM25_TERMS, k: int = 20) -> DataFrame:
+    """Okapi BM25 ranked retrieval: top-k documents for a fixed term
+    set. Returns (doc_id, dl, tf0.., score_bm25), score in micro-nat
+    idf units.
+
+    Scale shape (100 TB): per-doc term frequencies are row-local HOF
+    folds over the words array (no explode, no inverted-index shuffle
+    for a bounded query term list); corpus stats (N, sum dl, per-term
+    df) are ONE map-side-combined aggregate collapsing to a single row
+    that broadcasts back (BroadcastNestedLoopJoin over 1 row); the
+    top-k is TakeOrderedAndProject, never a global sort."""
+    per = (docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+           .select(F.col("doc_id").cast("long").alias("doc_id"),
+                   F.size("ws").cast("long").alias("dl"),
+                   *[F.expr(f"size(filter(ws, x -> x = '{t}'))")
+                     .cast("long").alias(f"tf{i}")
+                     for i, t in enumerate(terms)]))
+    st = per.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("wsum"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long")
+          .alias(f"df{i}") for i in range(len(terms))])
+    scored = per.crossJoin(F.broadcast(st))
+    out = scored.select(
+        "doc_id", "dl", *[f"tf{i}" for i in range(len(terms))],
+        F.expr(_bm25_score_expr(terms)).alias("score_bm25"))
+    return out.orderBy(F.desc("score_bm25"), "doc_id").limit(k)
+
+
+def bm25_topk_duckdb(terms=BM25_TERMS, k: int = 20) -> str:
+    """DuckDB replay of :func:`bm25_topk` over the `documents` view."""
+    w = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+    tfs = ",\n                ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms))
+    dfs = ",\n               ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}" for i in range(len(terms)))
+    tf_cols = ", ".join(f"tf{i}" for i in range(len(terms)))
+    return f"""
+    WITH base AS (SELECT doc_id, {w} AS ws FROM documents),
+    per AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(len(ws) AS BIGINT) AS dl,
+                {tfs}
+            FROM base),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS wsum,
+               {dfs}
+           FROM per)
+    SELECT doc_id, dl, {tf_cols},
+           {_bm25_score_expr(terms)} AS score_bm25
+    FROM per, st
+    ORDER BY score_bm25 DESC, doc_id
+    LIMIT {k}
+    """
