@@ -132,7 +132,10 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # mix_temperature is timed separately below (schema-agnostic
           # skew slice: the driver query's doc_id % 4 assumes BIGINT ids)
           "pack_examples", "pack_nfd", "epoch_shuffle", "dataset_split",
-          "dup_span_stats",
+          "dup_span_stats", "outlier_windows",
+          # line_dedup / bm25_topk cast doc_id to BIGINT for the oracle
+          # hash; the x10 fixture's replica ids are strings, so they are
+          # sf0.1-only here
           "simhash_check", "text_quality",
           # decontam_overlap is timed separately below with a
           # schema-agnostic benchmark slice (pmod(xxhash64(string), 7)):
@@ -336,7 +339,8 @@ def main() -> None:
                 "word_freq_stats", "source_quantiles", "pii_scrub",
                 "sessionize_stats", "session_funnel", "events_asof",
                 "media_meta", "media_features",
-                "frame_sample", "compression_roundtrip"]
+                "frame_sample", "compression_roundtrip",
+                "line_dedup", "bm25_topk", "outlier_windows"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x
     # minute-to-minute (hypervisor neighbors), and single-shot timings
     # made round-over-round comparisons mostly measure that drift
