@@ -35,8 +35,8 @@ from tsf import dedup, dsir, gapfill, multimodal, pairwise, pii, sampling, simil
 from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
-from tsf.rollup import (next_tier, outlier_windows_duckdb, tier0,  # noqa: E402
-                        tier0_vectors)
+from tsf.rollup import (next_tier, outlier_windows_duckdb,  # noqa: E402
+                        rolling_windows_duckdb, tier0, tier0_vectors)
 
 STATS = ["cnt", "sum_tok", "min_tok", "max_tok", "mean", "std"]
 
@@ -687,6 +687,16 @@ def q_outlier_windows(spark, sf_dir):
     sufficient stats (bit-deterministic booleans). Zero Exchange."""
     from tsf.rollup import outlier_windows
     return outlier_windows(_seq(spark, sf_dir), window=64)
+
+
+def q_rolling_rollup(spark, sf_dir):
+    """Rolling continuous aggregate over the tier-0 window stream:
+    trailing-4-window count/sum/mean per (doc, window) — the classic
+    moving-average continuous query at rollup-row granularity. The
+    rolling mean is one IEEE division of exact BIGINTs; the only
+    Exchange carries rollup rows, never tokens."""
+    from tsf.rollup import rolling_windows
+    return rolling_windows(_seq(spark, sf_dir), window=64, k=4)
 
 
 def q_epoch_shuffle(spark, sf_dir):
@@ -1422,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "bm25_topk": q_bm25_topk,
         "outlier_windows": q_outlier_windows,
+        "rolling_rollup": q_rolling_rollup,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -2492,6 +2503,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "line_dedup": dedup.line_dedup_duckdb(lw=4),
         "bm25_topk": textstats.bm25_topk_duckdb(k=20),
         "outlier_windows": outlier_windows_duckdb(_SEQ, window=64),
+        "rolling_rollup": rolling_windows_duckdb(_SEQ, window=64, k=4),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(
             _SEQ, epoch=3, n_shards=8),
         "dataset_split": sampling.dataset_split_duckdb(_SEQ, seed=7),

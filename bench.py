@@ -132,7 +132,7 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # mix_temperature is timed separately below (schema-agnostic
           # skew slice: the driver query's doc_id % 4 assumes BIGINT ids)
           "pack_examples", "pack_nfd", "epoch_shuffle", "dataset_split",
-          "dup_span_stats", "outlier_windows",
+          "dup_span_stats", "outlier_windows", "rolling_rollup",
           # line_dedup / bm25_topk cast doc_id to BIGINT for the oracle
           # hash; the x10 fixture's replica ids are strings, so they are
           # sf0.1-only here
@@ -340,7 +340,8 @@ def main() -> None:
                 "sessionize_stats", "session_funnel", "events_asof",
                 "media_meta", "media_features",
                 "frame_sample", "compression_roundtrip",
-                "line_dedup", "bm25_topk", "outlier_windows"]
+                "line_dedup", "bm25_topk", "outlier_windows",
+                "rolling_rollup"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x
     # minute-to-minute (hypervisor neighbors), and single-shot timings
     # made round-over-round comparisons mostly measure that drift

@@ -1385,3 +1385,19 @@ def test_outlier_windows_flags_deviant_window(spark):
     # constant doc: var 0, every deviation 0 -> no flags; ragged tail
     assert [r.c_w for r in d2] == [10, 10, 5]
     assert not any(r.is_outlier for r in d2)
+
+
+# ------------------------------------------------------- rolling rollup
+
+def test_rolling_windows_frame_and_exact_mean(spark):
+    from tsf.rollup import rolling_windows
+    toks = [2] * 10 + [4] * 10 + [6] * 10   # window=10 -> sums 20,40,60
+    seq = spark.createDataFrame(
+        [("d1", toks, len(toks), "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    rows = sorted(rolling_windows(seq, window=10, k=2).collect(),
+                  key=lambda r: r.window_id)
+    assert [r.roll_n for r in rows] == [1, 2, 2]      # frame ramps up
+    assert [r.roll_sum for r in rows] == [20, 60, 100]
+    assert [r.roll_cnt for r in rows] == [10, 20, 20]
+    assert [r.roll_mean for r in rows] == [2.0, 3.0, 5.0]

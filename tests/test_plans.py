@@ -303,3 +303,19 @@ def test_bm25_topk_take_ordered_broadcast_stats(spark, sf001):
     assert "TakeOrderedAndProject" in p, p
     assert "BroadcastNestedLoopJoin" in p, p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_rolling_windows_single_rollup_row_exchange(spark, sf001):
+    """Rolling rollup: window sums are row-local folds; the one
+    Exchange carries (doc_id, window_id, two BIGINTs) rollup rows —
+    never tokens or text."""
+    import re
+
+    from tsf.rollup import rolling_windows
+    seq = sequences_from_documents(spark, sf001)
+    p = _plan(rolling_windows(seq, window=20, k=4))
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]+)", p)
+    assert len(keys) == 1 and "doc_id" in keys[0], keys
+    exlines = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert all("tokens" not in ln and "text" not in ln
+               for ln in exlines), exlines

@@ -510,3 +510,73 @@ def outlier_windows_duckdb(seq_cte: str, window: int = 64) -> str:
            ({_OUT_LHS} > {_OUT_RHS}) AS is_outlier
     FROM ex
     """
+
+
+def rolling_windows(seq: DataFrame, window: int = 64,
+                    k: int = 4) -> DataFrame:
+    """Rolling continuous aggregate over the tier-0 window stream: for
+    each (doc, window) emit the trailing-k-window count/sum and the
+    rolling mean (frame ramps up at the head of each doc — the standard
+    moving-average continuous query over rollup rows). Returns
+    (doc_id, window_id, c_w, s_w, roll_n, roll_cnt, roll_sum,
+    roll_mean).
+
+    roll_mean is ONE IEEE division of two exact BIGINTs, so values are
+    bit-identical across engines and cluster sizes.
+
+    Scale shape (100 TB): window sums are row-local HOF folds (zero
+    token shuffle); the ONLY Exchange carries (doc_id, window_id, two
+    BIGINTs) — rollup rows, ~window× smaller than the corpus — for the
+    per-doc ordered frame (plan-asserted single Exchange)."""
+    from pyspark.sql import Window as W_
+    W = int(window)
+    wins = (f"CASE WHEN n_tok = 0 THEN array() "
+            f"ELSE transform(sequence(1, CAST(ceil(n_tok / {W}.0) AS INT)), "
+            f"i -> struct(CAST(i - 1 AS BIGINT) AS window_id, "
+            f"CAST(size(slice(tokens, (i - 1) * {W} + 1, {W})) AS BIGINT)"
+            f" AS c_w, "
+            f"aggregate(slice(tokens, (i - 1) * {W} + 1, {W}), 0L, "
+            f"(a, x) -> a + x) AS s_w)) END")
+    ex = (seq.select("doc_id", F.explode(F.expr(wins)).alias("w"))
+          .select("doc_id", "w.window_id", "w.c_w", "w.s_w"))
+    frame = (W_.partitionBy("doc_id").orderBy("window_id")
+             .rowsBetween(-(int(k) - 1), 0))
+    return (ex.select(
+        "doc_id", "window_id", "c_w", "s_w",
+        F.count("*").over(frame).alias("roll_n"),
+        F.sum("c_w").over(frame).alias("roll_cnt"),
+        F.sum("s_w").over(frame).alias("roll_sum"))
+        .withColumn("roll_mean", F.expr(
+            "CAST(roll_sum AS DOUBLE) / CAST(roll_cnt AS DOUBLE)")))
+
+
+def rolling_windows_duckdb(seq_cte: str, window: int = 64,
+                           k: int = 4) -> str:
+    """DuckDB replay of :func:`rolling_windows` (same frame, same
+    single exact-BIGINT division)."""
+    W = int(window)
+    fold = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform({a}, zx -> CAST(zx AS BIGINT))), "
+            "(a, x) -> a + x)")
+    sl = f"list_slice(tokens, (i - 1) * {W} + 1, (i - 1) * {W} + {W})"
+    s_w = fold.format(a=sl)
+    fr = (f"OVER (PARTITION BY doc_id ORDER BY window_id "
+          f"ROWS BETWEEN {int(k) - 1} PRECEDING AND CURRENT ROW)")
+    return f"""
+    WITH seq AS ({seq_cte}),
+    ex AS (SELECT doc_id, t.window_id AS window_id,
+                  t.c_w AS c_w, t.s_w AS s_w
+           FROM (SELECT doc_id, list_transform(
+                     range(1, CAST(ceil(n_tok / {W}.0) AS BIGINT) + 1),
+                     i -> {{'window_id': CAST(i - 1 AS BIGINT),
+                            'c_w': CAST(len({sl}) AS BIGINT),
+                            's_w': {s_w}}}) AS ws
+                 FROM seq WHERE n_tok > 0) q, UNNEST(q.ws) AS u(t))
+    SELECT doc_id, window_id, c_w, s_w,
+           CAST(count(*) {fr} AS BIGINT) AS roll_n,
+           CAST(sum(c_w) {fr} AS BIGINT) AS roll_cnt,
+           CAST(sum(s_w) {fr} AS BIGINT) AS roll_sum,
+           CAST(sum(s_w) {fr} AS DOUBLE)
+             / CAST(sum(c_w) {fr} AS DOUBLE) AS roll_mean
+    FROM ex
+    """
