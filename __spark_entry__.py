@@ -970,8 +970,10 @@ INCR_PRED = "doc_id % 5 = 0"
 def _minhash_index_path(sf_dir: str) -> str:
     import hashlib
     src = f"{sf_dir}/documents.parquet"
+    # v2: the index layout gained a batch partition level — the key
+    # bump keeps a stale pre-change cache dir from being probed
     key = hashlib.md5(
-        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+        f"v2:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
     return f"/tmp/tsf_ann_index/minhash_{key}"
 
 
@@ -983,10 +985,11 @@ def q_dedup_incremental(spark, sf_dir):
     the daily-crawl path that never re-pairs the full corpus. The DuckDB
     oracle replays the whole hash chain (xxh64 shingles -> signatures ->
     band hashes -> est jaccard) with the old/new split."""
-    from tsf.dedup import build_minhash_index, dedup_against_index
+    from tsf.dedup import (build_minhash_index, dedup_against_index,
+                           minhash_index_exists)
     docs = _docs(spark, sf_dir)
     p = _minhash_index_path(sf_dir)
-    if not Path(p, "_minhash_params.json").exists():
+    if not minhash_index_exists(spark, p):
         # 8 buckets at driver scale (64 dirs); at 100 TB size buckets so
         # a directory is a few files of ~1 GB
         build_minhash_index(docs.where(f"NOT ({INCR_PRED})"), p,

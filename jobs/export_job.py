@@ -111,9 +111,8 @@ def run(spark, args) -> dict:
     # 3b. history dedup (optional): probe the persisted minhash index —
     #     the daily-increment path; accepted docs fold into the index so
     #     the NEXT export run dedups against this one too
-    from pathlib import Path as _P
-    index_exists = bool(args.index) and _P(
-        args.index, "_minhash_params.json").exists()
+    index_exists = bool(args.index) and dedup.minhash_index_exists(
+        spark, args.index)
     if index_exists:
         hist = dedup.dedup_against_index(
             spark, docs, args.index, args.near_threshold) \
@@ -182,9 +181,17 @@ def run(spark, args) -> dict:
                        .cast(src.schema["doc_id"].dataType)
                        .alias("doc_id")), "doc_id")
         if index_exists:
-            dedup.append_minhash_index(accepted, args.index)
+            # the tag makes a RETRIED export idempotent on the index
+            # (same tag -> the retry overwrites its own batch
+            # partitions); untagged runs get a unique tag (plain append)
+            dedup.append_minhash_index(accepted, args.index,
+                                       batch=args.index_batch)
         else:
-            dedup.build_minhash_index(accepted, args.index)
+            # the creating run stamps the SAME tag, so a retry that
+            # finds the index half-created appends over its own batch
+            # instead of doubling every signature (base + tag)
+            dedup.build_minhash_index(accepted, args.index,
+                                      batch=args.index_batch or "base")
     out.unpersist()
     return stats
 
@@ -206,6 +213,11 @@ def main(argv: list[str] | None = None) -> dict:
                    help="persisted minhash index path: dedup this "
                         "export against ALL previous exports' docs and "
                         "fold the survivors in (daily-increment mode)")
+    p.add_argument("--index-batch", default=None,
+                   help="idempotence tag for the index append (e.g. "
+                        "the run date): a retried export with the same "
+                        "tag overwrites its own index increment "
+                        "instead of appending twice")
     p.add_argument("--near-threshold", type=float, default=0.3)
     p.add_argument("--bench-pred", default=None,
                    help="SQL predicate selecting the benchmark slice")
@@ -227,8 +239,12 @@ def main(argv: list[str] | None = None) -> dict:
     stats = run(spark, args)
     stats["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
-    Path(f"{args.output}/_export_stats.json").write_text(
-        json.dumps(stats, indent=1))
+    # through the Hadoop FS, not driver-local pathlib: --output may be
+    # hdfs:///s3a:// from spark-submit (a local write would crash AFTER
+    # a successful export and mark the whole job failed)
+    from tsf.io import hadoop_write_text
+    hadoop_write_text(spark, f"{args.output}/_export_stats.json",
+                      json.dumps(stats, indent=1))
     return stats
 
 

@@ -37,3 +37,17 @@ def test_write_rollup_table_mode_validation(spark):
     with pytest.raises(ValueError, match="overwrite' or 'append"):
         write_rollup(roll, "ignored", mode="errorifexists",
                      table="cat.db.rollup")
+
+
+def test_hadoop_text_helpers_roundtrip(spark, tmp_path):
+    """Metadata IO goes through the Hadoop FS (works on hdfs:///s3a://
+    URIs from spark-submit, where driver-local pathlib would raise):
+    write/read/exists round-trip, overwrite-in-place, unicode-safe."""
+    from tsf.io import hadoop_exists, hadoop_read_text, hadoop_write_text
+    p = str(tmp_path / "sub" / "params.json")  # parent auto-created
+    assert not hadoop_exists(spark, p)
+    hadoop_write_text(spark, p, '{"k": 3, "note": "π"}')
+    assert hadoop_exists(spark, p)
+    assert hadoop_read_text(spark, p) == '{"k": 3, "note": "π"}'
+    hadoop_write_text(spark, p, "v2")  # overwrite, not append
+    assert hadoop_read_text(spark, p) == "v2"

@@ -454,3 +454,48 @@ def test_stream_dedup_against_index(spark, tmp_path):
     run_once()
     got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got2 == {101, 102, 201}
+
+
+def test_stream_dedup_batch_replay_idempotent(spark, tmp_path):
+    """Checkpoint-replay safety: re-running the SAME micro-batch (same
+    batch_df + batch_id — what foreachBatch does after a crash between
+    the index append and the checkpoint commit) must reproduce the
+    identical landing directory and index state. The killer case is two
+    near-dup docs WITHIN the batch (different doc_ids): the first
+    attempt appended both to the index, so a naive replay probe flags
+    each against the other and rewrites the landing dir EMPTY —
+    permanently losing both docs."""
+    from pyspark.sql import Row
+    from tsf.dedup import build_minhash_index, dedup_against_index
+    from tsf.streaming import _dedup_index_batch
+
+    words = lambda seed: " ".join(f"w{seed}x{i}" for i in range(40))
+    near = lambda seed, edit: " ".join(
+        (f"E{edit}" if i == 0 else f"w{seed}x{i}") for i in range(40))
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=words(i)) for i in range(10)])
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "fresh")
+    build_minhash_index(corpus, idx, buckets=4)
+
+    # batch 7: docs 300/301 are near-dups OF EACH OTHER (one-word edits
+    # of the same base, jaccard ~0.9) but of nothing in the index;
+    # doc 302 is a true dup of indexed doc 4
+    batch = spark.createDataFrame([
+        Row(doc_id=300, text=near(900, 1)),
+        Row(doc_id=301, text=near(900, 2)),
+        Row(doc_id=302, text=words(4)),
+    ])
+    for attempt in range(2):  # first attempt, then the crash replay
+        _dedup_index_batch(spark, batch, 7, idx, out, threshold=0.5)
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == {300, 301}, (attempt, got)
+        # index state is stable too: batch b7's sig partition holds
+        # exactly the two fresh docs, not 2x after the replay
+        sigs = spark.read.parquet(f"{idx}/sigs").where("batch = 'b7'")
+        assert sigs.count() == 2, attempt
+    # and the append really landed: a later increment's copy of doc 300
+    # is rejected by the probe (no exclusion — different batch)
+    inc = spark.createDataFrame([Row(doc_id=400, text=near(900, 1))])
+    dups = dedup_against_index(spark, inc, idx, 0.5)
+    assert {r["dup_of"] for r in dups.collect()} >= {300}

@@ -86,6 +86,28 @@ def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 32) -> Dat
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def _banded(sig: DataFrame, bands: int, rows: int,
+            doc_alias: str = "doc_id") -> DataFrame:
+    """(doc, band, bh): each signature sliced into ``bands`` bands of
+    ``rows`` minhashes, each band hashed to ONE 64-bit band key.
+
+    This is the band-layout CONTRACT shared by the in-corpus pair
+    generator (:func:`minhash_pairs`), the persisted-index writer
+    (:func:`build_minhash_index`) and the index prober
+    (:func:`dedup_against_index`): writer and prober must agree on it
+    by construction — a drifted copy would make every probe silently
+    miss all index candidates (empty dedup result, no error)."""
+    band_cols = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
+                              for r in range(rows)]).alias("bh"))
+        for b in range(bands)])).alias("bb")
+    return (sig.select("doc_id", band_cols)
+            .select(F.col("doc_id").alias(doc_alias),
+                    F.col("bb.band").alias("band"),
+                    F.col("bb.bh").alias("bh")))
+
+
 def minhash_pairs(docs: DataFrame, k: int = 3, num_hashes: int = 32,
                   bands: int = 8, threshold: float = 0.5) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + exact minhash-Jaccard filter."""
@@ -94,16 +116,10 @@ def minhash_pairs(docs: DataFrame, k: int = 3, num_hashes: int = 32,
     # persist so shingle+minhash aggregation runs once (scoped: released
     # by the caller's tsf.caching.persist_scope after the terminal action)
     sig = scoped_persist(minhash_signatures(docs, k, num_hashes))
-    band_cols = F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
-                              for r in range(rows)]).alias("bh"))
-        for b in range(bands)])).alias("bb")
     # bands only — the 256B signature array does NOT ride through the
     # exploded band join (it would double the shuffle payload x bands);
     # signatures re-join once per DISTINCT candidate pair below
-    banded = sig.select("doc_id", band_cols).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _banded(sig, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, ["band", "bh"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -987,66 +1003,99 @@ def ngram_jaccard_duckdb(threshold: float = 0.3, k: int = 3) -> str:
 # `append_minhash_index` folds an accepted increment in as new parquet
 # files under the same layout — no rewrite of existing partitions.
 
+def _index_params_path(path: str) -> str:
+    return f"{path}/_minhash_params.json"
+
+
+def minhash_index_exists(spark, path: str) -> bool:
+    """True iff a persisted index (its params file) exists at ``path`` —
+    on whatever Hadoop filesystem the path names (local, HDFS, s3a)."""
+    from tsf.io import hadoop_exists
+    return hadoop_exists(spark, _index_params_path(path))
+
+
+def _read_index_params(spark, path: str) -> dict:
+    import json as _json
+    from tsf.io import hadoop_read_text
+    return _json.loads(hadoop_read_text(spark, _index_params_path(path)))
+
+
 def build_minhash_index(docs: DataFrame, path: str, k: int = 3,
                         num_hashes: int = 32, bands: int = 8,
-                        buckets: int = 32, mode: str = "overwrite") -> dict:
-    """Persist the banded signature index for `docs` at `path`."""
+                        buckets: int = 32, mode: str = "overwrite",
+                        batch: str = "base") -> dict:
+    """Persist the banded signature index for `docs` at `path`.
+
+    Layout: ``bands/band=*/bkt=*/batch=*`` + ``sigs/batch=*``. The
+    ``batch`` partition makes increments REPLAY-IDEMPOTENT: an append
+    with the same batch tag dynamically overwrites exactly its own
+    leaf partitions (a crashed-and-retried increment lands once, never
+    twice), while ``mode='overwrite'`` (the initial build) statically
+    replaces the whole index. Params go through the Hadoop FS so remote
+    index paths (hdfs://, s3a://) work from spark-submit deployments.
+    """
     import json as _json
-    from pathlib import Path as _P
     rows = num_hashes // bands
     sig = scoped_persist(minhash_signatures(docs, k, num_hashes))
-    band_cols = F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
-                              for r in range(rows)]).alias("bh"))
-        for b in range(bands)])).alias("bb")
-    banded = (sig.select("doc_id", band_cols)
-              .select("doc_id", F.col("bb.band").alias("band"),
-                      F.col("bb.bh").alias("bh"))
+    banded = (_banded(sig, bands, rows)
               .withColumn("bkt",
-                          F.pmod("bh", F.lit(buckets)).cast("int")))
+                          F.pmod("bh", F.lit(buckets)).cast("int"))
+              .withColumn("batch", F.lit(batch)))
     # one shuffle keyed on the layout -> one file per (band, bkt) dir
     # (without it every task writes a sliver into every directory)
-    banded.repartition("band", "bkt").write.mode(mode) \
-        .partitionBy("band", "bkt").parquet(f"{path}/bands")
-    sig.write.mode(mode).parquet(f"{path}/sigs")
+    bw = (banded.repartition("band", "bkt").write
+          .partitionBy("band", "bkt", "batch"))
+    sw = (sig.withColumn("batch", F.lit(batch)).write
+          .partitionBy("batch"))
+    if mode == "append":
+        # per-batch dynamic overwrite: replaces only THIS batch's
+        # partitions, so a checkpoint-replayed increment is idempotent
+        (bw.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+         .parquet(f"{path}/bands"))
+        (sw.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+         .parquet(f"{path}/sigs"))
+        return _read_index_params(docs.sparkSession, path)
+    bw.mode(mode).parquet(f"{path}/bands")
+    sw.mode(mode).parquet(f"{path}/sigs")
     params = {"k": k, "num_hashes": num_hashes, "bands": bands,
               "buckets": buckets}
-    _P(path, "_minhash_params.json").write_text(_json.dumps(params))
+    from tsf.io import hadoop_write_text
+    hadoop_write_text(docs.sparkSession, _index_params_path(path),
+                      _json.dumps(params))
     return params
 
 
-def append_minhash_index(docs: DataFrame, path: str) -> None:
-    """Fold an accepted increment into an existing index (append-only:
-    new parquet files land under the same (band, bkt) directories)."""
-    import json as _json
-    from pathlib import Path as _P
-    p = _json.loads(_P(path, "_minhash_params.json").read_text())
-    build_minhash_index(docs, path, mode="append", **p)
+def append_minhash_index(docs: DataFrame, path: str,
+                         batch: str | None = None) -> None:
+    """Fold an accepted increment into an existing index. ``batch`` is
+    the increment's idempotence tag: re-appending under the SAME tag
+    overwrites that batch's partitions instead of duplicating rows
+    (pass the streaming batch_id / the export run's date); ``None``
+    generates a unique tag (plain append semantics)."""
+    import uuid
+    p = _read_index_params(docs.sparkSession, path)
+    batch = batch if batch is not None else f"u{uuid.uuid4().hex[:12]}"
+    build_minhash_index(docs, path, mode="append", batch=batch, **p)
 
 
 def dedup_against_index(spark, new_docs: DataFrame, path: str,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        exclude: DataFrame | None = None) -> DataFrame:
     """(new_doc_id, dup_of, est_jaccard >= threshold) for an increment
     probed against the persisted index. Self-matches (same doc_id) are
-    excluded so re-probing already-appended docs stays sane."""
-    import json as _json
-    from pathlib import Path as _P
+    excluded so re-probing already-appended docs stays sane.
+
+    ``exclude``: optional (doc_id) frame of index entries to IGNORE as
+    ``dup_of`` — a replayed streaming batch passes its own doc_ids so
+    index rows its crashed first attempt appended cannot eliminate the
+    batch against itself (tsf.streaming.stream_dedup_against_index)."""
     from pyspark.sql.functions import broadcast
-    p = _json.loads(_P(path, "_minhash_params.json").read_text())
+    p = _read_index_params(spark, path)
     k, num_hashes = p["k"], p["num_hashes"]
     bands, buckets = p["bands"], p["buckets"]
     rows = num_hashes // bands
     sig_new = scoped_persist(minhash_signatures(new_docs, k, num_hashes))
-    band_cols = F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
-                              for r in range(rows)]).alias("bh"))
-        for b in range(bands)])).alias("bb")
-    banded_new = (sig_new.select("doc_id", band_cols)
-                  .select(F.col("doc_id").alias("new_doc_id"),
-                          F.col("bb.band").alias("band"),
-                          F.col("bb.bh").alias("bh"))
+    banded_new = (_banded(sig_new, bands, rows, doc_alias="new_doc_id")
                   # int, matching the parsed partition-directory type:
                   # a CAST around the index's partition column in the
                   # join key disqualifies dynamic partition pruning
@@ -1071,6 +1120,10 @@ def dedup_against_index(spark, new_docs: DataFrame, path: str,
             .where(F.col("doc_id") != F.col("new_doc_id"))
             .select(F.col("new_doc_id"), F.col("doc_id").alias("dup_of"))
             .dropDuplicates(["new_doc_id", "dup_of"]))
+    if exclude is not None:
+        cand = cand.join(
+            broadcast(exclude.select(F.col("doc_id").alias("dup_of"))),
+            "dup_of", "left_anti")
     sig_old = spark.read.parquet(f"{path}/sigs")
     est = (cand
            .join(sig_old.select(F.col("doc_id").alias("dup_of"),

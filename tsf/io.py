@@ -91,6 +91,52 @@ def synth_sequences(spark: SparkSession, n_docs: int = 200, seed: int = 42,
     return sdf.repartition(partitions, "doc_id")
 
 
+# ------------------------------------------------- portable metadata IO
+#
+# Driver-side pathlib only works for paths on the driver's local disk; a
+# cluster deployment points index/output at hdfs:///s3a:// URIs where
+# the parquet data lands through Hadoop FS but a local `Path(...).
+# write_text` raises FileNotFoundError. These helpers route tiny
+# metadata files (index params, export stats) through the SAME Hadoop
+# FileSystem the data uses, so "spark-submit --master yarn ... --output
+# s3a://bucket/export" works end-to-end. Scheme-less paths resolve
+# against fs.defaultFS (local[*] -> local disk; a real cluster -> HDFS),
+# which is exactly where the sibling parquet directories go.
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p
+
+
+def hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write ``text`` as one file at ``path`` on whatever Hadoop
+    filesystem the path's scheme (or fs.defaultFS) names."""
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_read_text(spark: SparkSession, path: str) -> str:
+    fs, p = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def hadoop_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
 def write_rollup(df: DataFrame, path: str, mode: str = "overwrite",
                  partition_cols: tuple[str, ...] = ("source",),
                  table: str | None = None,

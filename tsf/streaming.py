@@ -418,6 +418,50 @@ def stream_tier0_stateful(chunk_stream: DataFrame,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def _dedup_index_batch(spark: SparkSession, batch_df: DataFrame,
+                       batch_id: int, index_path: str, out_path: str,
+                       threshold: float) -> None:
+    """One micro-batch of :func:`stream_dedup_against_index` — module
+    level so tests can drive the replay path directly. Idempotent under
+    checkpoint replay (same batch_df + batch_id re-run after a crash
+    anywhere in the body yields the identical landing dir and index):
+
+    - the probe passes the batch's own doc_ids as ``exclude``, so index
+      entries a crashed first attempt already appended cannot eliminate
+      the batch against itself (two near-dup docs IN the batch would
+      otherwise flag each other on replay — different doc_ids, so the
+      self-match rule alone does not cover them — and the rewrite would
+      silently drop both);
+    - the landing write overwrites the batch's own directory;
+    - the index append is tagged ``b{batch_id}``: a replay dynamically
+      overwrites that batch's partitions instead of appending twice.
+
+    Within-batch duplicates collapse to the first doc_id before the
+    probe (exact collapse only; near-dups within one batch both land —
+    they meet in the NEXT increment's probe only if re-sent)."""
+    from tsf import dedup as D
+    from tsf.caching import persist_scope, scoped_persist
+
+    if batch_df.isEmpty():
+        return
+    with persist_scope():
+        batch_df = scoped_persist(batch_df)
+        # within-batch exact collapse (first-wins by doc_id)
+        keep = D.exact_dedup(batch_df).select(
+            F.col("keep_doc_id").alias("doc_id"))
+        fresh = batch_df.join(keep, "doc_id")
+        dup = (D.dedup_against_index(spark, fresh, index_path, threshold,
+                                     exclude=fresh.select("doc_id"))
+               .select("new_doc_id")
+               .distinct().withColumnRenamed("new_doc_id", "doc_id"))
+        fresh = scoped_persist(fresh.join(dup, "doc_id", "left_anti"))
+        # idempotent per-batch landing zone: a checkpoint replay
+        # rewrites the same directory instead of appending twice
+        fresh.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}")
+        D.append_minhash_index(fresh, index_path, batch=f"b{batch_id}")
+
+
 def stream_dedup_against_index(spark: SparkSession, docs_stream: DataFrame,
                                index_path: str, out_path: str,
                                checkpoint_dir: str,
@@ -427,36 +471,15 @@ def stream_dedup_against_index(spark: SparkSession, docs_stream: DataFrame,
     writes only FRESH docs to ``out_path``, and folds the accepted batch
     into the index so later batches — and later runs — dedup against it.
 
-    Composition of exactly-once pieces: the streaming checkpoint replays
-    unfinished batches; a replayed batch re-probes the index and, since
-    its docs were already appended, would see itself — so the probe
-    EXCLUDES self-matches by doc_id (tsf.dedup.dedup_against_index
-    semantics) and the parquet append of fresh rows is idempotent per
-    batch via a batch_id subdirectory (a replay overwrites its own
-    directory, never duplicating rows in the union view). Within-batch
-    duplicates collapse to the first doc_id before the probe."""
-    from tsf import dedup as D
+    Exactly-once composition: the streaming checkpoint replays
+    unfinished batches, and every side effect in the batch body is
+    replay-idempotent — see :func:`_dedup_index_batch` (probe excludes
+    the batch's own ids, landing dir overwrites itself, index append is
+    batch-tagged with dynamic partition overwrite)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_df = batch_df.persist()
-        try:
-            # within-batch exact collapse (first-wins by doc_id)
-            keep = D.exact_dedup(batch_df).select(
-                F.col("keep_doc_id").alias("doc_id"))
-            fresh = batch_df.join(keep, "doc_id")
-            dup = D.dedup_against_index(spark, fresh, index_path,
-                                        threshold).select("new_doc_id") \
-                .distinct().withColumnRenamed("new_doc_id", "doc_id")
-            fresh = fresh.join(dup, "doc_id", "left_anti").persist()
-            # idempotent per-batch landing zone: a checkpoint replay
-            # rewrites the same directory instead of appending twice
-            fresh.write.mode("overwrite").parquet(
-                f"{out_path}/batch_id={batch_id}")
-            D.append_minhash_index(fresh, index_path)
-        finally:
-            batch_df.unpersist()
+        _dedup_index_batch(spark, batch_df, batch_id, index_path,
+                           out_path, threshold)
 
     return (docs_stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
