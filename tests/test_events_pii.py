@@ -137,6 +137,23 @@ def test_pii_detect_and_redact(spark):
     assert out[4]["text_redacted"] == "<EMAIL> x <IP> y <PHONE>"
 
 
+def test_pii_ip_host_email_redacts_whole_address(spark):
+    """An address with an IPv4 host must redact as ONE <EMAIL> — the
+    email rule's IP-host arm; without it the IP rule eats only the host
+    and the username survives as 'bob@<IP>'."""
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="contact bob@10.1.2.3 now"),
+        Row(doc_id=1, text="bare host 10.1.2.3 stays an <IP> match"),
+    ])
+    out = {r["doc_id"]: r for r in pii.pii_scrub(docs).collect()}
+    # counts are independent per-class passes (the embedded IP also
+    # counts); REDACTION is sequential, email first, so the whole
+    # address — username included — becomes one placeholder
+    assert (out[0]["n_email"], out[0]["n_ipv4"]) == (1, 1)
+    assert out[0]["text_redacted"] == "contact <EMAIL> now"
+    assert (out[1]["n_email"], out[1]["n_ipv4"]) == (0, 1)
+
+
 def test_pii_zero_exchange(spark, sf001):
     docs = spark.read.parquet(f"{sf001}/documents.parquet")
     df = pii.pii_scrub(docs)

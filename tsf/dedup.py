@@ -368,19 +368,45 @@ def simhash_check_duckdb(k: int = 3) -> str:
 SPAN_L = 20
 
 
-def dup_span_stats(seq: DataFrame, L: int = SPAN_L) -> DataFrame:
-    """doc_id, n_spans, n_dup_spans, dup_token_frac — see module notes."""
+def _span_positions(seq: DataFrame, L: int) -> DataFrame:
+    """(doc_id, pos, h): every 1-based L-token span position with its
+    polynomial span hash — the span-identity CONTRACT shared by the
+    stats operator (:func:`dup_span_stats`) and the removal operator
+    (:func:`remove_dup_spans`); one definition so a hash-family change
+    (e.g. the documented xxhash64-over-slice drop-in) cannot
+    desynchronize what one flags from what the other cuts."""
     from tsf.textstats import FP_MOD
     span_hash = (f"aggregate(slice(tokens, i, {L}), 0L, "
                  f"(a, x) -> (a * 31 + x) % {FP_MOD})")
-    pos = (seq.where(F.col("n_tok") >= L)
-           .select("doc_id",
-                   F.explode(F.expr(
-                       f"transform(sequence(1, n_tok - {L} + 1), "
-                       f"i -> struct(i AS pos, {span_hash} AS h))"))
-                   .alias("s"))
-           .select("doc_id", F.col("s.pos").alias("pos"),
-                   F.col("s.h").alias("h")))
+    return (seq.where(F.col("n_tok") >= L)
+            .select("doc_id",
+                    F.explode(F.expr(
+                        f"transform(sequence(1, n_tok - {L} + 1), "
+                        f"i -> struct(i AS pos, {span_hash} AS h))"))
+                    .alias("s"))
+            .select("doc_id", F.col("s.pos").alias("pos"),
+                    F.col("s.h").alias("h")))
+
+
+def _span_pos_cte(L: int) -> str:
+    """DuckDB twin of :func:`_span_positions` (a `pos` CTE body over a
+    `seq` CTE) — one definition for both oracle replays."""
+    from tsf.textstats import FP_MOD
+    span_hash = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                 f"list_transform(list_slice(tokens, i, i + {L} - 1), "
+                 f"zx -> CAST(zx AS BIGINT))), "
+                 f"(a, x) -> (a * 31 + x) % {FP_MOD})")
+    return f"""(SELECT doc_id, t.pos AS pos, t.h AS h
+            FROM (SELECT doc_id, list_transform(
+                      range(1, n_tok - {L} + 2),
+                      i -> {{'pos': i, 'h': {span_hash}}}) AS ss
+                  FROM seq WHERE n_tok >= {L}) q,
+            UNNEST(q.ss) AS u(t))"""
+
+
+def dup_span_stats(seq: DataFrame, L: int = SPAN_L) -> DataFrame:
+    """doc_id, n_spans, n_dup_spans, dup_token_frac — see module notes."""
+    pos = _span_positions(seq, L)
     cnt = pos.withColumn(
         "cnt", F.count("*").over(Window.partitionBy("h")))
     dup = cnt.where(F.col("cnt") > 1)
@@ -406,19 +432,9 @@ def dup_span_stats(seq: DataFrame, L: int = SPAN_L) -> DataFrame:
 def dup_span_stats_duckdb(seq_cte: str, L: int = SPAN_L) -> str:
     """DuckDB replay of :func:`dup_span_stats` — identical rolling hash,
     window count, interval union, rounding."""
-    from tsf.textstats import FP_MOD
-    span_hash = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-                 f"list_transform(list_slice(tokens, i, i + {L} - 1), "
-                 f"zx -> CAST(zx AS BIGINT))), "
-                 f"(a, x) -> (a * 31 + x) % {FP_MOD})")
     return f"""
     WITH seq AS ({seq_cte}),
-    pos AS (SELECT doc_id, t.pos AS pos, t.h AS h
-            FROM (SELECT doc_id, list_transform(
-                      range(1, n_tok - {L} + 2),
-                      i -> {{'pos': i, 'h': {span_hash}}}) AS ss
-                  FROM seq WHERE n_tok >= {L}) q,
-            UNNEST(q.ss) AS u(t)),
+    pos AS {_span_pos_cte(L)},
     cnt AS (SELECT doc_id, pos,
                    count(*) OVER (PARTITION BY h) AS cnt
             FROM pos),
@@ -1186,17 +1202,7 @@ def dedup_incremental_duckdb(new_pred: str, k: int = 3,
 def remove_dup_spans(seq: DataFrame, L: int = SPAN_L) -> DataFrame:
     """doc_id, tokens_clean, n_tok_clean, n_removed (+ n_tok) — every
     non-canonical duplicated-span position removed."""
-    from tsf.textstats import FP_MOD
-    span_hash = (f"aggregate(slice(tokens, i, {L}), 0L, "
-                 f"(a, x) -> (a * 31 + x) % {FP_MOD})")
-    pos = (seq.where(F.col("n_tok") >= L)
-           .select("doc_id",
-                   F.explode(F.expr(
-                       f"transform(sequence(1, n_tok - {L} + 1), "
-                       f"i -> struct(i AS pos, {span_hash} AS h))"))
-                   .alias("s"))
-           .select("doc_id", F.col("s.pos").alias("pos"),
-                   F.col("s.h").alias("h")))
+    pos = _span_positions(seq, L)
     wh = Window.partitionBy("h")
     ranked = (pos
               .withColumn("cnt", F.count("*").over(wh))
@@ -1226,18 +1232,9 @@ def remove_dup_spans_duckdb(seq_cte: str, L: int = SPAN_L) -> str:
     fingerprint of the cleaned array (the driver compares doc_id,
     n_tok, n_tok_clean, n_removed, clean_fp)."""
     from tsf.textstats import FP_MOD
-    span_hash = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-                 f"list_transform(list_slice(tokens, i, i + {L} - 1), "
-                 f"zx -> CAST(zx AS BIGINT))), "
-                 f"(a, x) -> (a * 31 + x) % {FP_MOD})")
     return f"""
     WITH seq AS ({seq_cte}),
-    pos AS (SELECT doc_id, t.pos AS pos, t.h AS h
-            FROM (SELECT doc_id, list_transform(
-                      range(1, n_tok - {L} + 2),
-                      i -> {{'pos': i, 'h': {span_hash}}}) AS ss
-                  FROM seq WHERE n_tok >= {L}) q,
-            UNNEST(q.ss) AS u(t)),
+    pos AS {_span_pos_cte(L)},
     ranked AS (SELECT doc_id, pos,
                       count(*) OVER (PARTITION BY h) AS cnt,
                       row_number() OVER (PARTITION BY h

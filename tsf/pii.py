@@ -27,13 +27,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Java-regex and RE2 compatible (see module docstring)
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# Java-regex and RE2 compatible (see module docstring). The email host
+# alternates name-dot-TLD with a literal IPv4 — without the second arm
+# an address like a@10.1.2.3 is invisible to the email rule and the IP
+# rule then redacts only the host, leaking the username as "a@<IP>".
+EMAIL_RE = (r"[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+            r"|[0-9]{1,3}(\.[0-9]{1,3}){3})")
 PHONE_RE = r"\+[0-9]{1,2}-[0-9]{2,4}-[0-9]{3,4}(-[0-9]{2,4})?"
 IPV4_RE = r"\b([0-9]{1,3}\.)([0-9]{1,3}\.)([0-9]{1,3})\.[0-9]{1,3}\b"
 
-# email first: an address like a@10.1.2.3 must redact as one <EMAIL>,
-# not leave "a@" + <IP> behind
+# email first: with the IP-host arm above, a@10.1.2.3 redacts as one
+# <EMAIL> before the IP rule can half-eat it
 _CLASSES = [("email", EMAIL_RE, "<EMAIL>"),
             ("phone", PHONE_RE, "<PHONE>"),
             ("ipv4", IPV4_RE, "<IP>")]

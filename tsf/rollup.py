@@ -442,6 +442,35 @@ _OUT_RHS = ("(4.0 * CAST(c_w AS DOUBLE)"
             " * CAST(n_d * q_d - s_d * s_d AS DOUBLE))")
 
 
+def _win_sums_expr(W: int) -> str:
+    """Row-local tumbling-window sufficient statistics: an array of
+    (window_id, c_w, s_w) structs folded from the doc's token array —
+    the window-identity CONTRACT shared by :func:`outlier_windows` and
+    :func:`rolling_windows` (one definition, so the two tier-0 window
+    streams cannot disagree on window boundaries for the same input)."""
+    return (f"CASE WHEN n_tok = 0 THEN array() "
+            f"ELSE transform(sequence(1, CAST(ceil(n_tok / {W}.0) AS INT)), "
+            f"i -> struct(CAST(i - 1 AS BIGINT) AS window_id, "
+            f"CAST(size(slice(tokens, (i - 1) * {W} + 1, {W})) AS BIGINT)"
+            f" AS c_w, "
+            f"aggregate(slice(tokens, (i - 1) * {W} + 1, {W}), 0L, "
+            f"(a, x) -> a + x) AS s_w)) END")
+
+
+def _win_sums_cte_expr(W: int) -> str:
+    """DuckDB twin of :func:`_win_sums_expr` (a list of structs over a
+    `seq` row) — one definition for both oracle replays."""
+    fold = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform({a}, zx -> CAST(zx AS BIGINT))), "
+            "(a, x) -> a + x)")
+    sl = f"list_slice(tokens, (i - 1) * {W} + 1, (i - 1) * {W} + {W})"
+    return (f"list_transform("
+            f"range(1, CAST(ceil(n_tok / {W}.0) AS BIGINT) + 1), "
+            f"i -> {{'window_id': CAST(i - 1 AS BIGINT), "
+            f"'c_w': CAST(len({sl}) AS BIGINT), "
+            f"'s_w': {fold.format(a=sl)}}})")
+
+
 def outlier_windows(seq: DataFrame, window: int = 64) -> DataFrame:
     """Tier-0 anomaly flags: mark each tumbling window whose mean
     deviates from its document's mean by more than 2 standard errors
@@ -458,13 +487,7 @@ def outlier_windows(seq: DataFrame, window: int = 64) -> DataFrame:
     per-window sums are HOF folds over the unshuffled token array, the
     window fan-out is a Generate. ZERO Exchange (plan-asserted)."""
     W = int(window)
-    wins = (f"CASE WHEN n_tok = 0 THEN array() "
-            f"ELSE transform(sequence(1, CAST(ceil(n_tok / {W}.0) AS INT)), "
-            f"i -> struct(CAST(i - 1 AS BIGINT) AS window_id, "
-            f"CAST(size(slice(tokens, (i - 1) * {W} + 1, {W})) AS BIGINT)"
-            f" AS c_w, "
-            f"aggregate(slice(tokens, (i - 1) * {W} + 1, {W}), 0L, "
-            f"(a, x) -> a + x) AS s_w)) END")
+    wins = _win_sums_expr(W)
     doc = seq.select(
         "doc_id",
         F.col("n_tok").cast("long").alias("n_d"),
@@ -491,20 +514,15 @@ def outlier_windows_duckdb(seq_cte: str, window: int = 64) -> str:
     s_d = fold.format(a="tokens", v="CAST(zx AS BIGINT)")
     q_d = fold.format(a="tokens",
                       v="CAST(zx AS BIGINT) * CAST(zx AS BIGINT)")
-    sl = f"list_slice(tokens, (i - 1) * {W} + 1, (i - 1) * {W} + {W})"
-    s_w = fold.format(a=sl, v="CAST(zx AS BIGINT)")
     return f"""
     WITH seq AS ({seq_cte}),
-    doc AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_d,
+    doc AS (SELECT doc_id, n_tok, CAST(n_tok AS BIGINT) AS n_d,
                    {s_d} AS s_d, {q_d} AS q_d, tokens
             FROM seq WHERE n_tok > 0),
     ex AS (SELECT doc_id, n_d, s_d, q_d,
                   t.window_id AS window_id, t.c_w AS c_w, t.s_w AS s_w
-           FROM (SELECT doc_id, n_d, s_d, q_d, list_transform(
-                     range(1, CAST(ceil(n_d / {W}.0) AS BIGINT) + 1),
-                     i -> {{'window_id': CAST(i - 1 AS BIGINT),
-                            'c_w': CAST(len({sl}) AS BIGINT),
-                            's_w': {s_w}}}) AS ws
+           FROM (SELECT doc_id, n_d, s_d, q_d,
+                        {_win_sums_cte_expr(W)} AS ws
                  FROM doc) q, UNNEST(q.ws) AS u(t))
     SELECT doc_id, window_id, c_w, s_w,
            ({_OUT_LHS} > {_OUT_RHS}) AS is_outlier
@@ -530,14 +548,7 @@ def rolling_windows(seq: DataFrame, window: int = 64,
     per-doc ordered frame (plan-asserted single Exchange)."""
     from pyspark.sql import Window as W_
     W = int(window)
-    wins = (f"CASE WHEN n_tok = 0 THEN array() "
-            f"ELSE transform(sequence(1, CAST(ceil(n_tok / {W}.0) AS INT)), "
-            f"i -> struct(CAST(i - 1 AS BIGINT) AS window_id, "
-            f"CAST(size(slice(tokens, (i - 1) * {W} + 1, {W})) AS BIGINT)"
-            f" AS c_w, "
-            f"aggregate(slice(tokens, (i - 1) * {W} + 1, {W}), 0L, "
-            f"(a, x) -> a + x) AS s_w)) END")
-    ex = (seq.select("doc_id", F.explode(F.expr(wins)).alias("w"))
+    ex = (seq.select("doc_id", F.explode(F.expr(_win_sums_expr(W))).alias("w"))
           .select("doc_id", "w.window_id", "w.c_w", "w.s_w"))
     frame = (W_.partitionBy("doc_id").orderBy("window_id")
              .rowsBetween(-(int(k) - 1), 0))
@@ -555,22 +566,13 @@ def rolling_windows_duckdb(seq_cte: str, window: int = 64,
     """DuckDB replay of :func:`rolling_windows` (same frame, same
     single exact-BIGINT division)."""
     W = int(window)
-    fold = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            "list_transform({a}, zx -> CAST(zx AS BIGINT))), "
-            "(a, x) -> a + x)")
-    sl = f"list_slice(tokens, (i - 1) * {W} + 1, (i - 1) * {W} + {W})"
-    s_w = fold.format(a=sl)
     fr = (f"OVER (PARTITION BY doc_id ORDER BY window_id "
           f"ROWS BETWEEN {int(k) - 1} PRECEDING AND CURRENT ROW)")
     return f"""
     WITH seq AS ({seq_cte}),
     ex AS (SELECT doc_id, t.window_id AS window_id,
                   t.c_w AS c_w, t.s_w AS s_w
-           FROM (SELECT doc_id, list_transform(
-                     range(1, CAST(ceil(n_tok / {W}.0) AS BIGINT) + 1),
-                     i -> {{'window_id': CAST(i - 1 AS BIGINT),
-                            'c_w': CAST(len({sl}) AS BIGINT),
-                            's_w': {s_w}}}) AS ws
+           FROM (SELECT doc_id, {_win_sums_cte_expr(W)} AS ws
                  FROM seq WHERE n_tok > 0) q, UNNEST(q.ws) AS u(t))
     SELECT doc_id, window_id, c_w, s_w,
            CAST(count(*) {fr} AS BIGINT) AS roll_n,
