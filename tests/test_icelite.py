@@ -101,6 +101,52 @@ def test_crash_windows_leave_table_readable(spark, table):
     assert _sorted_pdf(icelite.scan(spark, path)).equals(before)
 
 
+def test_real_orphan_with_distinct_content_stays_invisible(
+        spark, table, monkeypatch):
+    """A REAL claimed-but-never-pointed snapshot — DISTINCT content,
+    produced by crashing a writer between its hard-link claim and the
+    pointer advance — must be invisible everywhere: scan, lineage (the
+    streaming exactly-once gate), the next commit's parentage, and the
+    pointer itself. (The sibling test above fabricates the orphan as a
+    hard link of v2, whose content still says snapshot_id=2 — that
+    shape cannot catch a fallback that resurrects the newest metadata
+    file as table state, which is exactly the bug this pins.)"""
+    path, roll = table
+    before = _sorted_pdf(icelite.scan(spark, path))
+    assert icelite._pointed_version(path) == 2   # pointer file IS written
+
+    def crash(p, v):
+        raise RuntimeError("crashed between claim and pointer advance")
+    monkeypatch.setattr(icelite, "_advance_current", crash)
+    with pytest.raises(RuntimeError, match="crashed between"):
+        icelite.append(roll.limit(7), path,
+                       extra={"batch_id": 99})   # claims v3, never points
+    monkeypatch.undo()
+    assert os.path.exists(icelite._snap_path(path, 3))   # orphan exists
+    # the orphan's rows and its batch id are NOT table state
+    assert _sorted_pdf(icelite.scan(spark, path)).equals(before)
+    assert [s["snapshot_id"] for s in icelite.lineage(path)] == [1, 2]
+    assert all(s["extra"].get("batch_id") != 99
+               for s in icelite.lineage(path))
+    # the retried batch lands as v4 with parent 2, orphan still skipped
+    snap = icelite.append(roll.limit(7), path, extra={"batch_id": 99})
+    assert snap["snapshot_id"] == 4 and snap["parent_id"] == 2
+    assert icelite._pointed_version(path) == 4
+
+
+def test_create_on_existing_table_refuses(spark, table):
+    """create() over a live table would carry the old files forward
+    under a new spec/schema — it must refuse; replace() is the swap."""
+    path, roll = table
+    with pytest.raises(FileExistsError, match="already exists"):
+        icelite.create(roll.limit(1), path, [("identity", "source")])
+
+
+def test_expire_on_missing_table_is_noop(tmp_path):
+    out = icelite.expire_snapshots(str(tmp_path / "never_created"))
+    assert out == {"expired_snapshots": 0, "removed_files": 0}
+
+
 def test_identity_partition_pruning(spark, table):
     path, roll = table
     one_src = roll.select("source").first()[0]
@@ -313,6 +359,39 @@ def test_compact_bin_packs_without_changing_state(spark, table):
     # shard count
     res2 = icelite.compact(spark, path, target_bytes=1 << 30)
     assert res2["compacted_partitions"] == 0
+
+
+def test_compact_respects_target_bytes_per_partition(spark, table):
+    """A partition whose small files sum to several target_bytes must
+    pack into ~ceil(bytes/target) files, NOT collapse into one
+    arbitrarily large file (the documented rewrite_data_files
+    contract); table state stays value-identical."""
+    path, roll = table
+    for _ in range(4):                       # shard the partitions further
+        icelite.append(roll, path)
+    before_pdf = _sorted_pdf(icelite.scan(spark, path))
+    by_part: dict = {}
+    for f in icelite.plan_files(path):
+        by_part.setdefault(tuple(sorted(f["partition"].items())),
+                           []).append(f)
+    # pick a target that makes the biggest partition worth >= 3 output
+    # files while still qualifying as "small files" (the predicate needs
+    # sum < target * (n_files - 1), i.e. n_files >= 5 at target=sum/3)
+    sizes = {p: sum(f["bytes"] for f in fs) for p, fs in by_part.items()}
+    big_p, big_bytes = max(sizes.items(), key=lambda kv: kv[1])
+    target = max(1, big_bytes // 3)
+    assert len(by_part[big_p]) >= 5, "fixture: need shards to pack"
+    res = icelite.compact(spark, path, target_bytes=target, min_files=2)
+    assert res["compacted_partitions"] > 0
+    after = {}
+    for f in icelite.plan_files(path):
+        after.setdefault(tuple(sorted(f["partition"].items())),
+                         []).append(f)
+    n_big = len(after[big_p])
+    want = -(-big_bytes // target)          # ceil
+    assert n_big >= 2, f"collapsed to one file ({big_bytes}B > {target}B)"
+    assert n_big <= want + 1                # packed near the target
+    assert _sorted_pdf(icelite.scan(spark, path)).equals(before_pdf)
 
 
 def test_rewrite_conflict_detected(spark, table):

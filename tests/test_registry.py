@@ -152,3 +152,28 @@ def test_user_registered_super_feature():
     with _pytest.raises(KeyError):
         super_feature(lambda s: s[:, 0], "x", "nope_super")
     del K.INTERMEDIATES["absdiff_t"]  # leave the global registry clean
+
+
+def test_lagless_acf_super_leaf_gets_full_budget():
+    """A custom lag-less leaf over the shared 'acf' matrix must see the
+    FULL reference lag range even when low-lag ac_k leaves share the
+    set: the lag budget is sized by max(requested lags, full-range for
+    lag-less readers), so a feature's value cannot depend on which
+    other features happen to be evaluated alongside it."""
+    import numpy as np
+    from tsf import kernels as K
+    from tsf.registry import FeatureSet, catalogue, super_feature
+
+    mean_acf = super_feature(lambda acf: np.nanmean(acf, axis=1),
+                             "mean_acf", "acf")
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(6, 64))
+    n = np.full(6, 64)
+    alone = FeatureSet([mean_acf]).evaluate(X, n)["mean_acf"]
+    with_ac1 = FeatureSet([catalogue()["ac_1"], mean_acf]) \
+        .evaluate(X, n)["mean_acf"]
+    assert np.array_equal(alone, with_ac1, equal_nan=True)
+    # and the full range really is 40 lags, not ac_1's budget of 1
+    ctx = K.WindowCtx(X, n, req={"acf": K.ACF_MAX_LAG})
+    want = np.nanmean(ctx.get("acf"), axis=1)
+    assert np.array_equal(alone, want, equal_nan=True)

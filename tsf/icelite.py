@@ -190,28 +190,23 @@ def _snap_path(path: str, version: int) -> str:
 
 
 def _read_current(path: str) -> dict | None:
-    """Current snapshot dict, via the CURRENT pointer; falls back to the
-    highest parseable metadata file if the pointer is missing/stale
-    (a reader never needs a lock)."""
+    """Current snapshot dict, via the CURRENT pointer (atomic replace,
+    so a reader never needs a lock). NO pointer = NO committed state:
+    a claimed-but-never-pointed metadata version (writer crashed
+    between its hard-link claim and the pointer advance) must stay
+    invisible — the exactly-once contract that lineage(), streaming
+    replay and expire_snapshots() all lean on. (An earlier fallback to
+    the highest parseable metadata file resurrected exactly those
+    orphans as table state.) A pointer naming a missing file is real
+    corruption and raises rather than guessing."""
     mdir = _meta_dir(path)
     try:
         with open(os.path.join(mdir, _CURRENT)) as fh:
             name = fh.read().strip()
-        with open(os.path.join(mdir, name)) as fh:
-            return json.load(fh)
-    except (FileNotFoundError, json.JSONDecodeError):
-        pass
-    best = None
-    if os.path.isdir(mdir):
-        for name in sorted(os.listdir(mdir), reverse=True):
-            if name.endswith(".metadata.json"):
-                try:
-                    with open(os.path.join(mdir, name)) as fh:
-                        best = json.load(fh)
-                    break
-                except json.JSONDecodeError:
-                    continue
-    return best
+    except FileNotFoundError:
+        return None
+    with open(os.path.join(mdir, name)) as fh:
+        return json.load(fh)
 
 
 # Manifests: a snapshot's file list is stored as refs to immutable
@@ -454,14 +449,25 @@ def _commit_locked(path: str, operation: str, new_files: list[dict],
         f"lost the commit race {retries} times at {path}")
 
 
+def _pointed_version(path: str) -> int | None:
+    """The version the CURRENT pointer file names, or None — read from
+    the pointer FILE directly (never through a fallback: the just-
+    claimed metadata must not masquerade as already-pointed)."""
+    try:
+        with open(os.path.join(_meta_dir(path), _CURRENT)) as fh:
+            return int(fh.read().strip()[1:9])
+    except (FileNotFoundError, ValueError):
+        return None
+
+
 def _advance_current(path: str, version: int) -> None:
     """Move the CURRENT pointer forward, never backward. Callers hold
     the commit lock (see _commit), so the read-compare-replace below is
     race-free; the os.replace keeps the pointer swap atomic for
     lock-free READERS."""
     mdir = _meta_dir(path)
-    cur = _read_current(path)
-    if cur is None or cur["snapshot_id"] < version:
+    pointed = _pointed_version(path)
+    if pointed is None or pointed < version:
         tmp = os.path.join(mdir, f".cur-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(os.path.basename(_snap_path(path, version)))
@@ -477,7 +483,16 @@ def create(df: DataFrame, path: str, partition_by: list[tuple],
     """Create the table with an initial snapshot of ``df``.
     ``partition_by``: ``("identity", col)`` / ``("bucket", col, n)``.
     ``extra``: JSON-plain metadata recorded on the snapshot (e.g. a
-    streaming micro-batch id for exactly-once idempotence checks)."""
+    streaming micro-batch id for exactly-once idempotence checks).
+
+    Refuses a path that already holds a committed table: a create over
+    live state would carry the old files forward under a NEW partition
+    spec/schema (silently doubled, mis-specced data) — use
+    :func:`replace` to swap contents, or point at a fresh path."""
+    if _read_current(path) is not None:
+        raise FileExistsError(
+            f"table already exists at {path}; use replace() to swap "
+            f"its contents or create() at a fresh path")
     os.makedirs(path, exist_ok=True)
     files = _write_data_files(df, path, partition_by)
     return _commit(path, "create", files, spec=partition_by,
@@ -724,18 +739,20 @@ def compact(spark: SparkSession, path: str,
     schema = StructType.fromJson(json.loads(cur["schema"]))
     victims = [f for fs in todo.values() for f in fs]
     victim_paths = {f["path"] for f in victims}
-    rows = spark.read.schema(schema).parquet(
-        *[os.path.join(path, f["path"]) for f in victims])
-    n_out = max(1, -(-sum(f["bytes"] for f in victims) // target_bytes))
-    pcols = _spec_cols([tuple(s) for s in cur["partition_spec"]])
-    # repartition by the partition tuple so each output file holds one
-    # partition's rows (the write's partitionBy re-derives the dirs)
-    packed = _with_partition_cols(rows, [tuple(s) for s in
-                                         cur["partition_spec"]])
-    packed = packed.repartition(int(n_out), *pcols) if pcols \
-        else packed.repartition(int(n_out))
-    new_files = _write_data_files(packed.drop(*pcols), path,
-                                  [tuple(s) for s in cur["partition_spec"]])
+    spec = [tuple(s) for s in cur["partition_spec"]]
+    # per-partition coalesce to each partition's OWN ceil(bytes/target)
+    # file count, then a shuffle-free union: every task holds one
+    # partition's rows, so the write emits exactly that many files per
+    # dir. (A single repartition on the partition-tuple columns hashed
+    # each partition into ONE task — one arbitrarily large output file
+    # and a straggler write, regardless of target_bytes.)
+    packed = None
+    for _p, fs_ in sorted(todo.items()):
+        n_i = max(1, -(-sum(f["bytes"] for f in fs_) // target_bytes))
+        part = spark.read.schema(schema).parquet(
+            *[os.path.join(path, f["path"]) for f in fs_]).coalesce(int(n_i))
+        packed = part if packed is None else packed.unionByName(part)
+    new_files = _write_data_files(packed, path, spec)
     _commit(path, "compact", new_files,
             remove_pred=lambda f: f["path"] in victim_paths,
             require_removed=victim_paths)
@@ -774,6 +791,8 @@ def expire_snapshots(path: str, keep_last: int = 2,
     import fcntl
     import time as _time
     mdir = _meta_dir(path)
+    if not os.path.isdir(mdir):   # never created: the documented no-op
+        return {"expired_snapshots": 0, "removed_files": 0}
     with open(os.path.join(mdir, ".commit.lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         now = _time.time()

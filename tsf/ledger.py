@@ -115,9 +115,27 @@ def run_tier_with_ledger(spark: SparkSession,
        .parquet(data_path))
     wall_ms = int((time.time() - t0) * 1000)
     # ledger rows from the committed data (reading back = lineage of what
-    # is actually on disk, not what we intended to write)
+    # is actually on disk, not what we intended to write). THIS RUN's
+    # buckets are the on-disk partition dirs minus the ledger-committed
+    # set — resolved to a LITERAL partition filter BEFORE the readback,
+    # so directory pruning confines the scan+checksum to the buckets
+    # this run wrote. (All batch-mode runs share batch_id=-1: filtering
+    # on (tier, batch) alone would re-read and re-checksum every
+    # historical bucket of the tier on each resume, and the old
+    # post-aggregation anti-join discarded exactly that wasted work.)
+    # Both sets are bounded by the bucket LAYOUT (metadata, not data).
+    from tsf.io import _hadoop_fs
+    fs, pdir = _hadoop_fs(spark, f"{data_path}/tier_p={tier}/batch_id={bid}")
+    on_disk = ({int(s.getPath().getName().split("=", 1)[1])
+                for s in fs.listStatus(pdir) if s.isDirectory()}
+               if fs.exists(pdir) else set())  # zero-row run writes no dir
+    done = load_done(spark, ledger_path, tier, batch_id)
+    done_ids = (set() if done is None
+                else {r["partition_id"] for r in done.collect()})
+    this_run = sorted(on_disk - done_ids)
     written = (spark.read.parquet(data_path)
-               .where((F.col("tier_p") == tier) & (F.col("batch_id") == bid)))
+               .where((F.col("tier_p") == tier) & (F.col("batch_id") == bid)
+                      & F.col("partition_id").isin(this_run)))
     csum = (checksum_expr(csum_cols) if checksum
             else F.lit(None).cast("string"))
     stats = (written.groupBy("partition_id")
@@ -125,9 +143,6 @@ def run_tier_with_ledger(spark: SparkSession,
                   csum.alias("checksum"),
                   F.count("*").alias("rows_out"),
                   F.sum("cnt").alias("points")))
-    done = load_done(spark, ledger_path, tier, batch_id)
-    if done is not None:
-        stats = stats.join(F.broadcast(done), "partition_id", "left_anti")
     ledger_rows = stats.select(
         F.lit(tier).alias("tier"),
         F.col("partition_id").cast("int"),
@@ -140,8 +155,15 @@ def run_tier_with_ledger(spark: SparkSession,
         F.lit(1).alias("attempt"),
         F.current_timestamp().alias("committed_at"),
         F.lit(bid).cast("bigint").alias("batch_id"))
-    n = ledger_rows.count()
-    ledger_rows.write.mode("append").parquet(ledger_path)
+    # persist so the readback aggregation (scan + checksum of this
+    # run's buckets) executes once, not once for the count and again
+    # for the write
+    ledger_rows = ledger_rows.persist()
+    try:
+        n = ledger_rows.count()
+        ledger_rows.write.mode("append").parquet(ledger_path)
+    finally:
+        ledger_rows.unpersist()
     return n
 
 

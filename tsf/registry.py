@@ -151,10 +151,19 @@ class FeatureSet:
         (src/FeatureArrays.jl:217-222, src/SuperFeatures.jl:93-95).
         Kernels always compute in float64; the conversion is applied to
         the finished values (e.g. float32 to halve rollup storage)."""
+        # lag budget per budgeted intermediate: a lag-annotated leaf
+        # (ac_k / pacf_k) asks for its own lag; a LAG-LESS leaf reading
+        # the same intermediate (e.g. a custom super_feature over the
+        # whole 'acf' matrix) must force the FULL reference range —
+        # otherwise its matrix would silently shrink to whatever lags
+        # the other leaves in the set happen to request, making the
+        # same named feature return different values per set composition
+        full = {"acf": K.ACF_MAX_LAG, "pacf": K.PACF_MAX_LAG}
         req: dict[str, int] = {}
         for f in self:
-            if f.lag is not None and f.super is not None:
-                req[f.super] = max(req.get(f.super, 0), f.lag)
+            if f.super in full:
+                want = f.lag if f.lag is not None else full[f.super]
+                req[f.super] = max(req.get(f.super, 0), want)
         dt = np.dtype(return_type) if return_type is not None else np.float64
         nw = X.shape[0]
         if nw <= self.TILE_ROWS:
