@@ -291,3 +291,21 @@ def test_session_funnel_no_conversion(spark):
 def test_session_funnel_single_exchange(ev):
     p = _plan(E.session_funnel(ev))
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """A right row with NULL ts sorts NULLS-FIRST into every per-key
+    frame; it must be excluded (a NULL timestamp is never at-or-before
+    anything) so early left rows stay unmatched instead of matching it."""
+    from tsf import events as ev
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00")], "user_id int, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, None, 1, 9.0), (1, "2024-01-01 10:00:00", 2, 5.0)],
+        "user_id int, ts string, event_id int, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = ev.asof_join(left, right, "user_id", "ts",
+                       ["value"], tiebreak="event_id").collect()
+    assert len(out) == 1
+    assert out[0]["value_asof"] is None and out[0]["event_id_asof"] is None

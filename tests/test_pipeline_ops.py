@@ -1401,3 +1401,73 @@ def test_rolling_windows_frame_and_exact_mean(spark):
     assert [r.roll_sum for r in rows] == [20, 60, 100]
     assert [r.roll_cnt for r in rows] == [10, 20, 20]
     assert [r.roll_mean for r in rows] == [2.0, 3.0, 5.0]
+
+
+# -------------------------------------- dirty-vector / ANSI robustness
+
+def test_similarity_survives_zero_norm_vectors(spark):
+    """One all-zero embedding (classic dirty row) must not abort the
+    job under Spark 4's ANSI default: the zero-norm row scores NULL and
+    threshold filters drop it; every other pair is unaffected."""
+    from pyspark.sql import Row
+    import numpy as np
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8)
+    rows = [Row(vec_id=0, label="x", embedding=[float(v) for v in base]),
+            Row(vec_id=1, label="x",
+                embedding=[float(v) for v in base + 1e-3]),
+            Row(vec_id=2, label="x", embedding=[0.0] * 8)]
+    emb = spark.createDataFrame(rows)
+    q = [float(v) for v in base]
+    scored = {r["vec_id"]: r["cos"]
+              for r in similarity.cosine_scores(emb, q).collect()}
+    assert scored[2] is None and scored[0] == 1.0
+    top = [r["vec_id"] for r in similarity.cosine_topk(emb, q, 2).collect()]
+    assert top == [0, 1]
+    nd = similarity.embedding_near_dups(emb, threshold=0.9)
+    assert {(r["vec_a"], r["vec_b"]) for r in nd.collect()} == {(0, 1)}
+    sd = {r["vec_id"]: r["keep"]
+          for r in similarity.semdedup(emb, threshold=0.95,
+                                       cents=[q]).collect()}
+    assert sd[0] and not sd[1] and sd[2]   # zero row: no dup evidence
+    pp = similarity.pairwise_pearson(emb).collect()   # no ANSI abort
+    assert all(r["pearson"] is None or -1.0 <= r["pearson"] <= 1.0
+               for r in pp)
+    # trained quantizer drops the zero-norm row instead of crashing
+    cents = similarity.ivf_train_centroids(emb, k=2, max_iter=5)
+    assert len(cents) == 2
+
+
+def test_pairwise_features_constant_window_yields_null_pearson(spark):
+    """A constant window (zero variance — e.g. a pad-token run) yields
+    NULL pearson for its pairs per the documented contract, instead of
+    an ANSI DIVIDE_BY_ZERO job abort."""
+    from tsf import pairwise as pw
+    seq = spark.createDataFrame(
+        [("a", list(range(8)), 8, "s"), ("b", [5] * 8, 8, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    out = pw.pairwise_features(seq, ("pearson", "cov"), window=8).collect()
+    assert len(out) == 1
+    assert out[0]["pearson"] is None        # undefined, not a crash
+    assert out[0]["cov"] == 0.0             # covariance IS defined
+
+
+def test_pairwise_features_ignores_stale_n_tok(spark):
+    """The windowing layer derives everything from size(tokens); the
+    pairwise prefilter must too — a corrupt n_tok=0 on a real 8-token
+    doc cannot silently exclude its pairs."""
+    from tsf import pairwise as pw
+    seq = spark.createDataFrame(
+        [("a", list(range(8)), 0, "s"),      # stale n_tok
+         ("b", list(range(1, 9)), 8, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    out = pw.pairwise_features(seq, ("pearson",), window=8).collect()
+    assert len(out) == 1 and out[0]["pearson"] is not None
+
+
+def test_build_lsh_index_empty_table_raises(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [], "vec_id long, label string, embedding array<float>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.build_lsh_index(emb, str(tmp_path / "idx"))

@@ -113,6 +113,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         F.lit(None).cast(
             right.select(packed.alias("s")).schema["s"].dataType)
         .alias("_r"))
+    # a NULL-ts right row sorts FIRST (ascending NULLS FIRST) with a
+    # non-NULL packed struct, so every left row preceding all real right
+    # rows would "match" it — a NULL timestamp can never be at-or-before
+    # anything, so such rows are excluded up front
+    right = right.where(F.col(ts).isNotNull())
     # the shared sort timestamp stays populated on BOTH sides (the right
     # row's other identity travels inside the struct); every remaining
     # left column is NULL on right rows

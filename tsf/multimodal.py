@@ -227,7 +227,7 @@ def media_features(media: DataFrame, max_values: int = 65536) -> DataFrame:
     return _spread(media).mapInPandas(fn, FEATURE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+def frame_sample(media: DataFrame, every: int = 8) -> DataFrame:
     """Video-style frame sampling plumbing: treat each image row's height
     as the frame axis and emit every ``every``-th row as its own blob-less
     record (doc_id, frame_id, frame array<int>) — shows the explode shape

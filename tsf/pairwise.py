@@ -232,8 +232,11 @@ def pairwise_features(seq: DataFrame,
     need_toks = bool({"pearson", "cov", "mi"} & set(features))
     W = int(window)
     # pushdown: docs shorter than one window can never produce a full
-    # aligned window — drop them JVM-side before any Arrow transfer
-    chunked = chunk_sequences(seq.where(F.col("n_tok") >= W), W,
+    # aligned window — drop them JVM-side before any Arrow transfer.
+    # size(tokens), not n_tok: the windowing layer derives everything
+    # from the array itself so a stale/corrupt n_tok column cannot
+    # silently exclude a doc (chunk_sequences' documented stance)
+    chunked = chunk_sequences(seq.where(F.size("tokens") >= W), W,
                               DEFAULT_CHUNK_WINDOWS)
     schema = "doc_id string, source string, window_id bigint"
     if need_phase:
@@ -269,9 +272,14 @@ def pairwise_features(seq: DataFrame,
             cols.append(((dab - sa * sb / F.lit(n)) / F.lit(n - 1.0))
                         .alias("cov"))
         if "pearson" in features:
+            # nullif: a constant window (zero variance — e.g. a pad-token
+            # run) yields NULL per the documented contract and the pair
+            # avg skips it, instead of ANSI DIVIDE_BY_ZERO aborting the job
             cols.append(((F.lit(n) * dab - sa * sb)
-                         / F.sqrt((F.lit(n) * qa - sa * sa)
-                                  * (F.lit(n) * qb - sb * sb)))
+                         / F.nullif(
+                             F.sqrt((F.lit(n) * qa - sa * sa)
+                                    * (F.lit(n) * qb - sb * sb)),
+                             F.lit(0.0)))
                         .alias("pearson"))
     if "mi" in features:
         cols += [F.col("a.t").alias("ta"), F.col("b.t").alias("tb")]
@@ -323,7 +331,7 @@ def pairwise_super_check(seq: DataFrame, window: int = 64) -> DataFrame:
     bit-for-bit. The Hilbert/KSG leaves (not SQL-expressible) share this
     exact spine, so a green hash here pins the plumbing under them."""
     W = int(window)
-    chunked = chunk_sequences(seq.where(F.col("n_tok") >= W), W,
+    chunked = chunk_sequences(seq.where(F.size("tokens") >= W), W,
                               DEFAULT_CHUNK_WINDOWS)
     schema = ("doc_id string, source string, window_id bigint, "
               "t array<double>, sm double, sq double")

@@ -42,12 +42,32 @@ def get_spark(app_name: str = "tsf",
               extra: dict[str, str] | None = None) -> SparkSession:
     tune_malloc()  # before the JVM (and its python workers) are launched
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # TSF_MASTER lets spark-submit target a real cluster (yarn/k8s) while
-    # the default stays local[N] for the sandbox.
-    master = os.environ.get("TSF_MASTER", f"local[{cores}]")
+    # Master resolution, first match wins: TSF_MASTER env (explicit
+    # override) > spark-submit's configured spark.master (--master yarn
+    # / spark-defaults.conf — a builder .master() would silently REPLACE
+    # it, turning a "cluster" job into a driver-local local[N] run) >
+    # local[cores] for the sandbox. A spark-submit-launched driver is
+    # recognizable by the gateway env it attaches to (PYSPARK_GATEWAY_
+    # PORT); only there can an external spark.master exist, and there
+    # SparkConf(loadDefaults) reads the submit JVM's real properties
+    # (in a plain python process the gateway is not up yet and
+    # loadDefaults would silently read nothing).
+    master = os.environ.get("TSF_MASTER")
+    ext_master = None
+    if master is None:
+        submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+        if submitted:
+            # attach to the submit JVM so SparkConf(loadDefaults) reads
+            # its real properties — before the attach it reads nothing
+            from pyspark import SparkConf
+            from pyspark.context import SparkContext
+            SparkContext._ensure_initialized()
+            ext_master = SparkConf(loadDefaults=True).get(
+                "spark.master", None)
+        if ext_master is None:
+            master = f"local[{cores}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         # UTC so timestamp comparisons against DuckDB (UTC-naive) line up.
         .config("spark.sql.session.timeZone", "UTC")
         # ~2 shuffle partitions per core locally; AQE coalesces the rest.
@@ -69,6 +89,8 @@ def get_spark(app_name: str = "tsf",
         .config("spark.driver.memory", os.environ.get("TSF_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if master is not None:
+        builder = builder.master(master)
     # Python UDF workers on real executors get the malloc tuning too
     for k, v in _MALLOC_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)
@@ -80,8 +102,18 @@ def get_spark(app_name: str = "tsf",
     # local[N] only — NOT local-cluster[...]: in a scaling pair one side
     # crossing the cores>=16 line would halve its task slots and corrupt
     # the N-vs-4N efficiency comparison (bench/scaling.py pins
-    # TSF_TASK_CPUS itself for both sizes).
-    if master.startswith("local[") and cores >= 16 and "spark.task.cpus" not in (extra or {}):
+    # TSF_TASK_CPUS itself for both sizes). The gate reads N from the
+    # MASTER string, not the `cores` default: under TSF_MASTER=local[2]
+    # a 32-core `cores` default would otherwise set task.cpus=2 on a
+    # 2-slot scheduler (halved parallelism; a 1-slot one never
+    # schedules at all).
+    local_n = None
+    sched = master or ext_master
+    if sched is not None and sched.startswith("local["):
+        inside = sched[len("local["):-1]
+        local_n = os.cpu_count() if inside == "*" else int(inside)
+    if local_n is not None and local_n >= 16 \
+            and "spark.task.cpus" not in (extra or {}):
         builder = builder.config(
             "spark.task.cpus", os.environ.get("TSF_TASK_CPUS", "2"))
     for k, v in (extra or {}).items():

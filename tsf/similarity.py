@@ -40,8 +40,12 @@ def cosine_scores(emb: DataFrame, query: list[float]) -> DataFrame:
     """(vec_id, label, cos) against a constant query vector — JVM-only."""
     qlit = "array(" + ",".join(f"cast({float(v)} as double)" for v in query) + ")"
     qn = float(np.sqrt(np.dot(query, query)))
-    cos = F.expr(_dot(EMB_DOUBLE, qlit)) / (
-        F.sqrt(F.expr(_dot(EMB_DOUBLE, EMB_DOUBLE))) * F.lit(qn))
+    # nullif: a zero-norm row (dirty all-zero embedding) or zero query
+    # yields NULL cosine instead of aborting the whole scan with ANSI
+    # DIVIDE_BY_ZERO (Spark 4 default); downstream >= filters drop NULLs
+    cos = F.expr(_dot(EMB_DOUBLE, qlit)) / F.nullif(
+        F.sqrt(F.expr(_dot(EMB_DOUBLE, EMB_DOUBLE))) * F.lit(qn),
+        F.lit(0.0))
     return emb.select("vec_id", "label", F.round(cos, 6).alias("cos"))
 
 
@@ -77,17 +81,45 @@ def lsh_buckets(emb: DataFrame, planes: np.ndarray,
     return emb.withColumn(col, _bucket_col(EMB_DOUBLE, planes))
 
 
+def _dot_py(a, b) -> float:
+    """Sequential left-fold dot product — the SAME operation order as the
+    SQL ``aggregate(zip_with(...))`` fold both engines replay, so a
+    driver-side margin/score is bit-identical to its in-SQL twin. numpy
+    (BLAS / pairwise summation) can differ in the last ULP, which on a
+    near-tie flips a probe bit or rank and silently desynchronizes the
+    Spark candidate set from the oracle's."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
 def _query_probes(query: list[float], planes: np.ndarray,
                   multiprobe: int) -> list[int]:
     """Base bucket + single-bit flips of the ``multiprobe`` lowest-|margin|
     hyperplanes (classic margin-ranked multiprobe: the bits most likely to
     be on the wrong side of a near neighbor are the ones probed)."""
-    q = np.asarray(query, dtype=np.float64)
-    margins = planes @ q
+    q = [float(v) for v in query]
+    margins = np.asarray([_dot_py(row, q) for row in planes.tolist()])
     nbits = planes.shape[0]
     qb = int(sum((int(margins[i] > 0)) << i for i in range(nbits)))
     flips = np.argsort(np.abs(margins), kind="stable")[:max(0, multiprobe)]
     return [qb] + [qb ^ (1 << int(i)) for i in flips]
+
+
+def _probe_cosines(cents, query) -> np.ndarray:
+    """Query-to-centroid cosines via the same sequential folds (see
+    :func:`_dot_py`); a zero-norm centroid scores -inf (never probed)
+    instead of dividing by zero."""
+    import math
+    q = [float(v) for v in query]
+    qn = math.sqrt(_dot_py(q, q))
+    out = []
+    for c in cents:
+        c = [float(v) for v in c]
+        den = math.sqrt(_dot_py(c, c)) * qn
+        out.append(_dot_py(c, q) / den if den > 0 else float("-inf"))
+    return np.asarray(out)
 
 
 def lsh_topk(emb: DataFrame, query: list[float], k: int = 10,
@@ -219,7 +251,9 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
     sxy = F.expr(_dot("a.v", "b.v"))
     sxx = F.expr(_dot("a.v", "a.v"))
     syy = F.expr(_dot("b.v", "b.v"))
-    cos = sxy / (F.sqrt(sxx) * F.sqrt(syy))
+    # nullif: zero-norm candidates yield NULL (dropped by the >=
+    # threshold filter) instead of aborting under ANSI
+    cos = sxy / F.nullif(F.sqrt(sxx) * F.sqrt(syy), F.lit(0.0))
     # cosine is computed per candidate row, so the threshold runs BEFORE
     # dropDuplicates — the dedup shuffle carries only passing pairs, not
     # every bucket-sharing candidate (identical output)
@@ -278,8 +312,11 @@ def pairwise_pearson(emb: DataFrame, max_vec_id: int | None = None) -> DataFrame
     sxy = F.expr(_dot("a.v", "b.v"))
     sxx = F.expr(_dot("a.v", "a.v"))
     syy = F.expr(_dot("b.v", "b.v"))
-    cov = (sxy - sx * sy / n) / (n - 1)
-    corr = (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    # nullif guards (ANSI divide-by-zero): dim-1 vectors (n-1 = 0) and
+    # constant vectors (zero variance) yield NULL, not a job abort
+    cov = (sxy - sx * sy / n) / F.nullif(n - 1, F.lit(0.0))
+    corr = (sxy - sx * sy / n) / F.nullif(
+        F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), F.lit(0.0))
     return (a.join(b, (F.col("a.label") == F.col("b.label"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.label").alias("label"),
@@ -313,8 +350,11 @@ def series_pairwise_pearson(rollup: DataFrame, window: int,
     sab = F.col("sum_ab").cast("double")
     saa, sbb = F.col("sum_aa").cast("double"), F.col("sum_bb").cast("double")
     cov = (sab - sa * sb / n) / (n - 1) / F.lit(float(window * window))
+    # nullif: a constant window-mean series has zero variance — NULL
+    # pearson instead of an ANSI DIVIDE_BY_ZERO job abort
     pearson = ((n * sab - sa * sb)
-               / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)))
+               / F.nullif(F.sqrt((n * saa - sa * sa)
+                                 * (n * sbb - sb * sb)), F.lit(0.0)))
     return (a.join(b, (F.col("a.source") == F.col("b.source"))
                    & (F.col("a.window_id") == F.col("b.window_id"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -381,8 +421,10 @@ def _cell_expr(cents: list[list[float]]) -> str:
     # DuckDB oracle's identical in-SQL arithmetic is bit-equal; a
     # numpy-side normalization would differ in the last ULP (different
     # summation order) and could flip argmax on near-ties.
+    # nullif: a zero-norm centroid scores NULL (array_max skips it)
+    # instead of aborting the assignment scan under ANSI
     scores = (f"transform({cl}, zc -> {_dotc(vec, 'zc')}"
-              f" / sqrt({_dotc('zc', 'zc')}))")
+              f" / nullif(sqrt({_dotc('zc', 'zc')}), cast(0 as double)))")
     return f"array_position({scores}, array_max({scores})) - 1"
 
 
@@ -398,9 +440,7 @@ def ivf_candidates(emb: DataFrame, query: list[float],
     cells) — exposed so recall and scan-fraction are measurable."""
     if cents is None:
         cents = ivf_centroids(emb, n_centroids)
-    q = np.asarray(query, dtype=np.float64)
-    cs = np.asarray(cents, dtype=np.float64)
-    qs = (cs @ q) / (np.sqrt((cs * cs).sum(axis=1)) * np.sqrt(q @ q))
+    qs = _probe_cosines(cents, query)
     probes = [int(i) for i in np.argsort(-qs, kind="stable")[:nprobe]]
     return ivf_cells(emb, cents).where(F.col("cell").isin(probes))
 
@@ -464,12 +504,14 @@ def build_ivf_index(emb: DataFrame, path: str, n_centroids: int = 16,
     cells' files — real partition pruning, not a post-scan filter."""
     import json as _json
 
-    from pathlib import Path as _Path
     if cents is None:
         cents = ivf_centroids(emb, n_centroids)
     (ivf_cells(emb, cents).write.mode("overwrite")
      .partitionBy("cell").parquet(path))
-    _Path(path, "_ivf_centroids.json").write_text(_json.dumps(cents))
+    # Hadoop FS, not driver-local pathlib: index paths may be remote
+    from tsf.io import hadoop_write_text
+    hadoop_write_text(emb.sparkSession, f"{path}/_ivf_centroids.json",
+                      _json.dumps(cents))
 
 
 def ivf_topk_indexed(spark, path: str, query: list[float], k: int = 10,
@@ -479,11 +521,10 @@ def ivf_topk_indexed(spark, path: str, query: list[float], k: int = 10,
     partitions (partition pruning does the file skipping)."""
     import json as _json
 
-    from pathlib import Path as _Path
-    cents = _json.loads(_Path(path, "_ivf_centroids.json").read_text())
-    q = np.asarray(query, dtype=np.float64)
-    cs = np.asarray(cents, dtype=np.float64)
-    qs = (cs @ q) / (np.sqrt((cs * cs).sum(axis=1)) * np.sqrt(q @ q))
+    from tsf.io import hadoop_read_text
+    cents = _json.loads(hadoop_read_text(spark,
+                                         f"{path}/_ivf_centroids.json"))
+    qs = _probe_cosines(cents, query)
     probes = [int(i) for i in np.argsort(-qs, kind="stable")[:nprobe]]
     cand = spark.read.parquet(path).where(F.col("cell").isin(probes))
     return (cosine_scores(cand, query)
@@ -497,17 +538,23 @@ def build_lsh_index(emb: DataFrame, path: str, nbits: int = 8,
     prunes on); dims/params stored as JSON alongside."""
     import json as _json
 
-    from pathlib import Path as _Path
+    from tsf.io import hadoop_write_text
     row = (emb.where(F.col("embedding").isNotNull())
            .select(F.size("embedding").alias("d")).first())
+    if row is None:
+        raise ValueError(
+            "cannot build an LSH index from an empty / all-NULL "
+            "embedding table (vector dimension is unknowable)")
     dim = int(row[0])
     d = emb
     for t in range(tables):
         d = lsh_buckets(d, random_hyperplanes(dim, nbits, seed + t),
                         f"bucket_{t}")
     d.write.mode("overwrite").partitionBy("bucket_0").parquet(path)
-    _Path(path, "_lsh_params.json").write_text(_json.dumps(
-        {"nbits": nbits, "tables": tables, "seed": seed, "dim": dim}))
+    # Hadoop FS, not driver-local pathlib: index paths may be remote
+    hadoop_write_text(emb.sparkSession, f"{path}/_lsh_params.json",
+                      _json.dumps({"nbits": nbits, "tables": tables,
+                                   "seed": seed, "dim": dim}))
 
 
 def lsh_topk_indexed(spark, path: str, query: list[float], k: int = 10,
@@ -521,8 +568,8 @@ def lsh_topk_indexed(spark, path: str, query: list[float], k: int = 10,
     identical to lsh_topk: c0 OR rest == c0 UNION (rest AND NOT c0)."""
     import json as _json
 
-    from pathlib import Path as _Path
-    p = _json.loads(_Path(path, "_lsh_params.json").read_text())
+    from tsf.io import hadoop_read_text
+    p = _json.loads(hadoop_read_text(spark, f"{path}/_lsh_params.json"))
     d = spark.read.parquet(path)
     conds = []
     for t in range(p["tables"]):
@@ -552,7 +599,10 @@ def ivf_train_centroids(emb: DataFrame, k: int = 16, max_iter: int = 10,
 
     norm = (f"transform({EMB_DOUBLE}, zx -> zx / "
             f"sqrt({_dot(EMB_DOUBLE, EMB_DOUBLE)}))")
+    # zero-norm rows carry no angle: drop them rather than divide by
+    # zero (ANSI abort) / feed NaN features to the trainer
     d = (emb.where(F.col("embedding").isNotNull())
+         .where(F.expr(_dot(EMB_DOUBLE, EMB_DOUBLE)) > 0)
          .select(array_to_vector(F.expr(norm)).alias("features")))
     model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(d)
     return [[float(x) for x in c] for c in model.clusterCenters()]
@@ -588,9 +638,9 @@ def semdedup(emb: DataFrame, n_cells: int = 16, threshold: float = 0.95,
         ivf_cells(emb, cents)
         .select("vec_id", F.expr(EMB_DOUBLE).alias("v"), "cell"))
     a, b = cells.alias("a"), cells.alias("b")
-    cos = F.expr(_dot("a.v", "b.v")) / (
+    cos = F.expr(_dot("a.v", "b.v")) / F.nullif(
         F.sqrt(F.expr(_dot("a.v", "a.v")))
-        * F.sqrt(F.expr(_dot("b.v", "b.v"))))
+        * F.sqrt(F.expr(_dot("b.v", "b.v"))), F.lit(0.0))
     dups = (a.join(b, "cell")
             .where(F.col("b.vec_id") < F.col("a.vec_id"))
             .where(F.round(cos, 6) >= threshold)
