@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import dedup, dsir, gapfill, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
+from tsf import bpe, dedup, dsir, gapfill, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
 from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
@@ -773,6 +773,54 @@ def q_token_diversity(spark, sf_dir):
     return textstats.token_diversity(_seq(spark, sf_dir))
 
 
+_BPE_MERGES = 5  # unrolled identically in the DuckDB oracle
+_BPE_CACHE: dict[str, list] = {}  # sf_dir -> learned merge table
+
+
+def _bpe_merges(spark, sf_dir):
+    """Train once per sf_dir — q_bpe_train and q_bpe_apply share the
+    learned table (training is the sequential 5-round loop; no reason
+    to pay it twice in one driver sweep)."""
+    if sf_dir not in _BPE_CACHE:
+        merges, fin = bpe.train_bpe(_seq(spark, sf_dir), _BPE_MERGES)
+        fin.unpersist()
+        _BPE_CACHE[sf_dir] = merges
+    return _BPE_CACHE[sf_dir]
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """One BPE counting round: corpus-wide adjacent token-pair
+    frequencies, top 50 by the total order (cnt DESC, lt, rt). The
+    explode emits (int, int) pairs only — never text — partial
+    aggregation combines map-side, and top-k lowers to
+    TakeOrderedAndProject (plan-asserted in tests/test_bpe.py)."""
+    return bpe.pair_counts(_seq(spark, sf_dir), top_k=50)
+
+
+def q_bpe_train(spark, sf_dir):
+    """BPE merge learning (Sennrich et al. 2016), 5 rounds over the
+    corpus: the learned merge table (rnd, lt, rt, new_id, cnt).
+    Integer-exact, so the DuckDB oracle replays every argmax tie-break
+    and greedy rewrite bit-for-bit; the iterative rounds are unrolled
+    as CTE layers on the oracle side."""
+    return bpe.merges_df(spark, _bpe_merges(spark, sf_dir))
+
+
+def q_bpe_apply(spark, sf_dir):
+    """The production full-corpus rewrite with the learned merge table:
+    ONE vectorized Arrow pass (mapInPandas), merge table as literals —
+    zero Exchange, tokens never shuffle (plan-asserted). Compared via
+    (doc_id, post-BPE length, polynomial fingerprint of the rewritten
+    array) against the oracle's unrolled SQL rounds."""
+    from tsf.textstats import FP_MOD
+    seq = _seq(spark, sf_dir)
+    out = bpe.apply_merges(seq, _bpe_merges(spark, sf_dir), impl="arrow")
+    fp = f"aggregate(tokens, 0L, (a, x) -> (a * 31 + x) % {FP_MOD})"
+    return out.select("doc_id",
+                      F.col("n_tok").alias("n_tok_bpe"),
+                      F.expr(fp).alias("bpe_fp"))
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style repetition filters (Rae et al. 2021): top-2-gram /
     duplicate-5-gram character fractions + most-common-word share, with
@@ -1441,6 +1489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_diversity": q_token_diversity,
         "token_counts": q_token_counts,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_train": q_bpe_train,
+        "bpe_apply": q_bpe_apply,
         "gopher_quality": q_gopher_quality,
         "word_freq_stats": q_word_freq_stats,
         "dsir_weights": q_dsir_weights,
@@ -2521,6 +2572,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),
         "token_diversity": textstats.token_diversity_duckdb(_SEQ),
         "token_counts": textstats.token_counts_duckdb(),
+        "bpe_pair_counts": bpe.pair_counts_duckdb(_SEQ, top_k=50),
+        "bpe_train": bpe.train_bpe_duckdb(_SEQ, _BPE_MERGES),
+        "bpe_apply": bpe.apply_merges_duckdb(
+            _SEQ, _BPE_MERGES, fp_mod=textstats.FP_MOD),
         "gopher_quality": textstats.repetition_signals_duckdb(),
         "word_freq_stats": textstats.word_freq_stats_duckdb(),
         "dsir_weights": dsir.dsir_weights_duckdb(DSIR_TARGET, buckets=256),
