@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import bpe, dedup, dsir, gapfill, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
+from tsf import bpe, cms, dedup, dsir, gapfill, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
 from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
@@ -821,6 +821,20 @@ def q_bpe_apply(spark, sf_dir):
                       F.expr(fp).alias("bpe_fp"))
 
 
+def q_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    bounded-memory vocabulary top-k. The sketch build's one Exchange
+    carries (d, pos) int cells bounded by depth x width per map task
+    (never tokens); the dense sketch rides into the probe as one
+    array<long> literal, candidates come from the deterministic hash01
+    sample slice, estimates are row-local min-over-depth lookups, and
+    top-k is TakeOrderedAndProject (all plan-asserted in
+    tests/test_cms.py). Integer-exact, so the oracle replays every
+    counter — including collision over-counts — and the (est DESC,
+    token) cut bit-for-bit."""
+    return cms.cms_topk(_seq(spark, sf_dir), k=25)
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style repetition filters (Rae et al. 2021): top-2-gram /
     duplicate-5-gram character fractions + most-common-word share, with
@@ -1492,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
+        "cms_topk": q_cms_topk,
         "gopher_quality": q_gopher_quality,
         "word_freq_stats": q_word_freq_stats,
         "dsir_weights": q_dsir_weights,
@@ -2576,6 +2591,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "bpe_train": bpe.train_bpe_duckdb(_SEQ, _BPE_MERGES),
         "bpe_apply": bpe.apply_merges_duckdb(
             _SEQ, _BPE_MERGES, fp_mod=textstats.FP_MOD),
+        "cms_topk": cms.cms_topk_duckdb(_SEQ, k=25),
         "gopher_quality": textstats.repetition_signals_duckdb(),
         "word_freq_stats": textstats.word_freq_stats_duckdb(),
         "dsir_weights": dsir.dsir_weights_duckdb(DSIR_TARGET, buckets=256),
