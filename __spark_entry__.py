@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import bpe, cms, dedup, dsir, gapfill, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
+from tsf import bpe, cms, dedup, dsir, gapfill, lm, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
 from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
@@ -821,6 +821,23 @@ def q_bpe_apply(spark, sf_dir):
                       F.expr(fp).alias("bpe_fp"))
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): per-doc mean
+    negative log prob under a hashed bigram model trained on the clean
+    reference slice. Model tables (<= buckets rows) broadcast; the only
+    corpus Exchange carries (doc_id, two BIGINTs); each ln is
+    micro-rounded per bucket through one shared expression string, so
+    the oracle replays every score bit-for-bit."""
+    return lm.lm_perplexity(_docs(spark, sf_dir), DSIR_TARGET)
+
+
+def q_lm_filter(spark, sf_dir):
+    """The actionable CCNet gate: keep docs whose mean NLL is at most
+    8.0 nats/bigram — an integer compare (nll_micro <= thr * n_bigrams),
+    no float boundary in the keep decision."""
+    return lm.lm_filter(_docs(spark, sf_dir), DSIR_TARGET, 8_000_000)
+
+
 def q_cms_topk(spark, sf_dir):
     """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
     bounded-memory vocabulary top-k. The sketch build's one Exchange
@@ -1507,6 +1524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
         "cms_topk": q_cms_topk,
+        "lm_perplexity": q_lm_perplexity,
+        "lm_filter": q_lm_filter,
         "gopher_quality": q_gopher_quality,
         "word_freq_stats": q_word_freq_stats,
         "dsir_weights": q_dsir_weights,
@@ -2592,6 +2611,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "bpe_apply": bpe.apply_merges_duckdb(
             _SEQ, _BPE_MERGES, fp_mod=textstats.FP_MOD),
         "cms_topk": cms.cms_topk_duckdb(_SEQ, k=25),
+        "lm_perplexity": lm.lm_perplexity_duckdb(DSIR_TARGET),
+        "lm_filter": lm.lm_filter_duckdb(DSIR_TARGET, 8_000_000),
         "gopher_quality": textstats.repetition_signals_duckdb(),
         "word_freq_stats": textstats.word_freq_stats_duckdb(),
         "dsir_weights": dsir.dsir_weights_duckdb(DSIR_TARGET, buckets=256),

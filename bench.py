@@ -155,7 +155,10 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "sessionize_stats", "events_asof",
           "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
           "media_features", "compression_roundtrip", "bpe_pair_counts",
-          "cms_topk"]
+          "cms_topk",
+          # lm_perplexity's train predicate (lang/source) is
+          # schema-stable on the replicated fixture — include it
+          "lm_perplexity"]
 # frame_sample is excluded from the scaled pass: its cost is the fake
 # decode MATERIALIZING every 8th image row (~MBs per doc by design), so
 # at 10x it times the synthetic payload, not the plan.
@@ -342,7 +345,8 @@ def main() -> None:
                 "media_meta", "media_features",
                 "frame_sample", "compression_roundtrip",
                 "line_dedup", "bm25_topk", "outlier_windows",
-                "rolling_rollup", "bpe_pair_counts", "cms_topk"]
+                "rolling_rollup", "bpe_pair_counts", "cms_topk",
+                "lm_perplexity", "lm_filter"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x
     # minute-to-minute (hypervisor neighbors), and single-shot timings
     # made round-over-round comparisons mostly measure that drift
