@@ -838,6 +838,26 @@ def q_lm_filter(spark, sf_dir):
     return lm.lm_filter(_docs(spark, sf_dir), DSIR_TARGET, 8_000_000)
 
 
+def q_badwords_filter(spark, sf_dir):
+    """C4-style blocklist filter (Raffel et al. 2020 §2.2), rate-based
+    keep so the short-vocabulary fixture discriminates (414/500 kept at
+    60k ppm): one row-local filter/size pass over the whitespace words,
+    word list as an array literal — ZERO Exchange, no join
+    (plan-asserted); the keep decision is an integer cross-multiply."""
+    return textstats.badwords_filter(_docs(spark, sf_dir))
+
+
+def q_corpus_drift(spark, sf_dir):
+    """Crawl-over-crawl distribution drift: smoothed KL(src1||src0)
+    over hashed word-unigram buckets with the top drifting buckets as
+    evidence. Contributions are (c_a+1) x the DSIR micro-nat log-ratio
+    expression — order-free BIGINT sums the oracle replays bit-for-bit.
+    Docs outside both slices are filtered BEFORE the explode (pushed to
+    the scan); the one Exchange carries <= buckets count rows."""
+    return dsir.corpus_drift(_docs(spark, sf_dir),
+                             "source = 'src1'", "source = 'src0'")
+
+
 def q_cms_topk(spark, sf_dir):
     """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
     bounded-memory vocabulary top-k. The sketch build's one Exchange
@@ -1526,6 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "lm_perplexity": q_lm_perplexity,
         "lm_filter": q_lm_filter,
+        "badwords_filter": q_badwords_filter,
+        "corpus_drift": q_corpus_drift,
         "gopher_quality": q_gopher_quality,
         "word_freq_stats": q_word_freq_stats,
         "dsir_weights": q_dsir_weights,
@@ -2613,6 +2635,9 @@ def _oracle_sql_base() -> dict[str, str]:
         "cms_topk": cms.cms_topk_duckdb(_SEQ, k=25),
         "lm_perplexity": lm.lm_perplexity_duckdb(DSIR_TARGET),
         "lm_filter": lm.lm_filter_duckdb(DSIR_TARGET, 8_000_000),
+        "badwords_filter": textstats.badwords_filter_duckdb(),
+        "corpus_drift": dsir.corpus_drift_duckdb(
+            "source = 'src1'", "source = 'src0'"),
         "gopher_quality": textstats.repetition_signals_duckdb(),
         "word_freq_stats": textstats.word_freq_stats_duckdb(),
         "dsir_weights": dsir.dsir_weights_duckdb(DSIR_TARGET, buckets=256),

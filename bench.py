@@ -156,9 +156,9 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
           "media_features", "compression_roundtrip", "bpe_pair_counts",
           "cms_topk",
-          # lm_perplexity's train predicate (lang/source) is
-          # schema-stable on the replicated fixture — include it
-          "lm_perplexity"]
+          # lm_perplexity / drift / badwords predicates (lang/source)
+          # are schema-stable on the replicated fixture — include them
+          "lm_perplexity", "badwords_filter", "corpus_drift"]
 # frame_sample is excluded from the scaled pass: its cost is the fake
 # decode MATERIALIZING every 8th image row (~MBs per doc by design), so
 # at 10x it times the synthetic payload, not the plan.
@@ -346,7 +346,8 @@ def main() -> None:
                 "frame_sample", "compression_roundtrip",
                 "line_dedup", "bm25_topk", "outlier_windows",
                 "rolling_rollup", "bpe_pair_counts", "cms_topk",
-                "lm_perplexity", "lm_filter"]
+                "lm_perplexity", "lm_filter", "badwords_filter",
+                "corpus_drift"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x
     # minute-to-minute (hypervisor neighbors), and single-shot timings
     # made round-over-round comparisons mostly measure that drift

@@ -176,3 +176,82 @@ def dsir_sample_duckdb(target_where: str, k: int = 100,
     SELECT doc_id, logw_micro, key_micro FROM keyed
     ORDER BY key_micro DESC, doc_id ASC LIMIT {int(k)}
     """
+
+
+# ----------------------------------------------- corpus drift monitor
+
+def corpus_drift(docs: DataFrame, where_a: str, where_b: str,
+                 buckets: int = 1024, k: int = 50) -> DataFrame:
+    """Distribution drift between two corpus slices — the
+    crawl-over-crawl monitoring signal: smoothed KL(A||B) over hashed
+    word unigram buckets, with the top-k drifting buckets as evidence.
+
+    Per bucket b: contrib = (c_a+1) * ln((c_a+1)(n_b+B) /
+    ((c_b+1)(n_a+B))); KL(A||B) = sum(contrib) / (n_a+B). The ln is the
+    DSIR ``_LR_MICRO`` expression VERBATIM (micro-nat-rounded per
+    bucket), so contributions and the scaled total are order-free
+    BIGINT sums the oracle replays bit-for-bit; the caller divides
+    ``kl_total_micro_scaled`` by ``(n_a + buckets) * 1e6`` for nats.
+
+    Scale shape: docs outside both slices are filtered BEFORE the
+    explode (pushed to the scan); per-bucket counts partial-aggregate
+    map-side into ONE Exchange of <= buckets rows per task; totals and
+    the grand total derive from the bucket table (no second corpus
+    scan) and broadcast; top-k is TakeOrderedAndProject.
+
+    Output: (b, c_a, c_b, contrib_micro, kl_total_micro_scaled) — the k
+    buckets with the largest drift contribution (ties by b)."""
+    B = int(buckets)
+    occ = (docs
+           .where(F.expr(f"({where_a}) OR ({where_b})"))
+           .select(F.expr(f"CAST(({where_a}) AS INT)").alias("is_a"),
+                   F.expr(f"CAST(({where_b}) AS INT)").alias("is_b"),
+                   F.explode(F.expr(_WORDS)).alias("g"))
+           .withColumn("b", F.pmod(F.xxhash64("g"), F.lit(B))))
+    stats = occ.groupBy("b").agg(
+        F.sum("is_a").alias("t_b"), F.sum("is_b").alias("r_b"))
+    tot = stats.agg(F.sum("t_b").alias("t_total"),
+                    F.sum("r_b").alias("r_total"))
+    contrib = (stats.crossJoin(broadcast(tot))
+               .select("b", F.col("t_b").alias("c_a"),
+                       F.col("r_b").alias("c_b"),
+                       ((F.col("t_b") + F.lit(1))
+                        * F.expr(_LR_MICRO.format(B=B)))
+                       .cast("bigint").alias("contrib_micro")))
+    total = contrib.agg(F.sum("contrib_micro")
+                        .alias("kl_total_micro_scaled"))
+    return (contrib.crossJoin(broadcast(total))
+            .orderBy(F.desc("contrib_micro"), F.asc("b"))
+            .limit(int(k)))
+
+
+def corpus_drift_duckdb(where_a: str, where_b: str, buckets: int = 1024,
+                        k: int = 50) -> str:
+    from tsf.xxh64_sql import hash_bytes_layers
+    B = int(buckets)
+    gh = hash_bytes_layers("SELECT s FROM g", "s", "hs", "cd")
+    return f"""
+    WITH w AS (SELECT CAST(({where_a}) AS INT) AS is_a,
+                      CAST(({where_b}) AS INT) AS is_b,
+                      list_filter(string_split(text, ' '),
+                                  x -> length(x) > 0) AS ws
+               FROM documents WHERE ({where_a}) OR ({where_b})),
+    occ AS (SELECT is_a, is_b, unnest(ws) AS g FROM w),
+    g AS (SELECT DISTINCT g AS s FROM occ),
+    gh AS MATERIALIZED (SELECT s, hs FROM ({gh})),
+    ob AS (SELECT occ.is_a, occ.is_b, ((gh.hs % {B}) + {B}) % {B} AS b
+           FROM occ JOIN gh ON occ.g = gh.s),
+    stats AS (SELECT b, CAST(sum(is_a) AS BIGINT) AS t_b,
+                     CAST(sum(is_b) AS BIGINT) AS r_b
+              FROM ob GROUP BY 1),
+    tot AS (SELECT sum(t_b) AS t_total, sum(r_b) AS r_total FROM stats),
+    contrib AS (SELECT b, t_b AS c_a, r_b AS c_b,
+                       CAST((t_b + 1) * ({_LR_MICRO.format(B=B)})
+                            AS BIGINT) AS contrib_micro
+                FROM stats CROSS JOIN tot),
+    total AS (SELECT CAST(sum(contrib_micro) AS BIGINT)
+                     AS kl_total_micro_scaled FROM contrib)
+    SELECT b, c_a, c_b, contrib_micro, kl_total_micro_scaled
+    FROM contrib CROSS JOIN total
+    ORDER BY contrib_micro DESC, b ASC LIMIT {int(k)}
+    """

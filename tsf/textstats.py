@@ -917,3 +917,50 @@ def bm25_topk_duckdb(terms=BM25_TERMS, k: int = 20) -> str:
     ORDER BY score_bm25 DESC, doc_id
     LIMIT {k}
     """
+
+
+# --------------------------------------------------- C4 blocklist filter
+
+#: default blocklist for the driver query — drawn from the corpus
+#: vocabulary so the filter discriminates on the synthetic fixture (a
+#: real deployment passes its own word list)
+BADWORDS = ("slow", "crash")
+
+
+def badwords_filter(docs: DataFrame, words=BADWORDS,
+                    max_ppm: int = 60_000) -> DataFrame:
+    """C4-style blocklist filter (Raffel et al. 2020 §2.2 use a "bad
+    words" list). C4 drops a doc on ANY hit; on short-vocabulary
+    corpora that is degenerate, so the keep rule here is rate-based —
+    keep iff bad words are at most ``max_ppm`` of the doc's words — as
+    an integer cross-multiply (n_bad * 1e6 <= max_ppm * n_words; no
+    float boundary). ``max_ppm=0`` recovers the strict C4 any-hit drop.
+
+    Scale shape: the word list rides as an array literal; counting is
+    one row-local ``filter``/``size`` pass over the whitespace words —
+    ZERO Exchange, no join (plan-asserted in tests/test_pipeline_ops.py).
+    Output: (doc_id, n_words, n_bad, keep)."""
+    lst = "array(" + ",".join(f"'{w}'" for w in words) + ")"
+    thr = int(max_ppm)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(f"CAST(size({_WORDS}) AS BIGINT)").alias("n_words"),
+        F.expr(f"CAST(size(filter({_WORDS}, "
+               f"w -> array_contains({lst}, w))) AS BIGINT)").alias("n_bad"),
+    ).withColumn(
+        "keep", F.expr(f"n_bad * 1000000 <= {thr} * n_words"))
+
+
+def badwords_filter_duckdb(words=BADWORDS, max_ppm: int = 60_000) -> str:
+    lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    thr = int(max_ppm)
+    return f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_filter(ws, w -> list_contains({lst}, w)))
+                AS BIGINT) AS n_bad,
+           CAST(len(list_filter(ws, w -> list_contains({lst}, w)))
+                * 1000000 <= {thr} * len(ws) AS BOOLEAN) AS keep
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                 x -> length(x) > 0) AS ws FROM documents)
+    """
