@@ -838,6 +838,24 @@ def q_lm_filter(spark, sf_dir):
     return lm.lm_filter(_docs(spark, sf_dir), DSIR_TARGET, 8_000_000)
 
 
+def q_span_corrupt(spark, sf_dir):
+    """T5 span-corruption example builder (Raffel et al. 2020 §3.1.4):
+    deterministic hash-chosen non-overlapping spans replaced by
+    sentinels, (inputs, targets) per doc. Fully row-local JVM array
+    arithmetic — ZERO Exchange, no UDF (plan-asserted); compared via
+    per-doc lengths + polynomial fingerprints of both rebuilt arrays
+    against the oracle's xxh64-chain + recursive-CTE greedy replay."""
+    from tsf.textstats import FP_MOD
+    out = sampling.span_corrupt(_seq(spark, sf_dir))
+    fp = "aggregate({c}, 0L, (a, x) -> (a * 31 + x) % " + str(FP_MOD) + ")"
+    return out.select(
+        "doc_id", "source", "n_spans",
+        F.expr("CAST(size(inputs) AS INT)").alias("n_inp"),
+        F.expr("CAST(size(targets) AS INT)").alias("n_tgt"),
+        F.expr(fp.format(c="inputs")).alias("inp_fp"),
+        F.expr(fp.format(c="targets")).alias("tgt_fp"))
+
+
 def q_badwords_filter(spark, sf_dir):
     """C4-style blocklist filter (Raffel et al. 2020 §2.2), rate-based
     keep so the short-vocabulary fixture discriminates (414/500 kept at
@@ -1548,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_filter": q_lm_filter,
         "badwords_filter": q_badwords_filter,
         "corpus_drift": q_corpus_drift,
+        "span_corrupt": q_span_corrupt,
         "gopher_quality": q_gopher_quality,
         "word_freq_stats": q_word_freq_stats,
         "dsir_weights": q_dsir_weights,
@@ -2638,6 +2657,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "badwords_filter": textstats.badwords_filter_duckdb(),
         "corpus_drift": dsir.corpus_drift_duckdb(
             "source = 'src1'", "source = 'src0'"),
+        "span_corrupt": sampling.span_corrupt_duckdb(
+            _SEQ, fp_mod=textstats.FP_MOD),
         "gopher_quality": textstats.repetition_signals_duckdb(),
         "word_freq_stats": textstats.word_freq_stats_duckdb(),
         "dsir_weights": dsir.dsir_weights_duckdb(DSIR_TARGET, buckets=256),

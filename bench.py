@@ -158,7 +158,8 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "cms_topk",
           # lm_perplexity / drift / badwords predicates (lang/source)
           # are schema-stable on the replicated fixture — include them
-          "lm_perplexity", "badwords_filter", "corpus_drift"]
+          "lm_perplexity", "badwords_filter", "corpus_drift",
+          "span_corrupt"]
 # frame_sample is excluded from the scaled pass: its cost is the fake
 # decode MATERIALIZING every 8th image row (~MBs per doc by design), so
 # at 10x it times the synthetic payload, not the plan.
@@ -347,7 +348,7 @@ def main() -> None:
                 "line_dedup", "bm25_topk", "outlier_windows",
                 "rolling_rollup", "bpe_pair_counts", "cms_topk",
                 "lm_perplexity", "lm_filter", "badwords_filter",
-                "corpus_drift"]
+                "corpus_drift", "span_corrupt"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x
     # minute-to-minute (hypervisor neighbors), and single-shot timings
     # made round-over-round comparisons mostly measure that drift

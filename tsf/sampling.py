@@ -609,3 +609,129 @@ def pack_nfd_duckdb(seq_cte: str, example_len: int = 2048) -> str:
                 ELSE (rk.t - tab.m0) % tab.k END AS BIGINT) AS slot
     FROM rk JOIN tab ON rk.len_used = tab.len
     """
+
+
+# ------------------------------------------- T5 span-corruption examples
+
+#: sentinel ids sit above the corpus vocabulary (VOCAB = 50257, io.py)
+SENTINEL_BASE = 60000
+
+
+def span_corrupt(seq: DataFrame, span_len: int = 3,
+                 start_ppm: int = 50_000,
+                 sentinel_base: int = SENTINEL_BASE) -> DataFrame:
+    """T5-style span-corruption example builder (Raffel et al. 2020
+    §3.1.4): replace non-overlapping token spans with sentinel ids and
+    emit the (inputs, targets) denoising pair per document.
+
+    Deterministic variant of T5's random corruption: position p starts
+    a candidate span iff pmod(xxhash64(doc_id, p), 1e6) < ``start_ppm``
+    (expected corrupt rate = start_ppm * span_len / 1e6, the 15%/mean-3
+    recipe at the defaults), candidates resolve to non-overlapping
+    spans by a greedy left-to-right fold (keep p iff p >= last_kept +
+    span_len), spans are fixed-length. Span j is replaced by sentinel
+    ``sentinel_base + j`` in inputs; targets are sentinel_j followed by
+    the span's tokens, concatenated over spans — exactly the T5 layout.
+
+    Everything is row-local JVM array arithmetic: candidate mask, the
+    greedy fold (O(k^2) only in the candidate COUNT, ~ppm of positions),
+    and the rebuild via flatten(transform(...)) slices — ZERO Exchange,
+    no UDF, tokens never shuffle (plan-asserted in tests/test_spans.py).
+    The DuckDB oracle replays the xxhash64 chain, the fold and every
+    rebuilt array bit-for-bit.
+
+    Output: (doc_id, source, n_spans, inputs, targets)."""
+    L, thr, base = int(span_len), int(start_ppm), int(sentinel_base)
+    cand = (f"CASE WHEN size(tokens) >= {L} THEN "
+            f"filter(sequence(0, size(tokens) - {L}), "
+            f"p -> pmod(xxhash64(doc_id, CAST(p AS INT)), 1000000) < {thr}) "
+            f"ELSE CAST(array() AS array<int>) END")
+    kept = (f"aggregate({cand}, CAST(array() AS array<int>), "
+            f"(acc, p) -> IF(size(acc) = 0 OR p >= element_at(acc, -1) + {L}, "
+            f"concat(acc, array(p)), acc))")
+    d = (seq.select("doc_id", "tokens", "source")
+            .withColumn("ks", F.expr(kept))
+            .withColumn("k", F.size("ks")))
+    # piece j (1-based): gap before span j, then sentinel_j
+    pieces = (f"transform(sequence(1, k), j -> concat("
+              f"slice(tokens, IF(j = 1, 0, element_at(ks, j - 1) + {L}) + 1, "
+              f"element_at(ks, j) - IF(j = 1, 0, element_at(ks, j - 1) + {L})), "
+              f"array(CAST({base} + j - 1 AS INT))))")
+    last_end = f"element_at(ks, -1) + {L}"
+    inputs = (f"IF(k = 0, tokens, concat(flatten({pieces}), "
+              f"slice(tokens, {last_end} + 1, size(tokens) - ({last_end}))))")
+    targets = (f"IF(k = 0, CAST(array() AS array<int>), "
+               f"flatten(transform(sequence(1, k), j -> concat("
+               f"array(CAST({base} + j - 1 AS INT)), "
+               f"slice(tokens, element_at(ks, j) + 1, {L})))))")
+    return d.select("doc_id", "source",
+                    F.col("k").cast("int").alias("n_spans"),
+                    F.expr(inputs).alias("inputs"),
+                    F.expr(targets).alias("targets"))
+
+
+def span_corrupt_duckdb(seq_cte: str, span_len: int = 3,
+                        start_ppm: int = 50_000,
+                        sentinel_base: int = SENTINEL_BASE,
+                        fp_mod: int = 2147483647) -> str:
+    """Replay of :func:`span_corrupt` reduced to the per-doc evidence
+    the driver compares: (doc_id, source, n_spans, n_inp, n_tgt,
+    inp_fp, tgt_fp) with the engine's polynomial fingerprints of the
+    rebuilt arrays (the bpe_apply precedent)."""
+    from tsf.xxh64_sql import hash_bytes_layers, hash_int_layers
+    L, thr, base = int(span_len), int(start_ppm), int(sentinel_base)
+    hb = hash_bytes_layers(
+        "SELECT doc_id, tokens, source FROM seq", "doc_id", "hb", "sb")
+    hp = hash_int_layers(
+        f"SELECT doc_id, hb, p FROM (SELECT doc_id, hb, "
+        f"unnest(range(0, greatest(len(tokens) - {L} + 1, 0))) AS p "
+        f"FROM hbt)", "p", "hb", "h", "sp")
+    fp = (f"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+          f"list_transform({{col}}, zx -> CAST(zx AS BIGINT))), "
+          f"(a, x) -> (a * 31 + x) % {int(fp_mod)}) AS BIGINT)")
+    return f"""
+    WITH RECURSIVE seq AS ({seq_cte}),
+    hbt AS MATERIALIZED ({hb}),
+    ph AS MATERIALIZED ({hp}),
+    candpos AS MATERIALIZED (
+      SELECT doc_id, p FROM ph
+      WHERE ((h % 1000000) + 1000000) % 1000000 < {thr}),
+    -- greedy left-to-right non-overlap selection: iteration i holds each
+    -- doc's i-th kept start (the min candidate >= last kept + L). A
+    -- list-accumulator fold would be the direct form, but DuckDB 1.0
+    -- mis-evaluates list_reduce with a LIST accumulator over
+    -- list_transform output, so the sequential chain runs as a
+    -- recursive CTE instead (the dedup_groups oracle precedent).
+    kept AS (
+      SELECT doc_id, min(p) AS p FROM candpos GROUP BY 1
+      UNION ALL
+      SELECT c.doc_id, min(c.p) AS p
+      FROM kept k JOIN candpos c
+        ON c.doc_id = k.doc_id AND c.p >= k.p + {L}
+      GROUP BY 1),
+    keptt AS (
+      SELECT h.doc_id, h.tokens, h.source,
+             coalesce(x.ks, []) AS ks
+      FROM hbt h LEFT JOIN (
+        SELECT doc_id, list(CAST(p AS INT) ORDER BY p) AS ks
+        FROM kept GROUP BY 1) x USING (doc_id)),
+    built AS (
+      SELECT doc_id, source, len(ks) AS k,
+        CASE WHEN len(ks) = 0 THEN tokens ELSE
+          flatten(list_transform(range(1, len(ks) + 1), j ->
+            list_concat(tokens[CASE WHEN j = 1 THEN 0 ELSE ks[j - 1] + {L} END + 1
+                               : ks[j]],
+                        [CAST({base} + j - 1 AS INT)])))
+          || tokens[ks[-1] + {L} + 1 : ] END AS inputs,
+        CASE WHEN len(ks) = 0 THEN CAST([] AS INT[]) ELSE
+          flatten(list_transform(range(1, len(ks) + 1), j ->
+            list_prepend(CAST({base} + j - 1 AS INT),
+                         tokens[ks[j] + 1 : ks[j] + {L}]))) END AS targets
+      FROM keptt)
+    SELECT doc_id, source, CAST(k AS INT) AS n_spans,
+           CAST(len(inputs) AS INT) AS n_inp,
+           CAST(len(targets) AS INT) AS n_tgt,
+           {fp.format(col="inputs")} AS inp_fp,
+           {fp.format(col="targets")} AS tgt_fp
+    FROM built
+    """
