@@ -838,6 +838,22 @@ def q_lm_filter(spark, sf_dir):
     return lm.lm_filter(_docs(spark, sf_dir), DSIR_TARGET, 8_000_000)
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003 — MOSS):
+    rightmost-minimal k-gram hash per window, deduped; selects
+    ~2/(win+1) of positions yet guarantees any shared >= win+k-1-token
+    substring is caught. Hashing + selection are one row-local HOF pass
+    (ZERO Exchange below the selected-set explode, plan-asserted)."""
+    return dedup.winnow_fingerprints(_seq(spark, sf_dir))
+
+
+def q_winnow_candidates(spark, sf_dir):
+    """Near-dup candidate pairs from shared winnowed fingerprints —
+    bucketed by fingerprint hash (cost follows per-hash occupancy, the
+    banded-minhash shape, never all pairs)."""
+    return dedup.winnow_candidates(_seq(spark, sf_dir))
+
+
 def q_span_corrupt(spark, sf_dir):
     """T5 span-corruption example builder (Raffel et al. 2020 §3.1.4):
     deterministic hash-chosen non-overlapping spans replaced by
@@ -1567,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badwords_filter": q_badwords_filter,
         "corpus_drift": q_corpus_drift,
         "span_corrupt": q_span_corrupt,
+        "winnow_fp": q_winnow_fp,
+        "winnow_candidates": q_winnow_candidates,
         "gopher_quality": q_gopher_quality,
         "word_freq_stats": q_word_freq_stats,
         "dsir_weights": q_dsir_weights,
@@ -2659,6 +2677,8 @@ def _oracle_sql_base() -> dict[str, str]:
             "source = 'src1'", "source = 'src0'"),
         "span_corrupt": sampling.span_corrupt_duckdb(
             _SEQ, fp_mod=textstats.FP_MOD),
+        "winnow_fp": dedup.winnow_fingerprints_duckdb(_SEQ),
+        "winnow_candidates": dedup.winnow_candidates_duckdb(_SEQ),
         "gopher_quality": textstats.repetition_signals_duckdb(),
         "word_freq_stats": textstats.word_freq_stats_duckdb(),
         "dsir_weights": dsir.dsir_weights_duckdb(DSIR_TARGET, buckets=256),

@@ -159,7 +159,11 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # lm_perplexity / drift / badwords predicates (lang/source)
           # are schema-stable on the replicated fixture — include them
           "lm_perplexity", "badwords_filter", "corpus_drift",
-          "span_corrupt"]
+          "span_corrupt",
+          # winnow_candidates joins the pairwise family: dup-dense x10
+          # grows per-hash occupancy quadratically by construction, so
+          # only the row-local fingerprint selection is re-timed
+          "winnow_fp"]
 # frame_sample is excluded from the scaled pass: its cost is the fake
 # decode MATERIALIZING every 8th image row (~MBs per doc by design), so
 # at 10x it times the synthetic payload, not the plan.
@@ -348,7 +352,8 @@ def main() -> None:
                 "line_dedup", "bm25_topk", "outlier_windows",
                 "rolling_rollup", "bpe_pair_counts", "cms_topk",
                 "lm_perplexity", "lm_filter", "badwords_filter",
-                "corpus_drift", "span_corrupt"]
+                "corpus_drift", "span_corrupt", "winnow_fp",
+                "winnow_candidates"]
     # best-of-2 per query: the host VM's throughput swings up to ~2.5x
     # minute-to-minute (hypervisor neighbors), and single-shot timings
     # made round-over-round comparisons mostly measure that drift

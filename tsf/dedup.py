@@ -1371,3 +1371,127 @@ def line_dedup_duckdb(lw: int = LINE_W) -> str:
            coalesce(array_to_string(kept, chr(10)), '') AS text_clean
     FROM cl
     """
+
+
+# ------------------------------------------------ winnowing fingerprints
+
+#: winnowing defaults: k-gram size and window width. Guarantee
+#: (Schleimer et al. 2003): any shared run of >= win + k - 1 tokens
+#: between two docs shares at least one selected fingerprint.
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+def winnow_fingerprints(seq: DataFrame, k: int = WINNOW_K,
+                        win: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): per doc, the rightmost-minimal k-gram
+    hash of every width-``win`` window, deduped. The robust
+    fingerprinting standard behind plagiarism/near-dup detection: it
+    selects ~2/(win+1) of positions yet GUARANTEES any shared substring
+    of >= win+k-1 tokens is caught.
+
+    Scale shape: hashing and selection are one row-local pass over the
+    token array (HOF folds — no UDF, no shuffle below the explode of
+    the ~2/(win+1)-sized selected set; plan-asserted in
+    tests/test_winnow.py). Hashes reuse the engine's span-identity
+    polynomial family (`_span_positions`), so the DuckDB oracle replays
+    every selected (pos, h) bit-for-bit.
+
+    Output: (doc_id, pos, h) — 1-based position of each selected
+    k-gram. The hash array and the effective window materialize as
+    columns BEFORE the selection expression: inlining them textually
+    repeats the whole subtree ~6x inside nested HOF lambdas, which
+    Spark re-evaluates per window and the optimizer chews on for
+    seconds (measured 23s -> 0.6s at sf0.01)."""
+    from tsf.textstats import FP_MOD
+    K, W = int(k), int(win)
+    gh = (f"aggregate(slice(tokens, i, {K}), 0L, "
+          f"(a, x) -> (a * 31 + x) % {FP_MOD})")
+    hs = f"transform(sequence(1, size(tokens) - {K} + 1), i -> {gh})"
+    # rightmost-minimal per window; effective window shrinks on docs
+    # with fewer than `win` hash positions
+    sel = (
+        "array_distinct(transform(sequence(1, size(hs) - we + 1, 1), "
+        "w -> struct("
+        "CAST(w - 1 + array_max(filter(sequence(1, we), "
+        "j -> element_at(hs, w + j - 1) = array_min(slice(hs, w, we)))) "
+        "AS INT) AS pos, "
+        "array_min(slice(hs, w, we)) AS h)))")
+    return (seq.where(F.expr(f"size(tokens) >= {K}"))
+            .withColumn("hs", F.expr(hs))
+            .withColumn("we", F.expr(f"least({W}, size(hs))"))
+            .select("doc_id", F.explode(F.expr(sel)).alias("s"))
+            .select("doc_id", F.col("s.pos").alias("pos"),
+                    F.col("s.h").alias("h")))
+
+
+def winnow_candidates(seq: DataFrame, k: int = WINNOW_K,
+                      win: int = WINNOW_W,
+                      min_shared: int = 2) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowed fingerprints:
+    (doc_a, doc_b, n_shared) for pairs sharing >= ``min_shared``
+    distinct fingerprint hashes. The join is bucketed by fingerprint
+    hash — cost follows per-hash occupancy (the banded-minhash shape),
+    never all pairs."""
+    fp = winnow_fingerprints(seq, k, win).select(
+        "doc_id", "h").distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= int(min_shared)))
+
+
+def winnow_fingerprints_duckdb(seq_cte: str, k: int = WINNOW_K,
+                               win: int = WINNOW_W) -> str:
+    """Replay of :func:`winnow_fingerprints` (identical hash family,
+    identical rightmost-minimal selection; list_aggregate/list_slice
+    scalar ops only — no list-accumulator fold, see the span_corrupt
+    oracle note on the DuckDB 1.0 list_reduce bug)."""
+    from tsf.textstats import FP_MOD
+    K, W = int(k), int(win)
+    gh = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+          f"list_transform(list_slice(tokens, i, i + {K} - 1), "
+          f"zx -> CAST(zx AS BIGINT))), (a, x) -> (a * 31 + x) % {FP_MOD})")
+    return f"""
+    WITH seq AS ({seq_cte}),
+    hst AS (SELECT doc_id,
+                   list_transform(range(1, len(tokens) - {K} + 2),
+                                  i -> {gh}) AS hs
+            FROM seq WHERE len(tokens) >= {K}),
+    wm AS (SELECT doc_id, hs, least({W}, len(hs)) AS we FROM hst),
+    sel AS (SELECT doc_id,
+                   list_transform(range(1, len(hs) - we + 2),
+                     w -> {{'pos': w - 1 + list_max(list_filter(
+                              range(1, we + 1),
+                              j -> hs[w + j - 1] =
+                                   list_aggregate(list_slice(hs, w, w + we - 1),
+                                                  'min'))),
+                           'h': list_aggregate(list_slice(hs, w, w + we - 1),
+                                               'min')}}) AS fps
+            FROM wm),
+    -- adjacent windows reselect the same position: dedupe AFTER the
+    -- unnest (list_distinct over STRUCT lists is unimplemented in
+    -- DuckDB 1.0 — "Unimplemented type for histogram STRUCT")
+    ex AS (SELECT DISTINCT doc_id, u.t.pos AS pos, u.t.h AS h
+           FROM sel, UNNEST(sel.fps) AS u(t))
+    SELECT doc_id, CAST(pos AS INT) AS pos, CAST(h AS BIGINT) AS h FROM ex
+    """
+
+
+def winnow_candidates_duckdb(seq_cte: str, k: int = WINNOW_K,
+                             win: int = WINNOW_W,
+                             min_shared: int = 2) -> str:
+    """Replay of :func:`winnow_candidates` over the fingerprint replay."""
+    fp = winnow_fingerprints_duckdb(seq_cte, k, win)
+    return f"""
+    WITH fp AS MATERIALIZED (
+      SELECT DISTINCT doc_id, h FROM ({fp}))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {int(min_shared)}
+    """
