@@ -653,12 +653,10 @@ def q_remove_dup_spans(spark, sf_dir):
     20-token spans are dropped; the smallest-(doc_id, pos) occurrence
     survives, so one copy of each repeated substring remains. Compared
     via a rolling-hash fingerprint of the cleaned arrays."""
-    from tsf.textstats import FP_MOD
+    from tsf.textstats import fp_expr
     out = dedup.remove_dup_spans(_seq(spark, sf_dir), L=20)
-    fp = (f"aggregate(tokens_clean, 0L, "
-          f"(a, x) -> (a * 31 + x) % {FP_MOD})")
     return out.select("doc_id", "n_tok", "n_tok_clean", "n_removed",
-                      F.expr(fp).alias("clean_fp"))
+                      F.expr(fp_expr("tokens_clean")).alias("clean_fp"))
 
 
 def q_line_dedup(spark, sf_dir):
@@ -812,13 +810,12 @@ def q_bpe_apply(spark, sf_dir):
     zero Exchange, tokens never shuffle (plan-asserted). Compared via
     (doc_id, post-BPE length, polynomial fingerprint of the rewritten
     array) against the oracle's unrolled SQL rounds."""
-    from tsf.textstats import FP_MOD
+    from tsf.textstats import fp_expr
     seq = _seq(spark, sf_dir)
     out = bpe.apply_merges(seq, _bpe_merges(spark, sf_dir), impl="arrow")
-    fp = f"aggregate(tokens, 0L, (a, x) -> (a * 31 + x) % {FP_MOD})"
     return out.select("doc_id",
                       F.col("n_tok").alias("n_tok_bpe"),
-                      F.expr(fp).alias("bpe_fp"))
+                      F.expr(fp_expr("tokens")).alias("bpe_fp"))
 
 
 def q_lm_perplexity(spark, sf_dir):
@@ -861,15 +858,14 @@ def q_span_corrupt(spark, sf_dir):
     arithmetic — ZERO Exchange, no UDF (plan-asserted); compared via
     per-doc lengths + polynomial fingerprints of both rebuilt arrays
     against the oracle's xxh64-chain + recursive-CTE greedy replay."""
-    from tsf.textstats import FP_MOD
+    from tsf.textstats import fp_expr
     out = sampling.span_corrupt(_seq(spark, sf_dir))
-    fp = "aggregate({c}, 0L, (a, x) -> (a * 31 + x) % " + str(FP_MOD) + ")"
     return out.select(
         "doc_id", "source", "n_spans",
         F.expr("CAST(size(inputs) AS INT)").alias("n_inp"),
         F.expr("CAST(size(targets) AS INT)").alias("n_tgt"),
-        F.expr(fp.format(c="inputs")).alias("inp_fp"),
-        F.expr(fp.format(c="targets")).alias("tgt_fp"))
+        F.expr(fp_expr("inputs")).alias("inp_fp"),
+        F.expr(fp_expr("targets")).alias("tgt_fp"))
 
 
 def q_badwords_filter(spark, sf_dir):

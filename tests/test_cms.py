@@ -47,6 +47,19 @@ def test_estimate_never_undercounts(spark, sf001):
     assert all(v == n for v in per_d.values())
 
 
+def test_depth_one_estimate(spark):
+    # least() needs >= 2 args; depth=1 must return the lone lookup
+    df = _seq_df(spark, [[1, 1, 2]])
+    dense = cms._dense_sketch(cms.cms_sketch(df, width=32, depth=1)
+                              .collect(), 32, 1)
+    cand = df.select(F.explode("tokens").alias("token")).distinct()
+    est = {r["token"]: r["est"] for r in
+           cms.cms_estimate(cand, dense, width=32, depth=1).collect()}
+    assert est[1] >= 2 and est[2] >= 1
+    with pytest.raises(ValueError):
+        cms.cms_estimate(cand, dense, width=32, depth=0)
+
+
 def test_planted_heavy_hitters_recovered(spark):
     rng = np.random.default_rng(5)
     # zipf-ish: token 7 in every doc x30, token 11 x10, noise across 5000

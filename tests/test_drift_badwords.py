@@ -67,6 +67,25 @@ def test_drift_detects_planted_shift(spark):
     assert out[0]["kl_total_micro_scaled"] > 0
 
 
+def test_drift_includes_empty_bucket_terms(spark):
+    # Smoothed KL(A||B) sums over ALL B buckets: with n_a != n_b, each
+    # bucket empty in both slices contributes ln((n_b+B)/(n_a+B)) != 0.
+    # One occupied bucket ('x'), 15 empty ones — hand-fold both terms.
+    import math
+    B = 16
+    df = _docs_df(spark, [("a", "x x x", "new"), ("b", "x", "ref")])
+    out = dsir.corpus_drift(df, "source = 'new'", "source = 'ref'",
+                            buckets=B, k=5).collect()
+    assert len(out) == 1  # only the 'x' bucket is occupied
+    r = out[0]
+    assert (r["n_a"], r["n_b"]) == (3, 1)
+    lr = math.floor(math.log((3 + 1) * (1 + B) / ((1 + 1) * (3 + B)))
+                    * 1e6 + 0.5)
+    lr0 = math.floor(math.log((1 + B) / (3 + B)) * 1e6 + 0.5)
+    assert r["contrib_micro"] == (3 + 1) * lr
+    assert r["kl_total_micro_scaled"] == (3 + 1) * lr + (B - 1) * lr0
+
+
 def test_drift_plan_shapes(spark, sf001):
     docs = spark.read.parquet(f"{sf001}/documents.parquet")
     out = dsir.corpus_drift(docs, "source = 'src1'", "source = 'src0'")

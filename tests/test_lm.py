@@ -4,11 +4,10 @@ Pins: the score against a readable python reference on a two-register
 fixture (reference-like docs score lower than gibberish), add-1
 smoothing edge cases (unseen bigram / unseen prefix), empty and
 one-word docs, the integer-compare filter, and the executed-plan scale
-shapes (both model tables broadcast; the only corpus-sized Exchange
-carries per-doc longs, never text)."""
+shapes (one-aggregate training pass; row-local scoring with zero
+Exchange — the model rides in the plan as array literals)."""
 
 import math
-import re
 
 import numpy as np
 import pytest
@@ -100,13 +99,31 @@ def test_empty_and_one_word_docs(spark):
     assert {r["doc_id"] for r in kept} == {"a"}  # unscorable docs dropped
 
 
-def test_plan_broadcasts_models_no_text_shuffle(spark, sf001):
+def test_scoring_plan_is_row_local_zero_exchange(spark, sf001):
+    # the model rides in the plan as array literals; scoring must not
+    # join or shuffle anything — one scan, per-row HOF folds only
     docs = spark.read.parquet(f"{sf001}/documents.parquet")
     out = lm.lm_perplexity(docs, "lang = 'en' AND source = 'src0'")
     out.count()
     p = _plan(out)
-    assert p.count("BroadcastHashJoin") >= 2, p  # both model tables
-    for ln in p.splitlines():
-        if "Exchange hashpartitioning" in ln:
-            assert "text" not in ln, ln
-    assert "partial_count" in p and "partial_sum" in p, p
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+
+
+def test_training_is_one_aggregate_pass(spark, sf001):
+    # both model tables from a single (which, bucket) aggregate: the
+    # training job's plan has exactly one shuffle and one corpus scan
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    B = 4096
+    tr = lm._occ(docs, "lang = 'en' AND source = 'src0'", B) \
+           .where("is_t = 1")
+    cells = tr.select(F.explode(F.array(
+        F.struct(F.lit(0).alias("w"), F.col("b1").alias("b")),
+        F.struct(F.lit(1).alias("w"), F.col("b2").alias("b")))).alias("c"))
+    cnt = (cells.groupBy(F.col("c.w").alias("w"), F.col("c.b").alias("b"))
+                .agg(F.count(F.lit(1)).alias("c")))
+    cnt.count()
+    p = _plan(cnt)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Scan parquet") == 1, p
+    assert "partial_count" in p, p  # map-side combine before the shuffle

@@ -75,12 +75,16 @@ def cms_estimate(cands: DataFrame, dense: list[int], width: int = WIDTH,
     The dense sketch is an array<long> literal (bounded metadata riding
     in the plan — no join, no broadcast table); the probe is row-local
     with ZERO Exchange."""
+    if depth < 1:
+        raise ValueError(f"cms_estimate: depth must be >= 1, got {depth}")
     lit = f"array({','.join(f'{v}L' for v in dense)})"
     looks = [
         f"element_at({lit}, CAST({d} * {width} + "
         f"pmod(xxhash64({d}, {token_col}), {width}) + 1 AS INT))"
         for d in range(depth)]
-    return cands.withColumn("est", F.expr(f"least({', '.join(looks)})"))
+    # least() needs >= 2 args in Spark SQL; depth=1 is the lone lookup
+    est = looks[0] if depth == 1 else f"least({', '.join(looks)})"
+    return cands.withColumn("est", F.expr(est))
 
 
 def cms_topk(seq: DataFrame, k: int = 25, width: int = WIDTH,

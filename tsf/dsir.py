@@ -63,6 +63,13 @@ _LR_MICRO = (
     " * (CAST(t_total AS DOUBLE) + {B}.0)))"
     " * 1000000.0 + 0.5) AS BIGINT)")
 
+#: _LR_MICRO at c_a = c_b = 0 — the per-bucket micro-nat contribution of
+#: a bucket empty in both slices (corpus_drift folds count × this in).
+_LR0_MICRO = (
+    "CAST(floor(ln((CAST(r_total AS DOUBLE) + {B}.0)"
+    " / (CAST(t_total AS DOUBLE) + {B}.0))"
+    " * 1000000.0 + 0.5) AS BIGINT)")
+
 #: Gumbel(0,1) perturbation in micro-nats from a signed 64-bit hash {h}
 _GUMBEL_MICRO = (
     "CAST(floor(-ln(-ln(((({h}) % 1048576 + 1048576) % 1048576 + 0.5)"
@@ -187,11 +194,17 @@ def corpus_drift(docs: DataFrame, where_a: str, where_b: str,
     word unigram buckets, with the top-k drifting buckets as evidence.
 
     Per bucket b: contrib = (c_a+1) * ln((c_a+1)(n_b+B) /
-    ((c_b+1)(n_a+B))); KL(A||B) = sum(contrib) / (n_a+B). The ln is the
-    DSIR ``_LR_MICRO`` expression VERBATIM (micro-nat-rounded per
-    bucket), so contributions and the scaled total are order-free
+    ((c_b+1)(n_a+B))); KL(A||B) = sum(contrib) / (n_a+B), where the sum
+    runs over ALL B buckets: the B - n_occupied buckets empty in both
+    slices each contribute 1 * ln((n_b+B)/(n_a+B)) — nonzero whenever
+    the slice sizes differ — folded in as one closed-form term (count ×
+    per-empty-bucket micro-nats), not by materializing empty rows. The
+    ln is the DSIR ``_LR_MICRO`` expression VERBATIM (micro-nat-rounded
+    per bucket), so contributions and the scaled total are order-free
     BIGINT sums the oracle replays bit-for-bit; the caller divides
-    ``kl_total_micro_scaled`` by ``(n_a + buckets) * 1e6`` for nats.
+    ``kl_total_micro_scaled`` by ``(n_a + buckets) * 1e6`` for nats —
+    n_a and n_b ride along as output columns so no second corpus pass
+    is needed to normalize.
 
     Scale shape: docs outside both slices are filtered BEFORE the
     explode (pushed to the scan); per-bucket counts partial-aggregate
@@ -199,8 +212,9 @@ def corpus_drift(docs: DataFrame, where_a: str, where_b: str,
     the grand total derive from the bucket table (no second corpus
     scan) and broadcast; top-k is TakeOrderedAndProject.
 
-    Output: (b, c_a, c_b, contrib_micro, kl_total_micro_scaled) — the k
-    buckets with the largest drift contribution (ties by b)."""
+    Output: (b, c_a, c_b, contrib_micro, kl_total_micro_scaled, n_a,
+    n_b) — the k buckets with the largest drift contribution (ties by
+    b)."""
     B = int(buckets)
     occ = (docs
            .where(F.expr(f"({where_a}) OR ({where_b})"))
@@ -211,16 +225,23 @@ def corpus_drift(docs: DataFrame, where_a: str, where_b: str,
     stats = occ.groupBy("b").agg(
         F.sum("is_a").alias("t_b"), F.sum("is_b").alias("r_b"))
     tot = stats.agg(F.sum("t_b").alias("t_total"),
-                    F.sum("r_b").alias("r_total"))
+                    F.sum("r_b").alias("r_total"),
+                    F.count(F.lit(1)).alias("n_occ"))
     contrib = (stats.crossJoin(broadcast(tot))
                .select("b", F.col("t_b").alias("c_a"),
                        F.col("r_b").alias("c_b"),
                        ((F.col("t_b") + F.lit(1))
                         * F.expr(_LR_MICRO.format(B=B)))
                        .cast("bigint").alias("contrib_micro")))
-    total = contrib.agg(F.sum("contrib_micro")
-                        .alias("kl_total_micro_scaled"))
-    return (contrib.crossJoin(broadcast(total))
+    summary = (contrib.agg(F.sum("contrib_micro").alias("occ_micro"))
+               .crossJoin(broadcast(tot))
+               .select((F.col("occ_micro")
+                        + (F.lit(B) - F.col("n_occ"))
+                        * F.expr(_LR0_MICRO.format(B=B)))
+                       .cast("bigint").alias("kl_total_micro_scaled"),
+                       F.col("t_total").cast("bigint").alias("n_a"),
+                       F.col("r_total").cast("bigint").alias("n_b")))
+    return (contrib.crossJoin(broadcast(summary))
             .orderBy(F.desc("contrib_micro"), F.asc("b"))
             .limit(int(k)))
 
@@ -244,14 +265,21 @@ def corpus_drift_duckdb(where_a: str, where_b: str, buckets: int = 1024,
     stats AS (SELECT b, CAST(sum(is_a) AS BIGINT) AS t_b,
                      CAST(sum(is_b) AS BIGINT) AS r_b
               FROM ob GROUP BY 1),
-    tot AS (SELECT sum(t_b) AS t_total, sum(r_b) AS r_total FROM stats),
+    tot AS (SELECT sum(t_b) AS t_total, sum(r_b) AS r_total,
+                   count(*) AS n_occ FROM stats),
     contrib AS (SELECT b, t_b AS c_a, r_b AS c_b,
                        CAST((t_b + 1) * ({_LR_MICRO.format(B=B)})
                             AS BIGINT) AS contrib_micro
                 FROM stats CROSS JOIN tot),
-    total AS (SELECT CAST(sum(contrib_micro) AS BIGINT)
-                     AS kl_total_micro_scaled FROM contrib)
-    SELECT b, c_a, c_b, contrib_micro, kl_total_micro_scaled
+    total AS (SELECT CAST(occ_micro + ({B} - n_occ)
+                          * ({_LR0_MICRO.format(B=B)}) AS BIGINT)
+                     AS kl_total_micro_scaled,
+                     CAST(t_total AS BIGINT) AS n_a,
+                     CAST(r_total AS BIGINT) AS n_b
+              FROM (SELECT CAST(sum(contrib_micro) AS BIGINT)
+                           AS occ_micro FROM contrib)
+              CROSS JOIN tot)
+    SELECT b, c_a, c_b, contrib_micro, kl_total_micro_scaled, n_a, n_b
     FROM contrib CROSS JOIN total
     ORDER BY contrib_micro DESC, b ASC LIMIT {int(k)}
     """

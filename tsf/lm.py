@@ -27,18 +27,21 @@ string, so both engines evaluate ln on bit-identical doubles and the
 per-doc score is a pure BIGINT sum — order-free under any
 partitioning. The final mean is one IEEE division of exact integers.
 
-Scale shape (100 TB): the two model tables are <= ``buckets`` rows and
-BROADCAST (plan-asserted); the corpus side explodes (prefix, bigram)
-hash buckets row-locally and the ONLY corpus-sized Exchange carries
-(doc_id, two BIGINTs) after map-side partial aggregation — raw text
-never crosses an Exchange. Training is one extra aggregate over the
-reference slice sharing the same scan.
+Scale shape (100 TB): training is ONE pass — both model tables come
+from a single (which, bucket) aggregate over the reference slice (the
+previous two-aggregate form scanned and word-split the corpus once per
+table), collected driver-side because the model is <= 2 x ``buckets``
+counters BY CONSTRUCTION, independent of corpus size (the same bounded
+-sketch-as-plan-literal pattern as :mod:`tsf.cms`). Scoring then rides
+the model as two long-array literals in the plan and evaluates per doc
+with row-local HOF lookups: ZERO joins, ZERO Exchange — no corpus byte
+moves at all (plan-asserted). Two corpus scans total (train + score),
+the irreducible shape of train-then-apply.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.functions import broadcast
 
 from tsf.textstats import _WORDS
 
@@ -66,39 +69,60 @@ def _occ(docs: DataFrame, train_where: str, buckets: int) -> DataFrame:
                     F.pmod(F.xxhash64("o.g"), F.lit(B)).alias("b2")))
 
 
+def lm_train_counts(docs: DataFrame, train_where: str,
+                    buckets: int) -> tuple[list[int], list[int]]:
+    """ONE model-building pass: prefix and bigram bucket counts via a
+    single (which, bucket) aggregate (map-side partial, <= 2B groups
+    per task), collected to two dense lists of <= ``buckets`` exact
+    integer counters each — bounded model memory at any corpus size."""
+    B = int(buckets)
+    tr = _occ(docs, train_where, B).where("is_t = 1")
+    cells = tr.select(F.explode(F.array(
+        F.struct(F.lit(0).alias("w"), F.col("b1").alias("b")),
+        F.struct(F.lit(1).alias("w"), F.col("b2").alias("b")))).alias("c"))
+    rows = (cells.groupBy(F.col("c.w").alias("w"), F.col("c.b").alias("b"))
+                 .agg(F.count(F.lit(1)).alias("c")).collect())
+    dense: tuple[list[int], list[int]] = ([0] * B, [0] * B)
+    for r in rows:
+        dense[int(r["w"])][int(r["b"])] = int(r["c"])
+    return dense
+
+
 def lm_perplexity(docs: DataFrame, train_where: str,
                   buckets: int = 4096) -> DataFrame:
     """Per-document LM score: (doc_id, n_bigrams, nll_micro,
-    nll_per_gram). Docs with < 2 words keep (0, 0, NULL)."""
+    nll_per_gram). Docs with < 2 words keep (0, 0, NULL).
+
+    Scoring is row-local: the two count tables ride in the plan as
+    long-array literals (bounded metadata, like the cms sketch) and
+    each doc folds its bigram list through element_at lookups + the
+    shared ``_LN_MICRO`` expression — zero joins, zero Exchange. The
+    unseen defaults fall out of the dense arrays: c1=0 gives ln(0+B)
+    (unseen prefix), c2=0 gives ln(0+1)=0 (unseen bigram), through the
+    SAME expression — no third libm enters the contract."""
     B = int(buckets)
-    occ = _occ(docs, train_where, B)
-    tr = occ.where("is_t = 1")
-    # model tables: micro-rounded per-bucket lns (<= B rows each)
-    m1 = (tr.groupBy("b1").agg(F.count("*").alias("c1"))
-            .select("b1", F.expr(_LN_MICRO.format(c="c1", k=B))
-                           .alias("m1")))
-    m2 = (tr.groupBy("b2").agg(F.count("*").alias("c2"))
-            .select("b2", F.expr(_LN_MICRO.format(c="c2", k=1))
-                           .alias("m2")))
-    # unseen-prefix default ln(0 + B) through the SAME shared expression
-    # (constant-folded by Catalyst; no third libm enters the contract)
-    unseen1 = F.expr(_LN_MICRO.format(c="0", k=B))
-    sc = (occ.join(broadcast(m1), "b1", "left")
-             .join(broadcast(m2), "b2", "left")
-             .select("doc_id",
-                     (F.coalesce(F.col("m1"), unseen1)
-                      - F.coalesce("m2", F.lit(0))).alias("nll"))
-             .groupBy("doc_id")
-             .agg(F.count("*").alias("n_bigrams"),
-                  F.sum("nll").alias("nll_micro")))
-    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"))
-    nb = F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
-    nm = F.coalesce("nll_micro", F.lit(0)).cast("bigint")
-    return (base.join(sc, "doc_id", "left")
-            .select("doc_id", nb.alias("n_bigrams"), nm.alias("nll_micro"),
+    c1, c2 = lm_train_counts(docs, train_where, B)
+    lit1 = f"array({','.join(f'{v}L' for v in c1)})"
+    lit2 = f"array({','.join(f'{v}L' for v in c2)})"
+    ln1 = _LN_MICRO.format(
+        c=f"element_at({lit1}, CAST(pmod(xxhash64(o.p), {B}) + 1 AS INT))",
+        k=B)
+    ln2 = _LN_MICRO.format(
+        c=f"element_at({lit2}, CAST(pmod(xxhash64(o.g), {B}) + 1 AS INT))",
+        k=1)
+    return (docs
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.expr(_PAIRS).alias("_pairs"))
+            .select("doc_id",
+                    F.expr("size(_pairs)").cast("bigint").alias("n_bigrams"),
+                    F.expr(f"aggregate(_pairs, 0L,"
+                           f" (a, o) -> a + ({ln1}) - ({ln2}))")
+                    .alias("nll_micro"))
+            .select("doc_id", "n_bigrams", "nll_micro",
                     # NULL (not 0/0) when the doc has no bigrams to score
-                    F.when(nb > 0, nm.cast("double")
-                           / (nb.cast("double") * 1e6))
+                    F.when(F.col("n_bigrams") > 0,
+                           F.col("nll_micro").cast("double")
+                           / (F.col("n_bigrams").cast("double") * 1e6))
                     .alias("nll_per_gram")))
 
 

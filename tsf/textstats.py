@@ -25,6 +25,15 @@ _WORDS = "filter(split(text, ' '), w -> length(w) > 0)"
 FP_MOD = 2147483647  # 2^31 - 1
 
 
+def fp_expr(col: str) -> str:
+    """Polynomial rolling-hash fold over a long/int array column — the
+    ONE Spark-side spelling of the fingerprint family (base 31 mod
+    2^31-1). Every query comparing token arrays by fingerprint must use
+    this helper so the family can never drift between call sites (the
+    DuckDB replays mirror it via list_reduce with the same constants)."""
+    return f"aggregate({col}, 0L, (a, x) -> (a * 31 + x) % {FP_MOD})"
+
+
 def _sw_arr(lang: str) -> str:
     return "array(" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + ")"
 
@@ -110,9 +119,7 @@ def langid_duckdb() -> str:
 
 def with_fingerprint(seq: DataFrame) -> DataFrame:
     """Polynomial rolling hash over the token array (mod 2^31-1)."""
-    return seq.withColumn(
-        "fingerprint",
-        F.expr(f"aggregate(tokens, 0L, (a, x) -> (a * 31 + x) % {FP_MOD})"))
+    return seq.withColumn("fingerprint", F.expr(fp_expr("tokens")))
 
 
 def fingerprint_duckdb(seq_cte: str) -> str:
@@ -938,7 +945,7 @@ def badwords_filter(docs: DataFrame, words=BADWORDS,
 
     Scale shape: the word list rides as an array literal; counting is
     one row-local ``filter``/``size`` pass over the whitespace words —
-    ZERO Exchange, no join (plan-asserted in tests/test_pipeline_ops.py).
+    ZERO Exchange, no join (plan-asserted in tests/test_drift_badwords.py).
     Output: (doc_id, n_words, n_bad, keep)."""
     lst = "array(" + ",".join(f"'{w}'" for w in words) + ")"
     thr = int(max_ppm)
