@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import bpe, cms, dedup, dsir, gapfill, lm, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
+from tsf import bpe, cms, dedup, dsir, gapfill, hll, lm, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
 from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
@@ -902,6 +902,19 @@ def q_cms_topk(spark, sf_dir):
     return cms.cms_topk(_seq(spark, sf_dir), k=25)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct token-3-grams per source (Flajolet et al.
+    2007): bounded-memory distinct counting — exact count(DISTINCT gram)
+    shuffles one row per DISTINCT gram (corpus-sized at 100 TB), the
+    sketch's one data Exchange carries at most m=256 (source, reg) rows
+    per source after map-side partial max (plan-asserted in
+    tests/test_hll.py). Register/rank derivation is pure integer bit
+    arithmetic and the harmonic sum is an exact integer, so the one
+    float step (alpha*m^2*2^K / double(S)) is IEEE-identical in DuckDB
+    and the estimate value-checks bit-for-bit."""
+    return hll.hll_distinct(_seq(spark, sf_dir), n=3, m=256)
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style repetition filters (Rae et al. 2021): top-2-gram /
     duplicate-5-gram character fractions + most-common-word share, with
@@ -1574,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
         "cms_topk": q_cms_topk,
+        "hll_distinct": q_hll_distinct,
         "lm_perplexity": q_lm_perplexity,
         "lm_filter": q_lm_filter,
         "badwords_filter": q_badwords_filter,
@@ -2666,6 +2680,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "bpe_apply": bpe.apply_merges_duckdb(
             _SEQ, _BPE_MERGES, fp_mod=textstats.FP_MOD),
         "cms_topk": cms.cms_topk_duckdb(_SEQ, k=25),
+        "hll_distinct": hll.hll_distinct_duckdb(_SEQ, n=3, m=256),
         "lm_perplexity": lm.lm_perplexity_duckdb(DSIR_TARGET),
         "lm_filter": lm.lm_filter_duckdb(DSIR_TARGET, 8_000_000),
         "badwords_filter": textstats.badwords_filter_duckdb(),
