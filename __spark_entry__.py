@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import bpe, cms, dedup, dsir, gapfill, hll, lm, multimodal, pairwise, pii, sampling, similarity, textstats  # noqa: E402
+from tsf import bpe, cms, dedup, dsir, gapfill, hll, lm, multimodal, pairwise, pii, pmi, sampling, similarity, textstats  # noqa: E402
 from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
@@ -915,6 +915,20 @@ def q_hll_distinct(spark, sf_dir):
     return hll.hll_distinct(_seq(spark, sf_dir), n=3, m=256)
 
 
+def q_pmi_topk(spark, sf_dir):
+    """Windowed PMI co-occurrence over the top-K vocabulary (Church &
+    Hanks 1990): the word-association table behind embedding pipelines.
+    Vocabulary membership and unigram counts ride as plan literals
+    (row-local array_contains + element_at — NO join); the one data
+    Exchange is keyed on the canonical (t1, t2) pair after map-side
+    partial count, bounded by K^2 keys; every ln is micro-rounded to
+    integer micro-nats via the shared lm.py expression, so pmi_micro is
+    a pure BIGINT and the oracle replays the table — including the
+    (pmi DESC, t1, t2) top-k cut — bit-for-bit (plan + semantics
+    asserted in tests/test_pmi.py)."""
+    return pmi.pmi_topk(_seq(spark, sf_dir))
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style repetition filters (Rae et al. 2021): top-2-gram /
     duplicate-5-gram character fractions + most-common-word share, with
@@ -1588,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "cms_topk": q_cms_topk,
         "hll_distinct": q_hll_distinct,
+        "pmi_topk": q_pmi_topk,
         "lm_perplexity": q_lm_perplexity,
         "lm_filter": q_lm_filter,
         "badwords_filter": q_badwords_filter,
@@ -2681,6 +2696,7 @@ def _oracle_sql_base() -> dict[str, str]:
             _SEQ, _BPE_MERGES, fp_mod=textstats.FP_MOD),
         "cms_topk": cms.cms_topk_duckdb(_SEQ, k=25),
         "hll_distinct": hll.hll_distinct_duckdb(_SEQ, n=3, m=256),
+        "pmi_topk": pmi.pmi_topk_duckdb(_SEQ),
         "lm_perplexity": lm.lm_perplexity_duckdb(DSIR_TARGET),
         "lm_filter": lm.lm_filter_duckdb(DSIR_TARGET, 8_000_000),
         "badwords_filter": textstats.badwords_filter_duckdb(),
