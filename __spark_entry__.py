@@ -868,6 +868,23 @@ def q_span_corrupt(spark, sf_dir):
         F.expr(fp_expr("targets")).alias("tgt_fp"))
 
 
+def q_fim_examples(spark, sf_dir):
+    """Fill-in-the-middle example builder (Bavarian et al. 2022): PSM
+    layout <PRE> prefix <SUF> suffix <MID> middle at two hash-drawn cut
+    points, deterministic per-doc gate — same doc transforms identically
+    at any cluster size; unselected docs pass through. Fully row-local
+    JVM array arithmetic, ZERO Exchange, no UDF (plan-asserted in
+    tests/test_fim.py); compared via per-doc cut points + length +
+    polynomial fingerprint of the rebuilt array against the oracle's
+    xxh64-chain replay."""
+    from tsf.textstats import fp_expr
+    out = sampling.fim_examples(_seq(spark, sf_dir))
+    return out.select(
+        "doc_id", "source", "fim", "lo", "hi",
+        F.expr("CAST(size(out) AS INT)").alias("n_out"),
+        F.expr(fp_expr("out")).alias("out_fp"))
+
+
 def q_badwords_filter(spark, sf_dir):
     """C4-style blocklist filter (Raffel et al. 2020 §2.2), rate-based
     keep so the short-vocabulary fixture discriminates (414/500 kept at
@@ -1603,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "hll_distinct": q_hll_distinct,
         "pmi_topk": q_pmi_topk,
+        "fim_examples": q_fim_examples,
         "lm_perplexity": q_lm_perplexity,
         "lm_filter": q_lm_filter,
         "badwords_filter": q_badwords_filter,
@@ -2697,6 +2715,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "cms_topk": cms.cms_topk_duckdb(_SEQ, k=25),
         "hll_distinct": hll.hll_distinct_duckdb(_SEQ, n=3, m=256),
         "pmi_topk": pmi.pmi_topk_duckdb(_SEQ),
+        "fim_examples": sampling.fim_examples_duckdb(_SEQ),
         "lm_perplexity": lm.lm_perplexity_duckdb(DSIR_TARGET),
         "lm_filter": lm.lm_filter_duckdb(DSIR_TARGET, 8_000_000),
         "badwords_filter": textstats.badwords_filter_duckdb(),

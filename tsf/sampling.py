@@ -735,3 +735,97 @@ def span_corrupt_duckdb(seq_cte: str, span_len: int = 3,
            {fp.format(col="targets")} AS tgt_fp
     FROM built
     """
+
+
+# --------------------------------------------------------------------- FIM
+
+#: PSM sentinels <PRE>, <SUF>, <MID> — above the span-corruption block
+FIM_BASE = 61000
+
+
+def fim_examples(seq: DataFrame, rate_ppm: int = 500_000,
+                 fim_base: int = FIM_BASE) -> DataFrame:
+    """Fill-in-the-middle example builder (Bavarian et al. 2022): with
+    deterministic probability ``rate_ppm``/1e6 per document, split the
+    token array at two hash-drawn points into prefix|middle|suffix and
+    emit the PSM layout  <PRE> prefix <SUF> suffix <MID> middle  (the
+    paper's document-level transform; the model learns to infill after
+    <MID>). Unselected docs pass through unchanged (lo = hi = -1).
+
+    Deterministic variant of the paper's uniform draws: the gate is
+    pmod(xxhash64(doc_id), 1e6) < rate_ppm; the two cut points are
+    pmod(xxhash64(doc_id, 1), n+1) and pmod(xxhash64(doc_id, 2), n+1)
+    (order-normalized), so the same doc transforms identically at any
+    cluster size or partitioning, and a different doc set never shifts
+    another doc's draw.
+
+    Everything is row-local JVM array arithmetic (gate, draws, three
+    slices, one concat): ZERO Exchange, no UDF, tokens never shuffle
+    (plan-asserted in tests/test_fim.py). The DuckDB oracle replays the
+    xxhash64 chain and every rebuilt array bit-for-bit.
+
+    Output: (doc_id, source, fim, lo, hi, out)."""
+    thr, base = int(rate_ppm), int(fim_base)
+    pre, suf, mid = base, base + 1, base + 2
+    u = (lambda i: f"CAST(pmod(xxhash64(doc_id, {i}), "
+                   f"size(tokens) + 1) AS INT)")
+    return (seq
+            .select("doc_id", "source", "tokens",
+                    F.expr(f"CAST(pmod(xxhash64(doc_id), 1000000) < {thr} "
+                           f"AS INT)").alias("fim"),
+                    F.expr(u(1)).alias("_u1"), F.expr(u(2)).alias("_u2"))
+            .select("doc_id", "source", "tokens", "fim",
+                    F.expr("IF(fim = 1, least(_u1, _u2), -1)").alias("lo"),
+                    F.expr("IF(fim = 1, greatest(_u1, _u2), -1)").alias("hi"))
+            .select("doc_id", "source", "fim", "lo", "hi",
+                    F.expr(
+                        f"IF(fim = 0, tokens, concat("
+                        f"array(CAST({pre} AS INT)), slice(tokens, 1, lo), "
+                        f"array(CAST({suf} AS INT)), "
+                        f"slice(tokens, hi + 1, size(tokens) - hi), "
+                        f"array(CAST({mid} AS INT)), "
+                        f"slice(tokens, lo + 1, hi - lo)))").alias("out")))
+
+
+def fim_examples_duckdb(seq_cte: str, rate_ppm: int = 500_000,
+                        fim_base: int = FIM_BASE,
+                        fp_mod: int = 2147483647) -> str:
+    """Replay of :func:`fim_examples` reduced to the per-doc evidence
+    the driver compares: (doc_id, source, fim, lo, hi, n_out, out_fp)
+    with the engine's polynomial fingerprint of the rebuilt array (the
+    span_corrupt precedent)."""
+    from tsf.xxh64_sql import hash_bytes_layers, hash_int_layers
+    thr, base = int(rate_ppm), int(fim_base)
+    pre, suf, mid = base, base + 1, base + 2
+    q = hash_bytes_layers(
+        "SELECT doc_id, tokens, source FROM seq", "doc_id", "hb", "fb")
+    q = hash_int_layers(q, "1", "hb", "h1", "f1")
+    q = hash_int_layers(q, "2", "hb", "h2", "f2")
+    pm = "((({h} % {m}) + {m}) % {m})"
+    fp = (f"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+          f"list_transform(out, zx -> CAST(zx AS BIGINT))), "
+          f"(a, x) -> (a * 31 + x) % {int(fp_mod)}) AS BIGINT)")
+    return f"""
+    WITH seq AS ({seq_cte}),
+    drawn AS (
+      SELECT doc_id, source, tokens,
+             CAST({pm.format(h='hb', m=1000000)} < {thr} AS INT) AS fim,
+             CAST({pm.format(h='h1', m='(len(tokens) + 1)')} AS INT) AS u1,
+             CAST({pm.format(h='h2', m='(len(tokens) + 1)')} AS INT) AS u2
+      FROM ({q})),
+    cut AS (
+      SELECT doc_id, source, tokens, fim,
+             CASE WHEN fim = 1 THEN least(u1, u2) ELSE -1 END AS lo,
+             CASE WHEN fim = 1 THEN greatest(u1, u2) ELSE -1 END AS hi
+      FROM drawn),
+    built AS (
+      SELECT doc_id, source, fim, lo, hi,
+             CASE WHEN fim = 0 THEN tokens ELSE
+               [CAST({pre} AS INT)] || tokens[1 : lo]
+               || [CAST({suf} AS INT)] || tokens[hi + 1 : ]
+               || [CAST({mid} AS INT)] || tokens[lo + 1 : hi] END AS out
+      FROM cut)
+    SELECT doc_id, source, fim, lo, hi,
+           CAST(len(out) AS INT) AS n_out, {fp} AS out_fp
+    FROM built
+    """
