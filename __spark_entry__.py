@@ -320,18 +320,30 @@ def q_acf_features(spark, sf_dir):
 
 
 def q_kernel_features(spark, sf_dir):
-    """UDF-kernel bundle, rows-only as a WHOLE — but every member now
-    has an oracle-checked standalone twin: q_firstcrossing, q_rad_check
-    (rad/rad_raw), q_acf_timescale_check, q_hilbert_series_check
-    (analytic amp + plv/ppc of the phase). rad_tau's full composition is oracle-checked too
-    (q_rad_tau_check), so every member of this bundle is SQL-verified
-    standalone."""
-    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
+    """UDF-kernel bundle, now value-oracle-checked as a WHOLE: the oracle
+    joins the four member-check oracles (q_hilbert_series_check,
+    q_acf_timescale_check, q_rad_check, q_rad_tau_check) on doc_id at a
+    shared n_tok <= 256 bound (the Hilbert DFT convolution is the binding
+    O(n^2) oracle piece). The bundle goes through tier0 (window >= every
+    doc, blocks=False) rather than series_features, so the hash ALSO pins
+    that the windowed rollup path agrees with the whole-series path on
+    single-window docs. rad-family engine NaN/±inf both map to NULL (the
+    member checks' fin() convention; DuckDB's division-by-zero NULL
+    matches)."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 256")
     fs = catalogue()[["acf_timescale", "rad", "rad_raw",
                       "rad_tau", "plv_phase", "ppc_phase",
                       "analytic_amp_mean", "analytic_amp_std"]]
     r = tier0(seq, fs, window=1000, blocks=False)
-    keep = ["doc_id"] + [F.round(_nn(n), 6).alias(n) for n in fs.names]
+
+    def fin(c):
+        col = F.col(c)
+        return F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)
+
+    inf_cols = {"rad", "rad_raw", "rad_tau"}
+    keep = ["doc_id"] + [
+        F.round(fin(n) if n in inf_cols else _nn(n), 6).alias(n)
+        for n in fs.names]
     return r.select(*keep)
 
 
@@ -1747,6 +1759,25 @@ def oracle_sql() -> dict[str, str]:
         f"sum_tok, min_tok, max_tok, "
         f"CASE WHEN source = 'src3' THEN -1.0 ELSE mean END AS mean, "
         f"std FROM ({d['tier0_rollup']})")
+
+    # kernel bundle = the four member-check oracles joined on doc_id at a
+    # shared n_tok <= 256 bound (the Hilbert DFT convolution is the
+    # binding O(n^2) piece; the other fragments' own bounds are wider and
+    # tighten to match q_kernel_features' filter). LEFT JOINs keep every
+    # doc the hilbert fragment keeps — all fragments share the same base
+    # filter, so each join key matches exactly once.
+    def _b256(sql: str, bound: int) -> str:
+        return sql.replace(f"n_tok <= {bound}", "n_tok <= 256")
+
+    d["kernel_features"] = f"""
+        SELECT h.doc_id, a.acf_timescale, r.rad, r.rad_raw, t.rad_tau,
+               h.plv_phase, h.ppc_phase, h.analytic_amp_mean,
+               h.analytic_amp_std
+        FROM ({d["hilbert_series_check"]}) h
+        LEFT JOIN ({_b256(d["acf_timescale_check"], 300)}) a USING (doc_id)
+        LEFT JOIN ({_b256(d["rad_check"], 1000)}) r USING (doc_id)
+        LEFT JOIN ({_b256(d["rad_tau_check"], 300)}) t USING (doc_id)
+    """
     return d
 
 
