@@ -1195,35 +1195,48 @@ def q_series_pairwise_pearson(spark, sf_dir):
 
 def q_pairwise_phase_sync(spark, sf_dir):
     """Two-series SuperPairwise PLV/PPC of the analytic phase difference
-    (reference ext/DSPExt.jl:26-31,41-44 + PairwiseFeatures.jl:48-60) —
-    rows-only here (uncapped n_tok); the capped twin `phase_sync_check`
-    IS oracle-checked — the FFT Hilbert transform replayed as its
-    closed-form DFT convolution. Pytest additionally proves equality
-    with the O(N^2) pair-sum definition."""
+    (reference ext/DSPExt.jl:26-31,41-44 + PairwiseFeatures.jl:48-60)
+    over the UNCAPPED corpus — value-oracle-checked: the oracle is the
+    `phase_sync_check` DFT-convolution replay with its n_tok cap removed
+    (cost grows linearly in windows, not with doc length, at fixed W).
+    Pytest additionally proves equality with the O(N^2) pair-sum
+    definition."""
     seq = _seq(spark, sf_dir).where("n_tok >= 50")
-    return pairwise.pairwise_phase_sync(seq, window=50)
+    r = pairwise.pairwise_phase_sync(seq, window=50)
+    return r.select("source", "doc_a", "doc_b",
+                    F.col("n_windows").cast("bigint").alias("n_windows"),
+                    _nn("plv").alias("plv"), _nn("ppc").alias("ppc"))
 
 
 def q_pairwise_mi(spark, sf_dir):
     """MI_Kraskov_NN_20 pairwise mutual information (reference
-    ext/AssociationsExt.jl:5-10, KSG estimator 1 from Kraskov 2004) —
-    rows-only here (uncapped n_tok); the capped twin `pairwise_mi_check`
-    IS oracle-checked — the KSG1 estimator replayed in SQL. Pytest
+    ext/AssociationsExt.jl:5-10, KSG estimator 1 from Kraskov 2004) over
+    the UNCAPPED corpus — value-oracle-checked: the oracle is the
+    `pairwise_mi_check` KSG1 order-statistic replay with its n_tok cap
+    removed (the O(W^2) distance join is per fixed-size window). Pytest
     additionally pins the kernel to the analytic bivariate-Gaussian MI
     and a brute-force scalar reimplementation."""
     seq = _seq(spark, sf_dir).where("n_tok >= 64")
-    return pairwise.pairwise_mi(seq, window=64, k=20)
+    r = pairwise.pairwise_mi(seq, window=64, k=20)
+    return r.select("source", "doc_a", "doc_b",
+                    F.col("n_windows").cast("bigint").alias("n_windows"),
+                    _nn("mi").alias("mi"))
 
 
 def q_pairwise_featureset(spark, sf_dir):
     """SuperPairwiseFeatureSet evaluation (reference PairwiseFeatures.jl:
     48-60 over sets, runtests.jl:569-586): plv/ppc/pearson/cov/mi for
-    every same-source pair in ONE super pass + ONE join — rows-only
-    (Hilbert + kNN surfaces); pytest pins equality with each
-    single-feature operator."""
+    every same-source pair in ONE super pass + ONE join, over the
+    UNCAPPED corpus — value-oracle-checked via the
+    `pairwise_featureset_check` combined oracle with its n_tok cap
+    removed. Pytest pins equality with each single-feature operator."""
     seq = _seq(spark, sf_dir).where("n_tok >= 64")
-    return pairwise.pairwise_features(
+    r = pairwise.pairwise_features(
         seq, ("pearson", "cov", "plv", "ppc", "mi"), window=64, k_mi=20)
+    return r.select("source", "doc_a", "doc_b",
+                    F.col("n_windows").cast("bigint").alias("n_windows"),
+                    *[_nn(c).alias(c)
+                      for c in ("pearson", "cov", "plv", "ppc", "mi")])
 
 
 def q_rad_check(spark, sf_dir):
@@ -1778,6 +1791,16 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ({_b256(d["rad_check"], 1000)}) r USING (doc_id)
         LEFT JOIN ({_b256(d["rad_tau_check"], 300)}) t USING (doc_id)
     """
+
+    # the pairwise family over the UNCAPPED corpus: the check twins'
+    # oracles generalize verbatim — their n_tok cap only bounded oracle
+    # cost, which is per fixed-size window (W=50/64), not per doc length
+    def _uncap(sql: str) -> str:
+        return sql.replace(" AND n_tok <= 512", "")
+
+    d["pairwise_phase_sync"] = _uncap(d["phase_sync_check"])
+    d["pairwise_mi"] = _uncap(d["pairwise_mi_check"])
+    d["pairwise_featureset"] = _uncap(d["pairwise_featureset_check"])
     return d
 
 
