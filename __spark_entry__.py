@@ -578,6 +578,19 @@ def q_dedup_lsh_groups(spark, sf_dir):
     return dedup.lsh_dedup_groups(docs, threshold=0.3, lcg=True)
 
 
+def q_dedup_matrix(spark, sf_dir):
+    """Cross-source near-duplication matrix — corpus-governance
+    accounting for source-mix decisions (eval leakage between a curated
+    slice and a crawl, redundancy between crawls, within-source
+    self-duplication on the diagonal): verified near-dup pairs and
+    distinct docs touched, per unordered source pair. Same LCG family as
+    `dedup_lsh_groups` so the FULL composition replays in DuckDB;
+    everything after the verified pair list is bounded by it (two
+    doc-keyed source joins, source-pair aggregates), never the corpus."""
+    docs = _docs(spark, sf_dir)
+    return dedup.cross_source_dup_matrix(docs, threshold=0.3, lcg=True)
+
+
 def q_minhash_check(spark, sf_dir):
     """Minhash signatures over SQL-replayable double-hashed LCG shingle
     hashes — value-checks the shingle->per-hash-min plumbing shared by the
@@ -1632,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_lsh_groups": q_dedup_lsh_groups,
+        "dedup_matrix": q_dedup_matrix,
         "dedup_incremental": q_dedup_incremental,
         "simhash_check": q_simhash_check,
         "minhash_check": q_minhash_check,
@@ -2749,6 +2763,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "dedup_groups": dedup.duplicate_groups_duckdb(
             0.3, where_sql="length(text) % 2 = 0"),
         "dedup_lsh_groups": dedup.lsh_dedup_groups_duckdb(threshold=0.3),
+        "dedup_matrix": dedup.cross_source_dup_matrix_duckdb(threshold=0.3),
         "simhash_check": dedup.simhash_check_duckdb(),
         "minhash_check": dedup.minhash_check_duckdb(),
         "mix_sample": sampling.mix_sample_duckdb(MIX_WEIGHTS, default=0.25),

@@ -331,7 +331,8 @@ def main() -> None:
                 "gapfill_linear", "tpch_q1", "tpch_q3", "events_cube",
                 "topk_orders", "vocab_topk", "dedup_exact",
                 "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-                "dedup_groups", "dedup_keep_best", "dedup_lsh_groups", "dedup_incremental",
+                "dedup_groups", "dedup_keep_best", "dedup_lsh_groups",
+                "dedup_matrix", "dedup_incremental",
                 "mix_sample", "mix_temperature", "stratified_sample",
                 "length_histogram",
                 "pack_examples", "pack_nfd", "chunk_examples", "epoch_shuffle",

@@ -839,6 +839,47 @@ def test_duplicate_groups_raises_on_exhaustion(spark):
         dedup.duplicate_groups(docs, pairs, max_iter=1)
 
 
+def test_cross_source_dup_matrix_planted(spark):
+    """Planted cross-source near-dups under the production xxhash64
+    family: a base doc in src_a with one near-copy in src_b and one in
+    src_a itself, plus unrelated docs in both sources. Expect exactly
+    the (a,a) self-dup pair, the (a,b) cross pair, the (a,b) transitive
+    copy1-copy2 pair, and the right distinct-doc counts; no (b,b) row."""
+    import random
+    rnd = random.Random(11)
+    words = [f"w{rnd.randrange(5000)}" for _ in range(60)]
+    v1 = words.copy(); v1[7] = "X"
+    v2 = words.copy(); v2[33] = "Y"
+    rows = [("d0", " ".join(words), "src_a"),
+            ("d1", " ".join(v1), "src_a"),
+            ("d2", " ".join(v2), "src_b")]
+    for i in range(10):
+        rows.append((f"u{i}", " ".join(
+            f"q{rnd.randrange(5000)}" for _ in range(60)),
+            "src_a" if i % 2 else "src_b"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string, "
+                                       "source string")
+    got = {(r["source_a"], r["source_b"]): (r["n_pairs"], r["n_docs"])
+           for r in dedup.cross_source_dup_matrix(
+               docs, threshold=0.5).collect()}
+    # pairs: (d0,d1) within src_a; (d0,d2) and (d1,d2) straddling
+    assert got == {("src_a", "src_a"): (1, 2),
+                   ("src_a", "src_b"): (2, 3)}
+
+
+def test_cross_source_dup_matrix_plan_bounded(spark):
+    """Scale-shape pin: no cartesian product anywhere (candidates are
+    banded), and no text column crosses the post-verify joins — the
+    matrix side only ever moves (doc_id, source) and source-pair rows."""
+    docs = spark.createDataFrame(
+        [("a", "x y z w v u t s", "s1"), ("b", "p q r m n o k j", "s2")],
+        "doc_id string, text string, source string")
+    plan = dedup.cross_source_dup_matrix(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" \
+        not in plan
+
+
 def test_repetition_signals_hand_computed(spark):
     # doc "a": 6 words, "x y" repeated 3x -> top 2-gram "x y" covers
     #   3 * 2 = 6 of 6 word chars; every word repeats 3x -> mwf 3/6

@@ -831,6 +831,88 @@ def lsh_dedup_groups_duckdb(k: int = 3, num_hashes: int = 16,
     """
 
 
+def cross_source_dup_matrix(docs: DataFrame, k: int = 3,
+                            num_hashes: int = 16, bands: int = 8,
+                            threshold: float = 0.3,
+                            lcg: bool = False) -> DataFrame:
+    """Per-(source_a, source_b) near-duplication accounting — the
+    corpus-governance matrix behind source-mix decisions: how much of
+    source A duplicates source B (eval-set leakage between a curated
+    slice and a crawl, redundancy between two crawls before weighting
+    them, within-source self-duplication on the diagonal).
+
+    One row per unordered source pair (source_a <= source_b, the
+    diagonal included) with:
+
+    - n_pairs  — verified near-dup pairs straddling the two sources
+      (exact jaccard >= threshold on LSH band candidates, the
+      :func:`lsh_verified_pairs` semantics — recall bounded by the band
+      layout exactly as documented there);
+    - n_docs   — distinct documents touched by those pairs (union of
+      both sides).
+
+    Scale shape: everything downstream of the verified pair list is
+    bounded by it, never by the corpus — two doc-keyed equi-joins attach
+    (doc_id -> source) projections (no text column), the canonical
+    (least, greatest) source relabel is row-local, and the final
+    aggregates are keyed on source pairs (~|sources|^2 rows). The
+    distinct-doc count reuses the same source-pair Exchange via one
+    unioned projection. No quadratic stage anywhere (candidates are
+    banded; see the sizing note on :func:`lsh_verified_pairs`).
+
+    ``lcg=True`` makes the whole composition DuckDB-replayable
+    (:func:`cross_source_dup_matrix_duckdb`), like ``lsh_dedup_groups``."""
+    pairs = lsh_verified_pairs(docs, k, num_hashes, bands, threshold,
+                               lcg=lcg)
+    src = docs.select("doc_id", "source")
+    m = (pairs
+         .join(src.select(F.col("doc_id").alias("doc_a"),
+                          F.col("source").alias("sa")), "doc_a")
+         .join(src.select(F.col("doc_id").alias("doc_b"),
+                          F.col("source").alias("sb")), "doc_b")
+         .select(F.least("sa", "sb").alias("source_a"),
+                 F.greatest("sa", "sb").alias("source_b"),
+                 "doc_a", "doc_b"))
+    n_pairs = (m.groupBy("source_a", "source_b")
+               .agg(F.count("*").alias("n_pairs")))
+    docs_u = (m.select("source_a", "source_b", F.col("doc_a").alias("d"))
+              .unionByName(m.select("source_a", "source_b",
+                                    F.col("doc_b").alias("d"))))
+    n_docs = (docs_u.distinct().groupBy("source_a", "source_b")
+              .agg(F.count("*").alias("n_docs")))
+    return n_pairs.join(n_docs, ["source_a", "source_b"])
+
+
+def cross_source_dup_matrix_duckdb(k: int = 3, num_hashes: int = 16,
+                                   bands: int = 8,
+                                   threshold: float = 0.3) -> str:
+    """DuckDB replay of ``cross_source_dup_matrix(lcg=True)``: the
+    verified-pair chain of :func:`lsh_dedup_groups_duckdb` (identical
+    LCG signatures, band candidates, exact jaccard) followed by the
+    source relabel + pair/doc aggregates."""
+    base = lsh_dedup_groups_duckdb(k, num_hashes, bands, threshold)
+    # reuse everything up to the verified pair CTE `p`; swap the
+    # reachability tail for the matrix aggregates
+    head, _, _ = base.partition("e AS (")
+    return head + f"""src AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  source FROM documents),
+    m AS (SELECT least(sa.source, sb.source) AS source_a,
+                 greatest(sa.source, sb.source) AS source_b,
+                 p.doc_a, p.doc_b
+          FROM p JOIN src sa ON sa.doc_id = p.doc_a
+                 JOIN src sb ON sb.doc_id = p.doc_b),
+    np AS (SELECT source_a, source_b, count(*) AS n_pairs
+           FROM m GROUP BY 1, 2),
+    u AS (SELECT DISTINCT source_a, source_b, doc_a AS d FROM m
+          UNION SELECT DISTINCT source_a, source_b, doc_b FROM m),
+    nd AS (SELECT source_a, source_b, count(*) AS n_docs
+           FROM u GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM np JOIN nd USING (source_a, source_b)
+    """
+
+
 def duplicate_groups(docs: DataFrame, pairs: DataFrame,
                      max_iter: int = 25,
                      checkpoint_dir: str | None = None) -> DataFrame:
