@@ -893,6 +893,21 @@ def q_span_corrupt(spark, sf_dir):
         F.expr(fp_expr("targets")).alias("tgt_fp"))
 
 
+def q_sft_examples(spark, sf_dir):
+    """SFT loss-mask example assembly: deterministic hash-drawn
+    prompt/response boundary per doc, labels = -100 on the prompt
+    positions (the conventional ignore_index) so the loss trains only on
+    the response. Fully row-local JVM array arithmetic, ZERO Exchange,
+    no UDF (plan-asserted); compared via per-doc boundary + lengths +
+    polynomial fingerprint of the masked label array against the
+    oracle's xxh64-chain replay."""
+    from tsf.textstats import fp_expr
+    out = sampling.sft_examples(_seq(spark, sf_dir))
+    return out.select(
+        "doc_id", "source", "n_tok", "n_prompt", "n_train",
+        F.expr(fp_expr("labels")).alias("labels_fp"))
+
+
 def q_fim_examples(spark, sf_dir):
     """Fill-in-the-middle example builder (Bavarian et al. 2022): PSM
     layout <PRE> prefix <SUF> suffix <MID> middle at two hash-drawn cut
@@ -1677,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "pmi_topk": q_pmi_topk,
         "fim_examples": q_fim_examples,
+        "sft_examples": q_sft_examples,
         "lm_perplexity": q_lm_perplexity,
         "lm_filter": q_lm_filter,
         "badwords_filter": q_badwords_filter,
@@ -2802,6 +2818,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "hll_distinct": hll.hll_distinct_duckdb(_SEQ, n=3, m=256),
         "pmi_topk": pmi.pmi_topk_duckdb(_SEQ),
         "fim_examples": sampling.fim_examples_duckdb(_SEQ),
+        "sft_examples": sampling.sft_examples_duckdb(_SEQ),
         "lm_perplexity": lm.lm_perplexity_duckdb(DSIR_TARGET),
         "lm_filter": lm.lm_filter_duckdb(DSIR_TARGET, 8_000_000),
         "badwords_filter": textstats.badwords_filter_duckdb(),

@@ -133,7 +133,7 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # skew slice: the driver query's doc_id % 4 assumes BIGINT ids)
           "pack_examples", "pack_nfd", "epoch_shuffle", "dataset_split",
           "dup_span_stats", "outlier_windows", "rolling_rollup",
-          "hll_distinct", "pmi_topk", "fim_examples",
+          "hll_distinct", "pmi_topk", "fim_examples", "sft_examples",
           # line_dedup / bm25_topk cast doc_id to BIGINT for the oracle
           # hash; the x10 fixture's replica ids are strings, so they are
           # sf0.1-only here
@@ -353,7 +353,7 @@ def main() -> None:
                 "frame_sample", "compression_roundtrip",
                 "line_dedup", "bm25_topk", "outlier_windows",
                 "rolling_rollup", "bpe_pair_counts", "cms_topk",
-                "hll_distinct", "pmi_topk", "fim_examples",
+                "hll_distinct", "pmi_topk", "fim_examples", "sft_examples",
                 "lm_perplexity", "lm_filter", "badwords_filter",
                 "corpus_drift", "span_corrupt", "winnow_fp",
                 "winnow_candidates"]

@@ -107,3 +107,41 @@ def test_plan_row_local_zero_exchange(spark, sf001):
     p = _plan(sampling.fim_examples(seq))
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+# ------------------------------------------------------------ SFT loss masks
+
+
+def test_sft_examples_semantics(spark):
+    """Mask layout: first n_prompt labels are -100, the rest equal the
+    tokens; 1 <= n_prompt <= n_tok-1 for n_tok >= 2; a single-token doc
+    gets n_prompt = 0 (fully trained); n_train = n_tok - n_prompt."""
+    seq = _seq_df(spark, [[5, 6, 7, 8, 9], [3]])
+    rows = {r["doc_id"]: r for r in
+            sampling.sft_examples(seq).collect()}
+    r = rows["d0"]
+    h = r["n_prompt"]
+    assert 1 <= h <= 4 and r["n_train"] == 5 - h
+    assert r["labels"][:h] == [-100] * h
+    assert r["labels"][h:] == [5, 6, 7, 8, 9][h:]
+    s = rows["d1"]
+    assert s["n_prompt"] == 0 and s["n_train"] == 1 and s["labels"] == [3]
+
+
+def test_sft_examples_stable_and_row_local(spark, sf001):
+    """Boundary draws survive corpus growth and repartitioning, and the
+    plan is fully row-local (ZERO Exchange, no python UDF)."""
+    seq = sequences_from_documents(spark, sf001)
+
+    def red(df):
+        return df.select("doc_id", "n_prompt",
+                         F.expr(fp_expr("labels")).alias("fp"))
+
+    full = {r["doc_id"]: tuple(r) for r in
+            red(sampling.sft_examples(seq)).collect()}
+    half = {r["doc_id"]: tuple(r) for r in red(sampling.sft_examples(
+        seq.where("pmod(xxhash64(doc_id, 99), 2) = 0"))).collect()}
+    assert half and all(full[k] == v for k, v in half.items())
+    p = _plan(sampling.sft_examples(seq))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -829,3 +829,78 @@ def fim_examples_duckdb(seq_cte: str, rate_ppm: int = 500_000,
            CAST(len(out) AS INT) AS n_out, {fp} AS out_fp
     FROM built
     """
+
+
+# ---------------------------------------------------------------- SFT masks
+
+SFT_MASK = -100  # the de-facto ignore_index for masked-out label positions
+
+
+def sft_examples(seq: DataFrame) -> DataFrame:
+    """Supervised-finetuning example assembly: per document, a
+    deterministic hash-drawn prompt/response boundary and the loss-mask
+    label array — ``labels[i] = -100`` (the conventional ignore_index)
+    for prompt positions, the token otherwise, so the loss trains only
+    on the response. Complements ``span_corrupt`` (T5 denoising) and
+    ``fim_examples`` (infilling) on the objective-transform shelf.
+
+    The corpus carries no natural prompt/response structure, so the
+    boundary is a documented deterministic stand-in (the fim_examples /
+    pii_scrub precedent): h = 1 + pmod(xxhash64(doc_id, 3), n_tok - 1)
+    for n_tok >= 2 (at least one prompt and one response token);
+    single-token docs get h = 0 (fully trained). A real chat corpus
+    drops its boundary column into the same seam. Same doc transforms
+    identically at any cluster size or partitioning, and a different doc
+    set never shifts another doc's draw (the dataset_split property).
+
+    Fully row-local JVM array arithmetic: ZERO Exchange, no UDF, tokens
+    never shuffle (plan-asserted). Output: (doc_id, source, n_tok,
+    n_prompt, n_train, labels); input_ids is the untouched upstream
+    ``tokens`` column."""
+    h = ("IF(size(tokens) >= 2, 1 + CAST(pmod(xxhash64(doc_id, 3), "
+         "size(tokens) - 1) AS INT), 0)")
+    return (seq
+            .select("doc_id", "source", "tokens",
+                    F.expr(h).alias("n_prompt"))
+            .select("doc_id", "source",
+                    F.expr("CAST(size(tokens) AS INT)").alias("n_tok"),
+                    "n_prompt",
+                    (F.expr("CAST(size(tokens) AS INT)")
+                     - F.col("n_prompt")).alias("n_train"),
+                    F.expr(f"transform(tokens, (x, i) -> "
+                           f"IF(i < n_prompt, {SFT_MASK}, x))")
+                    .alias("labels")))
+
+
+def sft_examples_duckdb(seq_cte: str, fp_mod: int = 2147483647) -> str:
+    """Replay of :func:`sft_examples` reduced to the per-doc evidence the
+    driver compares: (doc_id, source, n_tok, n_prompt, n_train,
+    labels_fp) — the xxh64 boundary draw chain plus the polynomial
+    fingerprint of the masked label array (negative mask values flow
+    through the shared base-31 fold identically in both engines: `%`
+    takes the dividend's sign in Spark and DuckDB alike)."""
+    from tsf.xxh64_sql import hash_bytes_layers, hash_int_layers
+    q = hash_bytes_layers(
+        "SELECT doc_id, tokens, source FROM seq", "doc_id", "hb", "sfb")
+    q = hash_int_layers(q, "3", "hb", "h3", "sf3")
+    pm = "(((h3 % (len(tokens) - 1)) + (len(tokens) - 1)) % (len(tokens) - 1))"
+    fp = (f"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+          f"list_transform(labels, zx -> CAST(zx AS BIGINT))), "
+          f"(a, x) -> (a * 31 + x) % {int(fp_mod)}) AS BIGINT)")
+    return f"""
+    WITH seq AS ({seq_cte}),
+    drawn AS (
+      SELECT doc_id, source, tokens,
+             CASE WHEN len(tokens) >= 2
+                  THEN 1 + CAST({pm} AS INT) ELSE 0 END AS n_prompt
+      FROM ({q})),
+    built AS (
+      SELECT doc_id, source, CAST(len(tokens) AS INT) AS n_tok, n_prompt,
+             CAST(len(tokens) - n_prompt AS INT) AS n_train,
+             list_transform(range(1, len(tokens) + 1),
+                            i -> CASE WHEN i <= n_prompt THEN {SFT_MASK}
+                                      ELSE tokens[i] END) AS labels
+      FROM drawn)
+    SELECT doc_id, source, n_tok, n_prompt, n_train, {fp} AS labels_fp
+    FROM built
+    """
