@@ -51,6 +51,15 @@ def _nn(c: str):
     return F.when(F.isnan(col), F.lit(None)).otherwise(col)
 
 
+def _fin(c: str):
+    """NaN AND ±inf -> NULL — the rad-family convention (a zero side-std
+    yields engine ±inf; DuckDB's division-by-zero NULL matches). ONE
+    spelling shared by every rad query so the engine/oracle convention
+    can never fork per call site."""
+    col = F.col(c)
+    return F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)
+
+
 def _r6f(col):
     """Tie-proof 6-dp rounding: floor(x*1e6 + 0.5)/1e6 — bit-identical in
     Spark and DuckDB given identical input doubles (decimal round() differs
@@ -335,14 +344,9 @@ def q_kernel_features(spark, sf_dir):
                       "rad_tau", "plv_phase", "ppc_phase",
                       "analytic_amp_mean", "analytic_amp_std"]]
     r = tier0(seq, fs, window=1000, blocks=False)
-
-    def fin(c):
-        col = F.col(c)
-        return F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)
-
     inf_cols = {"rad", "rad_raw", "rad_tau"}
     keep = ["doc_id"] + [
-        F.round(fin(n) if n in inf_cols else _nn(n), 6).alias(n)
+        F.round(_fin(n) if n in inf_cols else _nn(n), 6).alias(n)
         for n in fs.names]
     return r.select(*keep)
 
@@ -1279,14 +1283,9 @@ def q_rad_check(spark, sf_dir):
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["rad", "rad_raw"]]
     r = series_features(seq, fs)
-
-    def fin(c):
-        col = F.col(c)
-        return F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)
-
     return r.select("doc_id",
-                    F.round(fin("rad"), 6).alias("rad"),
-                    F.round(fin("rad_raw"), 6).alias("rad_raw"))
+                    F.round(_fin("rad"), 6).alias("rad"),
+                    F.round(_fin("rad_raw"), 6).alias("rad_raw"))
 
 
 def q_acf_timescale_check(spark, sf_dir):
@@ -1389,12 +1388,7 @@ def q_rad_tau_check(spark, sf_dir):
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 300")
     fs = catalogue()[["rad_tau"]]
     r = series_features(seq, fs)
-
-    def fin(c):
-        col = F.col(c)
-        return F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)
-
-    return r.select("doc_id", F.round(fin("rad_tau"), 6).alias("rad_tau"))
+    return r.select("doc_id", F.round(_fin("rad_tau"), 6).alias("rad_tau"))
 
 
 def _query_vec(spark, sf_dir) -> list[float]:

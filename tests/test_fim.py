@@ -145,3 +145,23 @@ def test_sft_examples_stable_and_row_local(spark, sf001):
     p = _plan(sampling.sft_examples(seq))
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_sft_duckdb_replay_bit_exact(spark, sf001):
+    """The committed cross-engine pin for sft_examples_duckdb (the
+    fim replay precedent): boundary draw, lengths, and the masked
+    label-array fingerprint, bit-for-bit on the sf0.001 corpus."""
+    seq = sequences_from_documents(spark, sf001)
+    got = (sampling.sft_examples(seq)
+           .select("doc_id", "n_tok", "n_prompt", "n_train",
+                   F.expr(fp_expr("labels")).alias("labels_fp"))
+           .orderBy("doc_id").toPandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf001}/documents.parquet')")
+    ora = con.execute(sampling.sft_examples_duckdb(sequences_duckdb_cte())
+                      + " ORDER BY doc_id").df()
+    assert list(got["doc_id"]) == list(ora["doc_id"])
+    for c in ["n_tok", "n_prompt", "n_train", "labels_fp"]:
+        assert (got[c].to_numpy().astype("int64")
+                == ora[c].to_numpy().astype("int64")).all(), c

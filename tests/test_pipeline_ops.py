@@ -868,9 +868,9 @@ def test_cross_source_dup_matrix_planted(spark):
 
 
 def test_cross_source_dup_matrix_plan_bounded(spark):
-    """Scale-shape pin: no cartesian product anywhere (candidates are
-    banded), and no text column crosses the post-verify joins — the
-    matrix side only ever moves (doc_id, source) and source-pair rows."""
+    """Scale-shape pin: no cartesian product / nested-loop join anywhere
+    (candidates come from banded equi-joins; the matrix side is doc-keyed
+    equi-joins + source-pair aggregates)."""
     docs = spark.createDataFrame(
         [("a", "x y z w v u t s", "s1"), ("b", "p q r m n o k j", "s2")],
         "doc_id string, text string, source string")
@@ -1512,3 +1512,24 @@ def test_build_lsh_index_empty_table_raises(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="empty"):
         similarity.build_lsh_index(emb, str(tmp_path / "idx"))
+
+
+def test_cross_source_dup_matrix_duckdb_replay(spark, sf001):
+    """Committed cross-engine pin for cross_source_dup_matrix_duckdb:
+    the full LCG chain -> band candidates -> exact verify -> source
+    matrix, bit-for-bit on the sf0.001 corpus."""
+    import duckdb
+    docs = spark.read.parquet(f"{sf001}/documents.parquet") \
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    got = (dedup.cross_source_dup_matrix(docs, threshold=0.3, lcg=True)
+           .orderBy("source_a", "source_b").toPandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf001}/documents.parquet')")
+    ora = con.execute(dedup.cross_source_dup_matrix_duckdb(threshold=0.3)
+                      + " ORDER BY source_a, source_b").df()
+    assert list(got["source_a"]) == list(ora["source_a"])
+    assert list(got["source_b"]) == list(ora["source_b"])
+    for c in ["n_pairs", "n_docs"]:
+        assert (got[c].to_numpy().astype("int64")
+                == ora[c].to_numpy().astype("int64")).all(), c

@@ -873,14 +873,19 @@ def cross_source_dup_matrix(docs: DataFrame, k: int = 3,
          .select(F.least("sa", "sb").alias("source_a"),
                  F.greatest("sa", "sb").alias("source_b"),
                  "doc_a", "doc_b"))
-    n_pairs = (m.groupBy("source_a", "source_b")
-               .agg(F.count("*").alias("n_pairs")))
-    docs_u = (m.select("source_a", "source_b", F.col("doc_a").alias("d"))
-              .unionByName(m.select("source_a", "source_b",
-                                    F.col("doc_b").alias("d"))))
-    n_docs = (docs_u.distinct().groupBy("source_a", "source_b")
-              .agg(F.count("*").alias("n_docs")))
-    return n_pairs.join(n_docs, ["source_a", "source_b"])
+    # ONE consumer of the verified-pair pipeline: explode both pair
+    # sides (each strict doc_a < doc_b pair contributes exactly two
+    # rows, so the pair count is count/2 — exact) and take both
+    # aggregates in a single source-pair-keyed pass. A pair-count +
+    # distinct-doc-union formulation would read m three times and
+    # either recompute the verify join per consumer or pay a cache
+    # materialization that blocks AQE (builder-measured slower both
+    # ways at sf0.01).
+    u = m.select("source_a", "source_b",
+                 F.explode(F.array("doc_a", "doc_b")).alias("d"))
+    return (u.groupBy("source_a", "source_b")
+            .agg((F.count("*") / 2).cast("long").alias("n_pairs"),
+                 F.countDistinct("d").alias("n_docs")))
 
 
 def cross_source_dup_matrix_duckdb(k: int = 3, num_hashes: int = 16,
