@@ -523,6 +523,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment (quote/partial-duplication
+    detection, Broder 1997): ordered pairs with
+    |SS_inner ∩ SS_outer| / |SS_inner| >= 4/5 — the duplication mode
+    symmetric Jaccard structurally misses. Integer-exact end to end."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), num=4, den=5)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """Banded-LSH minhash candidate pairs with the PRODUCTION xxhash64
     hash family — value-checked end to end: tsf/xxh64_sql.py replays
@@ -1649,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "containment_pairs": q_containment_pairs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_groups": q_dedup_groups,
@@ -2759,6 +2768,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_duckdb(0.3),
+        "containment_pairs": dedup.containment_duckdb(num=4, den=5),
         # PRODUCTION xxhash64 sketches, value-checked: tsf/xxh64_sql.py
         # replays Spark's xxhash64 (string/long/int paths) bit-exactly
         # in pure DuckDB SQL, so these two are no longer rows-only

@@ -1533,3 +1533,75 @@ def test_cross_source_dup_matrix_duckdb_replay(spark, sf001):
     for c in ["n_pairs", "n_docs"]:
         assert (got[c].to_numpy().astype("int64")
                 == ora[c].to_numpy().astype("int64")).all(), c
+
+
+# ------------------------------------------------------- shingle containment
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(k, v, "s", "en") for k, v in texts.items()],
+        "doc_id string, text string, source string, lang string")
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a long one: containment 1.0,
+    Jaccard ~|A|/|B| -> below any useful symmetric threshold. The
+    asymmetric operator must find (quote in host) and ONLY that ordered
+    direction; the symmetric Jaccard operator at the same corpus misses
+    the pair entirely."""
+    rng = np.random.default_rng(7)
+    vocab = [f"v{i}" for i in range(500)]
+    quote = " ".join(rng.choice(vocab, size=20).tolist())
+    host = (" ".join(rng.choice(vocab, size=150).tolist())
+            + " " + quote + " "
+            + " ".join(rng.choice(vocab, size=150).tolist()))
+    texts = {"quote": quote, "host": host,
+             "other": " ".join(rng.choice(vocab, size=80).tolist())}
+    docs = _mkdocs(spark, texts)
+    got = dedup.containment_pairs(docs, num=4, den=5).toPandas()
+    pairs = set(map(tuple, got[["doc_inner", "doc_outer"]].to_numpy()))
+    assert ("quote", "host") in pairs
+    assert ("host", "quote") not in pairs  # asymmetric, as defined
+    row = got.set_index(["doc_inner", "doc_outer"]).loc[("quote", "host")]
+    assert int(row["cont_ppm"]) == 1_000_000  # verbatim inclusion is exact
+    # symmetric Jaccard at 0.3 structurally misses the quoted pair
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    assert not len(jac)
+
+
+def test_containment_positional_filter_lossless(spark):
+    """The asymmetric positional/prefix filters must not change results —
+    equality with the filters disabled on a LOW-VOCABULARY corpus (the
+    saturating worst case), including planted full and partial quotes."""
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = {}
+    for i in range(50):
+        words = rng.choice(vocab, size=rng.integers(15, 50)).tolist()
+        texts[f"d{i}"] = " ".join(words)
+    texts["q"] = " ".join(texts["d0"].split()[:12])      # prefix quote
+    texts["h"] = texts["d1"] + " " + texts["q"]          # q inside h too
+    docs = _mkdocs(spark, texts)
+    on = dedup.containment_pairs(docs, num=3, den=5).toPandas()
+    off = dedup.containment_pairs(docs, num=3, den=5,
+                                  positional=False).toPandas()
+    key = lambda df: set(map(tuple, df[
+        ["doc_inner", "doc_outer", "inter_sz", "sz_inner", "cont_ppm"]]
+        .astype(str).to_numpy()))
+    assert key(on) == key(off)
+    pairs = set(map(tuple, on[["doc_inner", "doc_outer"]].to_numpy()))
+    assert ("q", "d0") in pairs and ("q", "h") in pairs
+
+
+def test_containment_exact_dup_is_mutual(spark):
+    """Verbatim duplicates contain each other: both ordered directions
+    at exactly 1.0; threshold validation rejects degenerate rationals."""
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _mkdocs(spark, {"a": t, "b": t})
+    got = dedup.containment_pairs(docs).toPandas()
+    pairs = {tuple(r) for r in got[["doc_inner", "doc_outer"]].to_numpy()}
+    assert pairs == {("a", "b"), ("b", "a")}
+    assert set(got["cont_ppm"]) == {1_000_000}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.containment_pairs(docs, num=6, den=5)

@@ -319,3 +319,13 @@ def test_rolling_windows_single_rollup_row_exchange(spark, sf001):
     exlines = [ln for ln in p.splitlines() if "Exchange" in ln]
     assert all("tokens" not in ln and "text" not in ln
                for ln in exlines), exlines
+
+
+def test_containment_has_no_cartesian_product(spark, sf001):
+    """Asymmetric containment must pair docs via the prefix-shingle
+    equi-join — never a cartesian/broadcast nested loop over docs."""
+    from tsf import dedup
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    p = _plan(dedup.containment_pairs(docs, num=4, den=5))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p

@@ -1582,3 +1582,127 @@ def winnow_candidates_duckdb(seq_cte: str, k: int = WINNOW_K,
     FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= {int(min_shared)}
     """
+
+
+# ------------------------------------------------------- shingle containment
+#
+# Asymmetric near-duplication (Broder 1997's "containment", the quantity
+# resemblance/Jaccard is NOT): c(A in B) = |SS_A ∩ SS_B| / |SS_A|. A short
+# document quoted verbatim inside a much longer one has containment ~1.0
+# but Jaccard ~|A|/|B| -> 0, so every symmetric dedup family above
+# (minhash, simhash, jaccard AllPairs) structurally misses it — and
+# quoted/aggregated content is a major duplication mode on web corpora
+# (mirrors-with-boilerplate, quote-reply chains, syndication).
+#
+# Exact and lossless at scale via the asymmetric AllPairs/PPJoin variant:
+#
+# - INNER (contained) side prefix: a pair with overlap >= ceil(t*|A|)
+#   must share one of A's first |A| - ceil(t*|A|) + 1 globally-rarest
+#   shingles (pigeonhole), so only those enter the candidate join.
+# - OUTER (container) side indexes its FULL shingle list — the known,
+#   inherent asymmetry of containment search (no length filter can prune
+#   a big B: any B can contain any A). The df-rare-first global order
+#   keeps INNER prefixes off the ubiquitous-shingle posting lists, which
+#   bounds candidate fan-out by the rare lists' occupancy.
+# - one-sided length filter: overlap <= |B| forces |B| >= ceil(t*|A|).
+# - positional filter: both sides ranked in ONE global (df, sh) order,
+#   so a match at ranks (rn_a, rn_b) caps overlap at
+#   1 + min(|A| - rn_a, |B| - rn_b); the pair's first-in-order shared
+#   shingle always passes when the true overlap qualifies (lossless,
+#   same argument as ngram_jaccard_pairs, asymmetric bound).
+#
+# All comparisons are integer-exact: threshold is the rational NUM/DEN
+# (default 4/5), so prefix/length/positional/verify predicates are
+# BIGINT products and the emitted cont_ppm = inter*1e6 div |A| replays
+# bit-for-bit in DuckDB (house micro-unit discipline; no float
+# boundary anywhere).
+#
+# Scale shape (100 TB): shingles are 8-byte xxhash64 end-to-end; the
+# candidate Exchange carries (sh, doc_id, sz, rn) — never text; verify
+# broadcasts the per-doc shingle arrays under the same driver-estimated
+# threshold as ngram_jaccard_pairs and falls back to a shuffle join
+# beyond. No quadratic stage: cost is sum over prefix shingles of
+# posting-list length, the PPJoin bound.
+
+def containment_pairs(docs: DataFrame, num: int = 4, den: int = 5,
+                      k: int = 3, positional: bool = True) -> DataFrame:
+    """EXACT ordered pairs (doc_inner, doc_outer) with shingle containment
+    c(inner in outer) = |SS_i ∩ SS_o| / |SS_i| >= num/den. Returns
+    (doc_inner, doc_outer, inter_sz, sz_inner, cont_ppm); identical to
+    the naive all-ordered-pairs join (the DuckDB oracle), prefix-filter
+    pruned. See module notes above for the losslessness argument."""
+    if not (0 < num <= den):
+        raise ValueError(f"threshold {num}/{den} must be in (0, 1]")
+    d = (docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+         .select("doc_id",
+                 F.expr(_shingle_array_expr("xxhash64({g})", k)).alias("ss"))
+         .withColumn("sz", F.size("ss"))
+         .where(F.col("sz") > 0))
+    d = scoped_persist(d)  # feeds prefix, outer, and both verify sides
+    w = d.select("doc_id", "sz", F.explode("ss").alias("sh"))
+    dfreq = w.groupBy("sh").agg(F.count("*").alias("df"))
+    order = Window.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = (w.join(dfreq, "sh")
+              .withColumn("rn", F.row_number().over(order))
+              .select("doc_id", "sz", "sh", "rn"))
+    # rn <= sz - ceil(t*sz) + 1  <=>  NUM*sz <= DEN*(sz - rn + 1)
+    pre = ranked.where(F.lit(num) * F.col("sz")
+                       <= F.lit(den) * (F.col("sz") - F.col("rn") + 1))
+    a, o = pre.alias("a"), ranked.alias("o")
+    # 1 + min(sz_a - rn_a, sz_o - rn_o) >= ceil(t*sz_a)
+    pos_ok = (F.lit(den) * (1 + F.least(F.col("a.sz") - F.col("a.rn"),
+                                        F.col("o.sz") - F.col("o.rn")))
+              >= F.lit(num) * F.col("a.sz"))
+    if not positional:  # testing hook: losslessness proved by equality
+        pos_ok = F.lit(True)
+    cand = (a.join(o, "sh")
+            .where((F.col("a.doc_id") != F.col("o.doc_id"))
+                   # overlap <= sz_o: sz_o >= ceil(t*sz_a)
+                   & (F.lit(den) * F.col("o.sz")
+                      >= F.lit(num) * F.col("a.sz"))
+                   & pos_ok)
+            .select(F.col("a.doc_id").alias("doc_inner"),
+                    F.col("o.doc_id").alias("doc_outer"))
+            .dropDuplicates(["doc_inner", "doc_outer"]))
+    st = d.agg(F.count("*").alias("n"), F.sum("sz").alias("cells")).first()
+    est_bytes = int(st["cells"] or 0) * 8 + int(st["n"] or 0) * 64
+    side = F.broadcast if est_bytes < (256 << 20) else (lambda x: x)
+    verify = (cand
+              .join(side(d.select(F.col("doc_id").alias("doc_inner"),
+                                  F.col("ss").alias("si"),
+                                  F.col("sz").alias("sz_inner"))),
+                    "doc_inner")
+              .join(side(d.select(F.col("doc_id").alias("doc_outer"),
+                                  F.col("ss").alias("so"))), "doc_outer"))
+    inter = F.expr("size(array_intersect(si, so))").cast("long")
+    return (verify
+            .select("doc_inner", "doc_outer",
+                    inter.alias("inter_sz"),
+                    F.col("sz_inner").cast("long").alias("sz_inner"))
+            # exact BIGINT floor division (no float boundary): matches
+            # DuckDB's // bit-for-bit
+            .withColumn("cont_ppm",
+                        F.expr("(inter_sz * 1000000L) div sz_inner"))
+            .where(F.lit(den) * F.col("inter_sz")
+                   >= F.lit(num) * F.col("sz_inner")))
+
+
+def containment_duckdb(num: int = 4, den: int = 5, k: int = 3) -> str:
+    """Naive all-ORDERED-pairs oracle — no prefix filter: equality with
+    the engine proves the asymmetric prefix filter is lossless."""
+    assert k == 3
+    w = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+    inter = "len(list_intersect(a.ss, b.ss))"
+    return f"""
+    WITH d0 AS (SELECT doc_id, {w} AS ws FROM documents),
+    d AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(ws) - {k} + 1, 0) + 1),
+            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS ss FROM d0),
+    dd AS (SELECT doc_id, ss, len(ss) AS sz FROM d WHERE len(ss) > 0)
+    SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+           CAST({inter} AS BIGINT) AS inter_sz,
+           CAST(a.sz AS BIGINT) AS sz_inner,
+           CAST(({inter} * 1000000) // a.sz AS BIGINT) AS cont_ppm
+    FROM dd a JOIN dd b ON a.doc_id != b.doc_id
+    WHERE {den} * {inter} >= {num} * a.sz
+    """
