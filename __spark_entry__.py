@@ -269,6 +269,31 @@ def q_icelite_compact(spark, sf_dir):
     return icelite.scan(spark, path).select(*roll.columns)
 
 
+def q_icelite_evolve(spark, sf_dir):
+    """Schema evolution (Iceberg add-column) end to end: create the
+    tier-0 table (source < 'src2'), evolve() adds a nullable
+    quality:bigint as a METADATA-ONLY commit (zero files touched —
+    asserted), then an append carries values for the new column. The
+    read back must show NULL quality on every pre-evolve row and
+    cnt*2 on every appended row — the null-backfill contract,
+    value-checked against the tier0 oracle plus a CASE."""
+    from tsf import icelite
+    roll = _rollup_select(tier0(_seq(spark, sf_dir), _stats_fs(),
+                                window=20, blocks=False))
+    path = _icelite_tmp()
+    icelite.create(roll.where("source < 'src2'"), path,
+                   [("bucket", "doc_id", 8)])
+    files_before = {f["path"] for f in icelite.plan_files(path)}
+    icelite.evolve(path, add=[("quality", "bigint")])
+    files_after = {f["path"] for f in icelite.plan_files(path)}
+    assert files_after == files_before, "evolve must not touch data files"
+    icelite.append(
+        roll.where("source >= 'src2'")
+            .withColumn("quality", (F.col("cnt") * 2).cast("bigint")),
+        path)
+    return icelite.scan(spark, path).select(*(roll.columns + ["quality"]))
+
+
 def q_series_acf(spark, sf_dir):
     seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["cnt", "mean", "std", "ac_1"]]
@@ -1629,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icelite_retention": q_icelite_retention,
         "icelite_merge": q_icelite_merge,
         "icelite_compact": q_icelite_compact,
+        "icelite_evolve": q_icelite_evolve,
         "series_acf": q_series_acf,
         "series_features": q_series_features,
         "acf_features": q_acf_features,
@@ -1800,6 +1826,11 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT * FROM ({d['tier0_rollup']}) WHERE source < 'src2'")
     d["icelite_retention"] = d["retention_prune"]
     d["icelite_compact"] = d["tier0_rollup"]
+    # evolve: same tier0 rows, plus the post-evolve appended column —
+    # NULL on pre-evolve rows (null backfill), cnt*2 on appended ones
+    d["icelite_evolve"] = (
+        "SELECT t.*, CASE WHEN source >= 'src2' THEN cnt * 2 END "
+        f"AS quality FROM ({d['tier0_rollup']}) t")
     d["icelite_merge"] = (
         f"SELECT doc_id, source, tier, window_id, win_start, cnt, "
         f"sum_tok, min_tok, max_tok, "

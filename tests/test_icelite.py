@@ -508,3 +508,76 @@ def test_plan_files_scales_to_10k_entries(spark, tmp_path):
     dt = _t.time() - t0
     assert len(hit) == 20           # 200 in s7, 1/10 under the stat cut
     assert dt < 2.0, f"10k-entry planning took {dt:.2f}s"
+
+
+# ------------------------------------------------------------ schema evolution
+
+def test_evolve_add_column_null_backfill(spark, table):
+    """Add-column is metadata-only: zero data files touched, old files
+    read NULL for the new column, new appends carry values, and the
+    non-evolved columns still equal the pre-evolve table."""
+    path, roll = table
+    files_before = {f["path"] for f in icelite.snapshot_files(
+        path, icelite._read_current(path))}
+    icelite.evolve(path, add=[("quality", "bigint")])
+    files_after = {f["path"] for f in icelite.snapshot_files(
+        path, icelite._read_current(path))}
+    assert files_after == files_before          # no rewrite, no new files
+    got = icelite.scan(spark, path)
+    assert got.schema["quality"].dataType.simpleString() == "bigint"
+    assert got.where(F.col("quality").isNotNull()).count() == 0
+    _assert_same(got.drop("quality"), roll)
+    # an append WITH the column lands values; old rows stay NULL
+    extra = (roll.limit(5)
+             .withColumn("doc_id", F.concat(F.lit("evo-"), "doc_id"))
+             .withColumn("quality", F.lit(7).cast("bigint")))
+    icelite.append(extra, path)
+    got2 = icelite.scan(spark, path)
+    assert got2.where("quality = 7").count() == 5
+    assert got2.where(F.col("quality").isNull()).count() == roll.count()
+    # an append that OMITS the nullable column still reads back as NULL
+    icelite.append(roll.limit(3).withColumn(
+        "doc_id", F.concat(F.lit("old-shape-"), "doc_id")), path)
+    assert icelite.scan(spark, path).where(
+        F.col("quality").isNull()).count() == roll.count() + 3
+
+
+def test_evolve_drop_column_and_time_travel(spark, table):
+    """Dropped columns vanish from post-evolve reads but TIME TRAVEL to a
+    pre-evolve snapshot still resolves them (per-snapshot schema)."""
+    path, roll = table
+    pre = icelite._read_current(path)["snapshot_id"]
+    icelite.evolve(path, drop=["win_start"])
+    got = icelite.scan(spark, path)
+    assert "win_start" not in got.columns
+    _assert_same(got, roll.drop("win_start"))
+    tt = icelite.scan(spark, path, snapshot_id=pre)
+    assert "win_start" in tt.columns
+    _assert_same(tt, roll)
+
+
+def test_evolve_compact_materializes_new_schema(spark, table):
+    """compact() after evolve rewrites through the CURRENT schema, so
+    the compacted files carry the evolved shape and state is unchanged."""
+    path, roll = table
+    icelite.evolve(path, add=[("quality", "bigint")])
+    icelite.compact(spark, path)
+    got = icelite.scan(spark, path)
+    assert got.where(F.col("quality").isNotNull()).count() == 0
+    _assert_same(got.drop("quality"), roll)
+
+
+def test_evolve_validation(spark, table):
+    path, _ = table
+    with pytest.raises(ValueError):
+        icelite.evolve(path)                          # nothing to do
+    with pytest.raises(ValueError):
+        icelite.evolve(path, add=[("mean", "double")])   # duplicate
+    with pytest.raises(ValueError):
+        icelite.evolve(path, drop=["nope"])              # missing
+    with pytest.raises(ValueError):
+        icelite.evolve(path, drop=["source"])            # partition source
+    with pytest.raises(ValueError):
+        icelite.evolve(path, add=[("_part_x", "int")])   # reserved
+    h = icelite.history(path)
+    assert [s["operation"] for s in h] == ["create", "append"]  # no commits

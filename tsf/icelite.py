@@ -68,7 +68,7 @@ import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _META = "metadata"
 _DATA = "data"
@@ -602,6 +602,62 @@ def replace(df: DataFrame, path: str) -> dict:
         raise LookupError(f"no table at {path} (create() first)")
     files = _write_data_files(df, path, cur["partition_spec"])
     return _commit(path, "replace", files, remove_pred=lambda f: True)
+
+
+def evolve(path: str, add: list[tuple[str, str]] | None = None,
+           drop: list[str] | None = None,
+           extra: dict | None = None) -> dict:
+    """Schema evolution as a METADATA-ONLY snapshot commit (Iceberg's
+    add/drop column: zero data files touched, zero rewrites).
+
+    ``add``: (name, spark-DDL-type) pairs appended as NULLABLE fields —
+    existing files simply lack the column and every read through the
+    evolved snapshot fills NULL (Spark's name-based parquet resolution
+    under an explicit read schema), exactly Iceberg's null backfill.
+    ``drop``: column names projected out of the table schema — the bytes
+    stay in the files (and in pre-evolve snapshots, so TIME TRAVEL still
+    reads the dropped column) but no post-evolve read resolves them.
+    Rename is deliberately absent: Iceberg renames via field IDs; a
+    name-based layer would silently orphan the old column's data, so
+    spell it add + backfill + drop.
+
+    Later appends may omit added nullable columns (reads fill NULL);
+    compact()/merge_into() read through the CURRENT schema, so any
+    rewrite materializes the evolved shape. Partition source columns
+    cannot be dropped."""
+    cur = _read_current(path)
+    if cur is None:
+        raise LookupError(f"no table at {path} (create() first)")
+    add, drop = list(add or []), list(drop or [])
+    if not add and not drop:
+        raise ValueError("evolve(): nothing to do (no add, no drop)")
+    schema = StructType.fromJson(json.loads(cur["schema"]))
+    names = set(schema.fieldNames())
+    dups = [n for n, _ in add if n in names]
+    if dups:
+        raise ValueError(f"evolve(): column(s) already exist: {dups}")
+    missing = [n for n in drop if n not in names]
+    if missing:
+        raise ValueError(f"evolve(): cannot drop missing column(s): "
+                         f"{missing}")
+    part_src = {s[1] for s in cur["partition_spec"]}
+    bad = [n for n in drop if n in part_src]
+    if bad:
+        raise ValueError(f"evolve(): column(s) {bad} source the "
+                         f"partition spec; drop is not allowed")
+    hidden = [n for n, _ in add if n.startswith("_part_")]
+    if hidden:
+        raise ValueError(f"evolve(): reserved column prefix: {hidden}")
+    fields = [f for f in schema.fields if f.name not in set(drop)]
+    if not fields:
+        raise ValueError("evolve(): cannot drop every column")
+    from pyspark.sql.types import _parse_datatype_string
+    for name, ddl in add:
+        fields.append(StructField(name, _parse_datatype_string(ddl),
+                                  nullable=True))
+    new_schema = StructType(fields)
+    return _commit(path, "evolve", [], schema_json=new_schema.json(),
+                   extra=extra)
 
 
 # ------------------------------------------------------------ reads
