@@ -1040,6 +1040,16 @@ def q_source_quantiles(spark, sf_dir):
                                       col="n_chars")
 
 
+def q_sketch_quantiles(spark, sf_dir):
+    """Bounded-state quantile SKETCH (bottom-k/KMV hash sample, k=64):
+    the scale path when one source outgrows a sort partition. Sample
+    membership and type-1 rank picks are pure xxhash64 + BIGINT
+    arithmetic, so every estimated value replays bit-exactly in DuckDB
+    — a deterministic, partitioning-invariant approx_percentile."""
+    return textstats.sketch_quantiles(_docs(spark, sf_dir),
+                                      value_col="n_chars", k=64)
+
+
 def q_word_freq_stats(spark, sf_dir):
     """CCNet-style corpus-commonness quality signals: per-doc OOV count
     and average relative corpus frequency vs a top-1000 vocabulary.
@@ -1734,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "source_quantiles": q_source_quantiles,
+        "sketch_quantiles": q_sketch_quantiles,
         "decontam_overlap": q_decontam_overlap,
         "quality_classifier": q_quality_classifier,
         "bloom_decontam": q_bloom_decontam,
@@ -2840,6 +2851,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "chunk_examples": sampling.chunk_examples_duckdb(
             _SEQ, length=128, stride=64),
         "source_quantiles": textstats.source_quantiles_duckdb(),
+        "sketch_quantiles": textstats.sketch_quantiles_duckdb(k=64),
         "text_quality": textstats.text_stats_duckdb(),
         "langid": textstats.langid_duckdb(),
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),

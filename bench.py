@@ -128,6 +128,9 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "firstcrossing", "dim_stack", "window_z", "events_hourly",
           "gapfill_linear", "dedup_exact", "dedup_minhash", "dedup_simhash",
           "stratified_sample", "length_histogram",
+          # containment_pairs joins the excluded pairwise family: the x10
+          # replicas mutually contain each other, so the qualifying pair
+          # count grows ~OPS_SCALE^2 by construction (fixture, not plan)
           "dedup_ngram_jaccard", "dedup_groups", "mix_sample", "dsir_weights",
           # mix_temperature is timed separately below (schema-agnostic
           # skew slice: the driver query's doc_id % 4 assumes BIGINT ids)
@@ -143,7 +146,8 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # the driver query's doc_id % 7 predicate assumes BIGINT ids
           # and the x10 fixture's replica ids are strings ('0-r0')
           "token_counts", "token_diversity", "gopher_quality", "word_freq_stats",
-          "source_quantiles", "quality_classifier", "rand_proj",
+          "source_quantiles", "sketch_quantiles",
+          "quality_classifier", "rand_proj",
           # bloom_decontam is timed separately below (schema-agnostic
           # benchmark + probe slices, like decontam_overlap);
           # semdedup joins the excluded pairwise family: the x10 fixture
@@ -324,13 +328,14 @@ def main() -> None:
     # ---- operator queries on the driver's testdata ----
     qs = entrymod.queries()
     bench_qs = ["tier0_rollup", "tier1_rollup", "tier2_rollup", "retention_prune",
-                "icelite_roundtrip", "icelite_retention",
+                "icelite_roundtrip", "icelite_retention", "icelite_evolve",
                 "series_acf", "series_features", "acf_features",
                 "kernel_features", "firstcrossing", "dim_stack",
                 "events_hourly", "gapfill_locf",
                 "gapfill_linear", "tpch_q1", "tpch_q3", "events_cube",
                 "topk_orders", "vocab_topk", "dedup_exact",
-                "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+                "dedup_minhash", "dedup_ngram_jaccard", "containment_pairs",
+                "dedup_simhash",
                 "dedup_groups", "dedup_keep_best", "dedup_lsh_groups",
                 "dedup_matrix", "dedup_incremental",
                 "mix_sample", "mix_temperature", "stratified_sample",
@@ -347,7 +352,8 @@ def main() -> None:
                 "token_counts", "token_diversity", "gopher_quality", "decontam_overlap",
                 "quality_classifier", "bloom_decontam", "semdedup",
                 "rand_proj",
-                "word_freq_stats", "source_quantiles", "pii_scrub",
+                "word_freq_stats", "source_quantiles", "sketch_quantiles",
+                "pii_scrub",
                 "sessionize_stats", "session_funnel", "events_asof",
                 "media_meta", "media_features",
                 "frame_sample", "compression_roundtrip",

@@ -1605,3 +1605,51 @@ def test_containment_exact_dup_is_mutual(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dedup.containment_pairs(docs, num=6, den=5)
+
+
+# ---------------------------------------------------- bottom-k quantile sketch
+
+def test_sketch_quantiles_accuracy_and_determinism(spark):
+    """On a planted uniform distribution the k=256 sample median must
+    land within the binomial rank bound of the true median, and the
+    sketch must be bit-identical under any input partitioning (the
+    property approx_percentile does NOT have)."""
+    from tsf.textstats import sketch_quantiles
+    n = 4000
+    rows = [(f"d{i:05d}", "s0", i + 1) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, "
+                                       "n_chars long")
+    k = 256
+    got = sketch_quantiles(docs, k=k, q_ppm=(500000,)).toPandas()
+    assert int(got["n_group"].iloc[0]) == n
+    assert int(got["n_sample"].iloc[0]) == k
+    # rank error bound: 5 sigma of Binomial(k, 0.5) in value space
+    # (values are 1..n uniform, so value error = rank error * n/k)
+    tol = 5 * (0.25 / k) ** 0.5 * n
+    assert abs(int(got["value"].iloc[0]) - n / 2) < tol, got
+    a = sketch_quantiles(docs.repartition(17), k=k).toPandas()
+    b = sketch_quantiles(docs.coalesce(1), k=k).toPandas()
+    key = lambda df: sorted(map(tuple, df.astype(str).to_numpy()))
+    assert key(a) == key(b)
+
+
+def test_sketch_quantiles_small_group_is_exact(spark):
+    """A group smaller than k is sampled in full, so the sketch
+    degrades to the EXACT type-1 quantile (rank ceil(q*n), doc_id
+    tie-break) — pinned against source_quantiles on the same rows."""
+    from tsf.textstats import sketch_quantiles, source_quantiles
+    rows = [(f"d{i}", "s0", v) for i, v in
+            enumerate([5, 1, 9, 3, 7, 3, 8])]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, "
+                                       "n_chars long")
+    got = sketch_quantiles(docs, k=100,
+                           q_ppm=(250000, 500000, 1000000)).toPandas()
+    exact = source_quantiles(docs, col="n_chars",
+                             qs=(0.25, 0.5, 1.0)).toPandas()
+    g = {int(r["q_ppm"]): int(r["value"]) for _, r in got.iterrows()}
+    e = {int(round(r["q"] * 1e6)): int(r["value"])
+         for _, r in exact.iterrows()}
+    assert g == e
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sketch_quantiles(docs, q_ppm=(0,))

@@ -329,3 +329,16 @@ def test_containment_has_no_cartesian_product(spark, sf001):
     p = _plan(dedup.containment_pairs(docs, num=4, den=5))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_sketch_quantiles_plan_window_group_limit(spark, sf001):
+    """The bottom-k sketch must prefilter map-side (WindowGroupLimit):
+    each input partition ships only its local bottom-k to the group
+    shuffle — the Exchange moves O(groups x k) rows, not the corpus.
+    The quantile pick is a row-local sort_array over the <= k collected
+    structs (no per-quantile window replay)."""
+    from tsf.textstats import sketch_quantiles
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    p = _plan(sketch_quantiles(docs, k=64))
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p

@@ -971,3 +971,97 @@ def badwords_filter_duckdb(words=BADWORDS, max_ppm: int = 60_000) -> str:
     FROM (SELECT doc_id, list_filter(string_split(text, ' '),
                  x -> length(x) > 0) AS ws FROM documents)
     """
+
+
+# ---------------------------------------------------- bottom-k quantile sketch
+#
+# Bounded-state quantile ESTIMATION (the scale answer source_quantiles'
+# docstring promises): exact per-group quantiles need a full per-group
+# sort — at 100 TB one hot source outgrows any sort partition. The
+# bottom-k (KMV) sketch keeps each group's k rows with the SMALLEST
+# xxhash64(doc_id, seed) — a uniform, deterministic, MERGEABLE sample
+# (bottom-k of a union is the bottom-k of merged bottom-ks, so the
+# map-side WindowGroupLimit prefilter is semantically the sketch merge) —
+# and reads type-1 quantiles off the sample. Rank error is the binomial
+# sampling bound ~sqrt(q*(1-q)/k) (k=256 -> ~3 percentile points at the
+# median), pytest-pinned on a planted distribution.
+#
+# Unlike approx_percentile (greenwald-khanna, merge-order-dependent
+# state) the sketch is bit-deterministic under ANY partitioning or
+# cluster size, and every output value replays bit-for-bit in DuckDB via
+# the xxh64 chain — a float-free, engine-exact approximate operator
+# (the hll/cms discipline applied to quantiles).
+#
+# Scale shape: the rank filter plans as WindowGroupLimit (each input
+# partition keeps only its local bottom-k BEFORE the group shuffle), so
+# the window Exchange moves O(groups x k) rows; the quantile pick is a
+# row-local sort_array over <= k collected (value, doc_id) structs; the
+# group-size side count is one partial-combined aggregate carrying
+# (group, count). Both asserted in tests/test_plans.py.
+
+def sketch_quantiles(docs: DataFrame, value_col: str = "n_chars",
+                     by: str = "source", k: int = 256,
+                     q_ppm: tuple[int, ...] = (250000, 500000, 900000),
+                     seed: int = 0) -> DataFrame:
+    """(by, n_group, n_sample, q_ppm, value): type-1 quantiles of
+    ``value_col`` per group, read off a deterministic bottom-k hash
+    sample. quantile rank = ceil(q * n_sample) with doc_id tie-break —
+    integer-exact end to end."""
+    if not all(0 < q <= 1_000_000 for q in q_ppm):
+        raise ValueError(f"q_ppm out of (0, 1e6]: {q_ppm}")
+    from tsf.sampling import stratified_sample
+    samp = stratified_sample(docs.select("doc_id", by, value_col),
+                             n_per_group=k, by=by, seed=seed)
+    agg = (samp.groupBy(by).agg(
+        F.count("*").alias("n_sample"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col(value_col).cast("long").alias("v"),
+            F.col("doc_id").cast("string").alias("d")))).alias("vs")))
+    sizes = docs.groupBy(by).agg(F.count("*").alias("n_group"))
+    qarr = F.array(*[F.lit(int(q)) for q in q_ppm])
+    return (agg.join(F.broadcast(sizes), by)
+            .select(by, "n_group", "n_sample",
+                    F.explode(qarr).alias("q_ppm"), "vs")
+            # rank = ceil(q_ppm * n / 1e6) as pure BIGINT arithmetic
+            .withColumn("_r", F.expr(
+                "(q_ppm * n_sample + 999999L) div 1000000L"))
+            .select(by, "n_group", "n_sample", "q_ppm",
+                    F.expr("element_at(vs, cast(_r as int)).v")
+                    .alias("value")))
+
+
+def sketch_quantiles_duckdb(value_col: str = "n_chars",
+                            by: str = "source", k: int = 256,
+                            q_ppm: tuple[int, ...] = (250000, 500000,
+                                                      900000),
+                            seed: int = 0) -> str:
+    """DuckDB replay of :func:`sketch_quantiles` — same xxh64 bottom-k
+    membership, same type-1 rank arithmetic, bit-exact values."""
+    from tsf.xxh64_sql import hash_bytes_layers, hash_int_layers
+    q = hash_bytes_layers(
+        "SELECT doc_id, " + by + ", " + value_col +
+        ", CAST(doc_id AS VARCHAR) AS _k FROM documents",
+        "_k", "hb", "sb")
+    q = hash_int_layers(q, str(int(seed)), "hb", "h", "si")
+    qlist = ", ".join(str(int(x)) for x in q_ppm)
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, {by}, {value_col},
+             row_number() OVER (PARTITION BY {by}
+                                ORDER BY h ASC, doc_id ASC) AS rank
+      FROM ({q})),
+    samp AS (SELECT * FROM ranked WHERE rank <= {int(k)}),
+    ordered AS (
+      SELECT {by}, {value_col} AS v,
+             row_number() OVER (PARTITION BY {by}
+                                ORDER BY {value_col} ASC,
+                                         doc_id ASC) AS vr,
+             count(*) OVER (PARTITION BY {by}) AS n_sample
+      FROM samp),
+    ng AS (SELECT {by}, count(*) AS n_group FROM documents GROUP BY 1),
+    qs AS (SELECT unnest([{qlist}]) AS q_ppm)
+    SELECT o.{by}, ng.n_group, CAST(o.n_sample AS BIGINT) AS n_sample,
+           CAST(q.q_ppm AS INT) AS q_ppm, CAST(o.v AS BIGINT) AS value
+    FROM ordered o JOIN ng USING ({by}) CROSS JOIN qs q
+    WHERE o.vr = (q.q_ppm * o.n_sample + 999999) // 1000000
+    """
