@@ -825,6 +825,14 @@ def q_token_counts(spark, sf_dir):
     return textstats.with_token_counts(_docs(spark, sf_dir))
 
 
+def q_fertility_stats(spark, sf_dir):
+    """Per-(source, lang) tokenizer fertility (tokens/word) and
+    compression (chars/token) as integer micro-units over exact group
+    sums — the multilingual mixing diagnostic. Row-local counting, one
+    partial-combined aggregate, no text past the scan."""
+    return textstats.fertility_stats(_docs(spark, sf_dir))
+
+
 def q_token_diversity(spark, sf_dir):
     """Per-doc token-diversity signals (distinct count, mode token +
     dominance ppm) over the pre-tokenized arrays — degenerate/looping
@@ -1724,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_diversity": q_token_diversity,
         "token_counts": q_token_counts,
+        "fertility_stats": q_fertility_stats,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
@@ -2857,6 +2866,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "fingerprint": textstats.fingerprint_duckdb(_SEQ),
         "token_diversity": textstats.token_diversity_duckdb(_SEQ),
         "token_counts": textstats.token_counts_duckdb(),
+        "fertility_stats": textstats.fertility_stats_duckdb(),
         "bpe_pair_counts": bpe.pair_counts_duckdb(_SEQ, top_k=50),
         "bpe_train": bpe.train_bpe_duckdb(_SEQ, _BPE_MERGES),
         "bpe_apply": bpe.apply_merges_duckdb(

@@ -145,7 +145,8 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # schema-agnostic benchmark slice (pmod(xxhash64(string), 7)):
           # the driver query's doc_id % 7 predicate assumes BIGINT ids
           # and the x10 fixture's replica ids are strings ('0-r0')
-          "token_counts", "token_diversity", "gopher_quality", "word_freq_stats",
+          "token_counts", "fertility_stats", "token_diversity",
+          "gopher_quality", "word_freq_stats",
           "source_quantiles", "sketch_quantiles",
           "quality_classifier", "rand_proj",
           # bloom_decontam is timed separately below (schema-agnostic
@@ -349,7 +350,8 @@ def main() -> None:
                 "pairwise_pearson",
                 "series_pairwise_pearson", "pairwise_phase_sync",
                 "pairwise_mi", "pairwise_featureset", "pairwise_super_check",
-                "token_counts", "token_diversity", "gopher_quality", "decontam_overlap",
+                "token_counts", "fertility_stats", "token_diversity",
+                "gopher_quality", "decontam_overlap",
                 "quality_classifier", "bloom_decontam", "semdedup",
                 "rand_proj",
                 "word_freq_stats", "source_quantiles", "sketch_quantiles",

@@ -1653,3 +1653,26 @@ def test_sketch_quantiles_small_group_is_exact(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sketch_quantiles(docs, q_ppm=(0,))
+
+
+def test_fertility_stats_hand_computed(spark):
+    """Two-doc fixture with known counts: 'ab cd.' is 2 words and 3
+    BPE-ish tokens (ab / cd / .), so the micro ratios are exact integer
+    arithmetic over the group sums."""
+    from tsf.textstats import fertility_stats
+    docs = spark.createDataFrame(
+        [("a", "ab cd.", "en", "s0"), ("b", "x1", "en", "s0"),
+         ("c", "", "de", "s0")],
+        "doc_id string, text string, lang string, source string")
+    got = {(r["source"], r["lang"]): r
+           for r in fertility_stats(docs).collect()}
+    en = got[("s0", "en")]
+    # 'ab cd.': 6 chars, 2 words, 3 tokens; 'x1': 2 chars, 1 word,
+    # 2 tokens (x / 1) -> sums 8 chars, 3 words, 5 tokens
+    assert (en["n_docs"], en["sum_chars"], en["sum_words"],
+            en["sum_tokens"]) == (2, 8, 3, 5)
+    assert en["tokens_per_word_micro"] == (5 * 1_000_000) // 3
+    assert en["chars_per_token_micro"] == (8 * 1_000_000) // 5
+    de = got[("s0", "de")]   # empty doc: guarded divisions, no crash
+    assert (de["sum_words"], de["sum_tokens"],
+            de["tokens_per_word_micro"]) == (0, 0, 0)

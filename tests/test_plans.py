@@ -342,3 +342,15 @@ def test_sketch_quantiles_plan_window_group_limit(spark, sf001):
     p = _plan(sketch_quantiles(docs, k=64))
     assert "WindowGroupLimit" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_fertility_stats_single_bounded_exchange(spark, sf001):
+    """One partial-combined aggregate: exactly one Exchange, keyed on
+    (source, lang) sums — the text column never crosses it."""
+    from tsf.textstats import fertility_stats
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    p = _plan(fertility_stats(docs))
+    assert p.count("Exchange") == 1, p
+    exlines = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert all("text" not in ln for ln in exlines), exlines
+    assert "Join" not in p, p

@@ -1065,3 +1065,62 @@ def sketch_quantiles_duckdb(value_col: str = "n_chars",
     FROM ordered o JOIN ng USING ({by}) CROSS JOIN qs q
     WHERE o.vr = (q.q_ppm * o.n_sample + 999999) // 1000000
     """
+
+
+# ------------------------------------------------------- tokenizer fertility
+#
+# Per-(source, lang) tokenizer-efficiency aggregates: fertility
+# (tokens/word) and compression (chars/token) are THE diagnostics behind
+# multilingual mixing and tokenizer choice — a language whose fertility
+# is 2x pays 2x the sequence budget for the same text, which silently
+# re-weights any token-budgeted mix (the mix_temperature weight_col
+# precedent). Ratios are integer micro-units over EXACT group sums
+# (one IEEE-exact BIGINT division each), so the oracle replays them
+# bit-for-bit. Scale shape: row-local counting (the token_counts
+# expressions), one partial-combined aggregate whose Exchange carries
+# (source, lang) keyed sums — no text past the scan, no join.
+
+def fertility_stats(docs: DataFrame) -> DataFrame:
+    """(source, lang, n_docs, sum_chars, sum_words, sum_tokens,
+    tokens_per_word_micro, chars_per_token_micro)."""
+    n_words = F.expr(f"size({_WORDS})").cast("long")
+    n_bpe = F.expr(
+        f"size(regexp_extract_all(text, '{BPE_RE}', 0))").cast("long")
+    return (docs
+            .select("source", "lang",
+                    F.length("text").cast("long").alias("c"),
+                    n_words.alias("w"), n_bpe.alias("t"))
+            .groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("c").alias("sum_chars"),
+                 F.sum("w").alias("sum_words"),
+                 F.sum("t").alias("sum_tokens"))
+            .withColumn("tokens_per_word_micro", F.expr(
+                "(sum_tokens * 1000000L) div greatest(sum_words, 1L)"))
+            .withColumn("chars_per_token_micro", F.expr(
+                "(sum_chars * 1000000L) div greatest(sum_tokens, 1L)")))
+
+
+def fertility_stats_duckdb() -> str:
+    """DuckDB replay of :func:`fertility_stats` — identical counting
+    expressions and BIGINT floor divisions."""
+    w = "len(list_filter(string_split(text, ' '), x -> length(x) > 0))"
+    t = f"len(regexp_extract_all(text, '{BPE_RE}'))"
+    return f"""
+    WITH d AS (SELECT source, lang, length(text) AS c,
+                      {w} AS w, {t} AS t
+               FROM documents),
+    g AS (SELECT source, lang, count(*) AS n_docs,
+                 sum(c) AS sum_chars, sum(w) AS sum_words,
+                 sum(t) AS sum_tokens
+          FROM d GROUP BY 1, 2)
+    SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sum_chars AS BIGINT) AS sum_chars,
+           CAST(sum_words AS BIGINT) AS sum_words,
+           CAST(sum_tokens AS BIGINT) AS sum_tokens,
+           CAST((sum_tokens * 1000000) // greatest(sum_words, 1)
+                AS BIGINT) AS tokens_per_word_micro,
+           CAST((sum_chars * 1000000) // greatest(sum_tokens, 1)
+                AS BIGINT) AS chars_per_token_micro
+    FROM g
+    """
