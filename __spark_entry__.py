@@ -767,6 +767,18 @@ def q_epoch_shuffle(spark, sf_dir):
                                   n_shards=8)
 
 
+def q_curriculum_rank(spark, sf_dir):
+    """Exact corpus-wide curriculum rank by a quality proxy (n_chars,
+    best-first) via the scalable two-phase range-partition idiom — the
+    one corpus Exchange is RangePartitioning, never a single-partition
+    sort; per-partition counts prefix-sum into an offset literal. Ranks
+    are a pure function of the (score, doc_id) total order, so the
+    DuckDB oracle replays them as a plain window."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("score"))
+    return sampling.curriculum_rank(docs, "score", ascending=False)
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test assignment (90/5/5): split is a pure
     function of (doc_id, seed) via the production xxhash64, so it
@@ -1720,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_nfd": q_pack_nfd,
         "chunk_examples": q_chunk_examples,
         "epoch_shuffle": q_epoch_shuffle,
+        "curriculum_rank": q_curriculum_rank,
         "dataset_split": q_dataset_split,
         "dup_span_stats": q_dup_span_stats,
         "remove_dup_spans": q_remove_dup_spans,
@@ -2853,6 +2866,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "rolling_rollup": rolling_windows_duckdb(_SEQ, window=64, k=4),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(
             _SEQ, epoch=3, n_shards=8),
+        "curriculum_rank": sampling.curriculum_rank_duckdb(
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars AS BIGINT) AS score FROM documents",
+            ascending=False),
         "dataset_split": sampling.dataset_split_duckdb(_SEQ, seed=7),
         "pack_examples": sampling.pack_examples_duckdb(
             _SEQ, example_len=512, n_shards=4),

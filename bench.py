@@ -135,7 +135,7 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # mix_temperature is timed separately below (schema-agnostic
           # skew slice: the driver query's doc_id % 4 assumes BIGINT ids)
           "pack_examples", "pack_nfd", "epoch_shuffle", "dataset_split",
-          "dup_span_stats", "outlier_windows", "rolling_rollup",
+          "curriculum_rank", "dup_span_stats", "outlier_windows", "rolling_rollup",
           "hll_distinct", "pmi_topk", "fim_examples", "sft_examples",
           # line_dedup / bm25_topk cast doc_id to BIGINT for the oracle
           # hash; the x10 fixture's replica ids are strings, so they are
@@ -342,7 +342,7 @@ def main() -> None:
                 "mix_sample", "mix_temperature", "stratified_sample",
                 "length_histogram",
                 "pack_examples", "pack_nfd", "chunk_examples", "epoch_shuffle",
-                "dataset_split", "dup_span_stats", "remove_dup_spans",
+                "dataset_split", "curriculum_rank", "dup_span_stats", "remove_dup_spans",
                 "dsir_weights", "dsir_sample",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
                 "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",

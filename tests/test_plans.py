@@ -354,3 +354,18 @@ def test_fertility_stats_single_bounded_exchange(spark, sf001):
     exlines = [ln for ln in p.splitlines() if "Exchange" in ln]
     assert all("text" not in ln for ln in exlines), exlines
     assert "Join" not in p, p
+
+
+def test_curriculum_rank_plan_range_partitioning(spark, sf001):
+    """Global rank must NOT funnel the corpus through one partition:
+    the corpus Exchange is RangePartitioning and the window runs within
+    range partitions (no SinglePartition sort anywhere)."""
+    from tsf.sampling import curriculum_rank
+    from pyspark.sql import functions as F
+    docs = (spark.read.parquet(f"{sf001}/documents.parquet")
+            .select("doc_id", F.col("n_chars").alias("score")))
+    out = curriculum_rank(docs, "score", num_partitions=8)
+    p = _plan(out)
+    assert "rangepartitioning" in p.lower(), p
+    assert "SinglePartition" not in p, p
+    out.sparkSession.catalog.clearCache()

@@ -394,3 +394,28 @@ def test_pack_nfd_no_split_and_capacity(spark):
     # example ids contiguous from 0
     assert sorted(df["example_id"].unique()) == \
         list(range(df["example_id"].max() + 1))
+
+
+# ------------------------------------------------------- global rank
+
+def test_curriculum_rank_matches_global_window(spark):
+    """Ranks from the two-phase range-partition idiom must equal a plain
+    global window over the same total order, for any partition count,
+    both directions, including tied scores (doc_id tie-break)."""
+    from tsf.sampling import curriculum_rank
+    rows = [(f"d{i:03d}", (i * 37) % 13) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id string, score long")
+    want_asc = {r["doc_id"]: r["rank"] for r in docs.selectExpr(
+        "doc_id", "row_number() over (order by score, doc_id) as rank"
+    ).collect()}
+    for n in (3, 17):
+        got = {r["doc_id"]: r["rank"] for r in curriculum_rank(
+            docs, "score", num_partitions=n).collect()}
+        assert got == want_asc, n
+    want_desc = {r["doc_id"]: r["rank"] for r in docs.selectExpr(
+        "doc_id",
+        "row_number() over (order by score desc, doc_id) as rank"
+    ).collect()}
+    got = {r["doc_id"]: r["rank"] for r in curriculum_rank(
+        docs, "score", ascending=False, num_partitions=5).collect()}
+    assert got == want_desc

@@ -904,3 +904,71 @@ def sft_examples_duckdb(seq_cte: str, fp_mod: int = 2147483647) -> str:
     SELECT doc_id, source, n_tok, n_prompt, n_train, {fp} AS labels_fp
     FROM built
     """
+
+
+# ------------------------------------------------------- global rank (curriculum)
+#
+# Exact corpus-wide ordering by a score column (curriculum learning
+# schedules; exact top-frac selection by quality). The naive plan —
+# ``row_number() OVER (ORDER BY score)`` — funnels the corpus through
+# ONE partition (Spark warns and then sorts 100 TB on a single task).
+# The scalable idiom is two-phase:
+#
+#   1. ``repartitionByRange(score, doc_id)`` — a RangePartitioning
+#      Exchange; each partition holds a contiguous slice of the total
+#      order (bounds from Spark's reservoir sample — they affect only
+#      WHERE the cuts fall, never the final ranks).
+#   2. per-partition counts (#partitions rows — bounded driver-side
+#      metadata, the centroid-collect precedent) prefix-summed into
+#      offsets that ride back as ONE array<long> literal; rank =
+#      within-partition row_number + offset[pid].
+#
+# The rank of a doc is a pure function of the corpus's (score, doc_id)
+# total order — deterministic under any partitioning, cluster size, or
+# sampled bounds (pytest), and the DuckDB oracle replays it as a plain
+# window. The within-partition sort satisfies the window's required
+# ordering, so the ONLY corpus Exchange is the range repartition
+# (plan-asserted: RangePartitioning present, no SinglePartition sort).
+
+def curriculum_rank(docs: DataFrame, score_col: str,
+                    ascending: bool = True,
+                    num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, <score_col>, rank): exact global 1-based rank by
+    (score, doc_id). ``ascending=False`` ranks best-first for
+    descending curriculum schedules."""
+    from tsf.caching import scoped_persist
+    d = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.col(score_col).alias("_s"))
+    keys = ([F.col("_s").asc(), F.col("doc_id").asc()] if ascending
+            else [F.col("_s").desc(), F.col("doc_id").asc()])
+    n = int(num_partitions
+            or d.sparkSession.sparkContext.defaultParallelism)
+    rp = d.repartitionByRange(n, *keys).withColumn(
+        "_pid", F.spark_partition_id())
+    # two passes (counts, ranks) must observe the SAME partition ids
+    rp = scoped_persist(rp)
+    cnt = {r["_pid"]: r["c"] for r in
+           rp.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    offs, acc = [], 0
+    for pid in range(max(cnt) + 1 if cnt else 0):
+        offs.append(acc)
+        acc += cnt.get(pid, 0)
+    om = F.array(*[F.lit(int(o)) for o in offs])
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    return (rp.withColumn("_rn", F.row_number().over(w))
+            .select("doc_id", F.col("_s").alias(score_col),
+                    (F.element_at(om, F.col("_pid") + 1)
+                     + F.col("_rn")).cast("long").alias("rank")))
+
+
+def curriculum_rank_duckdb(score_sql: str, ascending: bool = True) -> str:
+    """DuckDB replay of :func:`curriculum_rank`: a plain global window
+    over the same total order. ``score_sql`` must yield
+    (doc_id VARCHAR, score) with the engine's score column name."""
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score {direction}, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM ({score_sql})
+    """
