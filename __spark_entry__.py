@@ -36,7 +36,8 @@ from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
 from tsf.rollup import (next_tier, outlier_windows_duckdb,  # noqa: E402
-                        rolling_windows_duckdb, tier0, tier0_vectors)
+                        rolling_windows_duckdb, series_dynamics_duckdb,
+                        tier0, tier0_vectors)
 
 STATS = ["cnt", "sum_tok", "min_tok", "max_tok", "mean", "std"]
 
@@ -292,6 +293,34 @@ def q_icelite_evolve(spark, sf_dir):
             .withColumn("quality", (F.col("cnt") * 2).cast("bigint")),
         path)
     return icelite.scan(spark, path).select(*(roll.columns + ["quality"]))
+
+
+def q_icelite_wap(spark, sf_dir):
+    """Write-audit-publish through branch refs (Iceberg's branching +
+    fast_forward): create main with half the tier-0 rollup, stage the
+    other half on an 'audit' branch (append_to_branch — CURRENT never
+    moves), AUDIT the staged snapshot (row-count gate on the branch
+    head while asserting main is still at the create commit), then
+    fast_forward main to the branch head. The published scan must equal
+    the plain tier0 oracle — proving the staged commit is lossless and
+    the publish is a pure pointer swap. Divergence/audit-failure paths
+    are pytest-pinned in tests/test_icelite.py."""
+    from tsf import icelite
+    roll = _rollup_select(tier0(_seq(spark, sf_dir), _stats_fs(),
+                                window=20, blocks=False))
+    path = _icelite_tmp()
+    created = icelite.create(roll.where("source < 'src2'"), path,
+                             [("bucket", "doc_id", 8)])
+    icelite.create_branch(path, "audit")
+    icelite.append_to_branch(roll.where("source >= 'src2'"), path, "audit")
+    # audit: staged snapshot gained rows AND main is untouched
+    head = icelite.branch_head(path, "audit")
+    staged = icelite.scan(spark, path, snapshot_id=head["snapshot_id"])
+    assert staged.count() > 0, "audit: staged snapshot empty"
+    assert icelite._read_current(path)["snapshot_id"] \
+        == created["snapshot_id"], "main moved before publish"
+    icelite.fast_forward(path, "audit")
+    return icelite.scan(spark, path).select(*roll.columns)
 
 
 def q_series_acf(spark, sf_dir):
@@ -747,6 +776,16 @@ def q_outlier_windows(spark, sf_dir):
     sufficient stats (bit-deterministic booleans). Zero Exchange."""
     from tsf.rollup import outlier_windows
     return outlier_windows(_seq(spark, sf_dir), window=64)
+
+
+def q_series_dynamics(spark, sf_dir):
+    """catch22-style whole-series dynamics: time-reversal asymmetry
+    (exact float64 cubes, strict left-fold — bit-identical both
+    engines), pNN40-style successive-diff fraction (integer ppm), and
+    longest above-mean stretch (denominators-cleared BIGINT test).
+    Scan → Project only: ZERO Exchange, no Generate, no UDF."""
+    from tsf.rollup import series_dynamics
+    return series_dynamics(_seq(spark, sf_dir), pnn_th=40)
 
 
 def q_rolling_rollup(spark, sf_dir):
@@ -1685,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icelite_merge": q_icelite_merge,
         "icelite_compact": q_icelite_compact,
         "icelite_evolve": q_icelite_evolve,
+        "icelite_wap": q_icelite_wap,
         "series_acf": q_series_acf,
         "series_features": q_series_features,
         "acf_features": q_acf_features,
@@ -1740,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "outlier_windows": q_outlier_windows,
         "rolling_rollup": q_rolling_rollup,
+        "series_dynamics": q_series_dynamics,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -1859,6 +1900,7 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT * FROM ({d['tier0_rollup']}) WHERE source < 'src2'")
     d["icelite_retention"] = d["retention_prune"]
     d["icelite_compact"] = d["tier0_rollup"]
+    d["icelite_wap"] = d["tier0_rollup"]
     # evolve: same tier0 rows, plus the post-evolve appended column —
     # NULL on pre-evolve rows (null backfill), cnt*2 on appended ones
     d["icelite_evolve"] = (
@@ -2864,6 +2906,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "bm25_topk": textstats.bm25_topk_duckdb(k=20),
         "outlier_windows": outlier_windows_duckdb(_SEQ, window=64),
         "rolling_rollup": rolling_windows_duckdb(_SEQ, window=64, k=4),
+        "series_dynamics": series_dynamics_duckdb(_SEQ, pnn_th=40),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(
             _SEQ, epoch=3, n_shards=8),
         "curriculum_rank": sampling.curriculum_rank_duckdb(

@@ -581,3 +581,86 @@ def test_evolve_validation(spark, table):
         icelite.evolve(path, add=[("_part_x", "int")])   # reserved
     h = icelite.history(path)
     assert [s["operation"] for s in h] == ["create", "append"]  # no commits
+
+
+# ------------------------------------------------------------ branches (WAP)
+
+def test_branch_append_invisible_until_publish(spark, table):
+    """Write-audit-publish: staged branch commits never reach main
+    readers; fast_forward makes them visible atomically."""
+    path, roll = table
+    main_before = _sorted_pdf(icelite.scan(spark, path))
+    icelite.create_branch(path, "audit")
+    extra = roll.limit(0)  # schema twin
+    more = _rollup(spark, n_docs=12, seed=99).select(*roll.columns) \
+        .withColumn("doc_id", F.concat(F.lit("b-"), "doc_id"))
+    icelite.append_to_branch(more, path, "audit")
+    # main unchanged; branch head sees both
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(icelite.scan(spark, path)), main_before)
+    head = icelite.branch_head(path, "audit")
+    branch_rows = icelite.scan(spark, path,
+                               snapshot_id=head["snapshot_id"])
+    assert branch_rows.count() == roll.count() + more.count()
+    # audit passes -> publish; main now equals the branch head
+    icelite.fast_forward(path, "audit")
+    _assert_same(icelite.scan(spark, path), roll.unionByName(more))
+    del extra
+
+
+def test_branch_audit_failure_leaves_main_untouched(spark, table):
+    path, roll = table
+    icelite.create_branch(path, "audit")
+    bad = _rollup(spark, n_docs=5, seed=3).select(*roll.columns) \
+        .withColumn("doc_id", F.concat(F.lit("x-"), "doc_id"))
+    icelite.append_to_branch(bad, path, "audit")
+    icelite.drop_branch(path, "audit")        # audit failed
+    _assert_same(icelite.scan(spark, path), roll)
+    assert icelite.list_branches(path) == []
+    with pytest.raises(LookupError):
+        icelite.branch_head(path, "audit")
+
+
+def test_fast_forward_rejects_diverged_main(spark, table):
+    """If main gained a commit after the branch forked, a blind pointer
+    swap would drop it — fast_forward must refuse."""
+    path, roll = table
+    icelite.create_branch(path, "audit")
+    inc = _rollup(spark, n_docs=4, seed=11).select(*roll.columns) \
+        .withColumn("doc_id", F.concat(F.lit("a-"), "doc_id"))
+    icelite.append_to_branch(inc, path, "audit")
+    # main moves independently
+    inc2 = inc.withColumn("doc_id", F.concat(F.lit("m-"), "doc_id"))
+    icelite.append(inc2, path)
+    with pytest.raises(icelite.CommitConflict):
+        icelite.fast_forward(path, "audit")
+    # main keeps its own commit; branch unpublished
+    assert icelite.scan(spark, path).count() == roll.count() + inc2.count()
+
+
+def test_expire_keeps_branch_chain(spark, table):
+    """Branch refs pin their snapshots: expire_snapshots must not
+    reap a committed-but-unpublished branch head (it is reachable,
+    not an orphan)."""
+    path, roll = table
+    icelite.create_branch(path, "audit")
+    inc = _rollup(spark, n_docs=4, seed=5).select(*roll.columns) \
+        .withColumn("doc_id", F.concat(F.lit("s-"), "doc_id"))
+    head = icelite.append_to_branch(inc, path, "audit")
+    icelite.expire_snapshots(path, keep_last=1)
+    # branch head still scannable, publish still works
+    assert icelite.scan(
+        spark, path, snapshot_id=head["snapshot_id"]).count() \
+        == roll.count() + inc.count()
+    icelite.fast_forward(path, "audit")
+    assert icelite.scan(spark, path).count() == roll.count() + inc.count()
+
+
+def test_branch_name_validation_and_duplicates(spark, table):
+    path, _ = table
+    with pytest.raises(ValueError):
+        icelite.create_branch(path, "../evil")
+    icelite.create_branch(path, "ok-1")
+    with pytest.raises(FileExistsError):
+        icelite.create_branch(path, "ok-1")

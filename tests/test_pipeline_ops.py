@@ -1676,3 +1676,38 @@ def test_fertility_stats_hand_computed(spark):
     de = got[("s0", "de")]   # empty doc: guarded divisions, no crash
     assert (de["sum_words"], de["sum_tokens"],
             de["tokens_per_word_micro"]) == (0, 0, 0)
+
+
+# ------------------------------------------------------- series dynamics
+
+def test_series_dynamics_hand_computed(spark):
+    from tsf.rollup import series_dynamics
+    seq = spark.createDataFrame(
+        [("inc", [1, 2, 3, 4], 4, "web"),       # diffs 1,1,1
+         ("jump", [0, 100, 0], 3, "web"),       # diffs 100,-100
+         ("const", [5, 5, 5], 3, "web"),        # diffs 0,0
+         ("single", [9], 1, "web"),
+         ("empty", [], 0, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    rows = {r.doc_id: r for r in series_dynamics(seq, pnn_th=40).collect()}
+    # inc: cubes 1+1+1 = 3, mean 1.0; no |diff|>40; above mean (2.5):
+    # values 3,4 -> run 2
+    assert rows["inc"].trev_sum == 3.0
+    assert rows["inc"].trev_mean == 1.0
+    assert rows["inc"].pnn_ppm == 0
+    assert rows["inc"].longstretch_above == 2
+    # jump: 100^3 + (-100)^3 = 0; both diffs > 40 -> ppm 1_000_000;
+    # mean 100/3, only the middle value above -> run 1
+    assert rows["jump"].trev_sum == 0.0
+    assert rows["jump"].pnn_ppm == 1_000_000
+    assert rows["jump"].longstretch_above == 1
+    # const: never strictly above its own mean
+    assert rows["const"].trev_sum == 0.0
+    assert rows["const"].pnn_ppm == 0
+    assert rows["const"].longstretch_above == 0
+    # degenerate lengths keep rows with NULL diff stats
+    assert rows["single"].trev_sum is None
+    assert rows["single"].pnn_ppm is None
+    assert rows["single"].longstretch_above == 0
+    assert rows["empty"].trev_sum is None
+    assert rows["empty"].longstretch_above == 0

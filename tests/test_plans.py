@@ -369,3 +369,14 @@ def test_curriculum_rank_plan_range_partitioning(spark, sf001):
     assert "rangepartitioning" in p.lower(), p
     assert "SinglePartition" not in p, p
     out.sparkSession.catalog.clearCache()
+
+
+def test_series_dynamics_zero_shuffle_no_generate(spark, sf001):
+    """Whole-series dynamics: every statistic is one row-local fold —
+    Scan -> Project only; ZERO Exchange, no Generate, no UDF."""
+    from tsf.rollup import series_dynamics
+    seq = sequences_from_documents(spark, sf001)
+    p = _plan(series_dynamics(seq))
+    assert "Exchange" not in p, p
+    assert "Generate" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

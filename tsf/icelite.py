@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import urllib.parse
 import uuid
@@ -338,7 +339,7 @@ def _commit(path: str, operation: str, new_files: list[dict],
             schema_json: str | None = None, retries: int = 3,
             extra: dict | None = None,
             require_removed: set | None = None,
-            validate=None) -> dict:
+            validate=None, branch: str | None = None) -> dict:
     """Optimistic snapshot commit. Derives the file list from the
     CURRENT snapshot (minus ``remove_pred`` matches, plus ``new_files``),
     claims the next metadata version with a hard-link (EEXIST = another
@@ -353,14 +354,14 @@ def _commit(path: str, operation: str, new_files: list[dict],
         fcntl.flock(lock, fcntl.LOCK_EX)
         return _commit_locked(path, operation, new_files, remove_pred,
                               spec, schema_json, retries, extra,
-                              require_removed, validate)
+                              require_removed, validate, branch)
 
 
 def _commit_locked(path: str, operation: str, new_files: list[dict],
                    remove_pred, spec, schema_json, retries: int,
                    extra: dict | None,
                    require_removed: set | None = None,
-                   validate=None) -> dict:
+                   validate=None, branch: str | None = None) -> dict:
     """The read-derive-claim-advance sequence, under the table's commit
     lock. The lock serializes WRITERS (readers never take it): without
     it, a writer could derive its file list from a stale CURRENT while
@@ -372,7 +373,8 @@ def _commit_locked(path: str, operation: str, new_files: list[dict],
     mdir = _meta_dir(path)
     new_ref = _write_manifest(path, new_files) if new_files else None
     for _ in range(retries):
-        cur = _read_current(path)
+        cur = (_read_ref(path, branch) if branch is not None
+               else _read_current(path))
         if validate is not None:
             # operation-specific conflict check against the snapshot the
             # commit will actually apply to (may raise CommitConflict)
@@ -443,7 +445,10 @@ def _commit_locked(path: str, operation: str, new_files: list[dict],
             os.unlink(tmp)
             continue                                   # lost race: retry
         os.unlink(tmp)
-        _advance_current(path, version)
+        if branch is not None:
+            _advance_ref(path, branch, version)
+        else:
+            _advance_current(path, version)
         return snap
     raise CommitConflict(
         f"lost the commit race {retries} times at {path}")
@@ -474,6 +479,147 @@ def _advance_current(path: str, version: int) -> None:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(mdir, _CURRENT))
+
+
+# ------------------------------------------------------------ branches (WAP)
+
+#: branch names are path-safe tokens (the ref file embeds the name)
+_REF_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.-]*$")
+
+
+def _ref_file(path: str, name: str) -> str:
+    if not _REF_RE.match(name):
+        raise ValueError(f"invalid branch name {name!r}")
+    return os.path.join(_meta_dir(path), f"ref-{name}")
+
+
+def _read_ref(path: str, name: str) -> dict | None:
+    """Branch head snapshot dict, or None if the branch doesn't exist.
+    Same orphan discipline as _read_current: the ref FILE is the only
+    source of truth, and a ref naming a missing metadata file is real
+    corruption and raises."""
+    try:
+        with open(_ref_file(path, name)) as fh:
+            ref_name = fh.read().strip()
+    except FileNotFoundError:
+        return None
+    with open(os.path.join(_meta_dir(path), ref_name)) as fh:
+        return json.load(fh)
+
+
+def _advance_ref(path: str, name: str, version: int) -> None:
+    """Move a branch ref forward (same never-backward + atomic-replace
+    rules as the CURRENT pointer; callers hold the commit lock)."""
+    rf = _ref_file(path, name)
+    try:
+        with open(rf) as fh:
+            pointed = int(fh.read().strip()[1:9])
+    except (FileNotFoundError, ValueError):
+        pointed = None
+    if pointed is None or pointed < version:
+        tmp = os.path.join(_meta_dir(path), f".ref-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(_snap_path(path, version)))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, rf)
+
+
+def list_branches(path: str) -> list[str]:
+    mdir = _meta_dir(path)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(n[4:] for n in os.listdir(mdir) if n.startswith("ref-"))
+
+
+def create_branch(path: str, name: str,
+                  snapshot_id: int | None = None) -> dict:
+    """Create a named branch ref at ``snapshot_id`` (default: the
+    CURRENT snapshot) — Iceberg's branch refs, the write side of the
+    write-audit-publish pattern (compare Iceberg's
+    `ALTER TABLE ... CREATE BRANCH`). Metadata-only: no data moves.
+    Raises FileExistsError if the branch exists."""
+    import fcntl
+    mdir = _meta_dir(path)
+    if not os.path.isdir(mdir):
+        raise LookupError(f"no table at {path}")
+    with open(os.path.join(mdir, ".commit.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if _read_ref(path, name) is not None:
+            raise FileExistsError(f"branch {name!r} already exists")
+        snap = (_read_snapshot(path, snapshot_id)
+                if snapshot_id is not None else _read_current(path))
+        if snap is None:
+            raise LookupError(f"no committed snapshot at {path}")
+        _advance_ref(path, name, snap["snapshot_id"])
+        return snap
+
+
+def drop_branch(path: str, name: str) -> None:
+    """Delete a branch ref (metadata-only — the audit-failed path of
+    WAP; the branch's unreachable snapshots fall to the next
+    expire_snapshots())."""
+    try:
+        os.unlink(_ref_file(path, name))
+    except FileNotFoundError:
+        raise LookupError(f"no branch {name!r} at {path}") from None
+
+
+def branch_head(path: str, name: str) -> dict:
+    snap = _read_ref(path, name)
+    if snap is None:
+        raise LookupError(f"no branch {name!r} at {path}")
+    return snap
+
+
+def append_to_branch(df: DataFrame, path: str, name: str,
+                     extra: dict | None = None) -> dict:
+    """Snapshot-append onto a BRANCH head: the staged write of
+    write-audit-publish. The new snapshot's parent is the branch head
+    and only the branch ref advances — CURRENT (and every main-branch
+    reader) never sees the rows until :func:`fast_forward`."""
+    base = _read_ref(path, name)
+    if base is None:
+        raise LookupError(f"no branch {name!r} at {path} "
+                          f"(create_branch() first)")
+    files = _write_data_files(df, path, base["partition_spec"])
+    return _commit(path, "append", files, extra=extra, branch=name)
+
+
+def fast_forward(path: str, name: str) -> dict:
+    """Publish a branch: advance CURRENT to the branch head, but ONLY
+    if the current main head is an ancestor of the branch head (the
+    fast-forward condition — Iceberg's ``fast_forward`` procedure).
+    If main gained commits since the branch forked, raises
+    CommitConflict: a blind pointer swap would silently drop them;
+    the caller rebases (re-stages onto a fresh branch) and retries.
+    Runs under the table commit lock, so the ancestry check and the
+    pointer advance are atomic vs concurrent writers."""
+    import fcntl
+    mdir = _meta_dir(path)
+    with open(os.path.join(mdir, ".commit.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        head = _read_ref(path, name)
+        if head is None:
+            raise LookupError(f"no branch {name!r} at {path}")
+        cur = _read_current(path)
+        if cur is not None and cur["snapshot_id"] != head["snapshot_id"]:
+            snap, ancestor = head, False
+            while snap is not None:
+                if snap["snapshot_id"] == cur["snapshot_id"]:
+                    ancestor = True
+                    break
+                pid = snap["parent_id"]
+                snap = (_read_snapshot(path, pid)
+                        if pid is not None else None)
+            if not ancestor:
+                raise CommitConflict(
+                    f"main has diverged from branch {name!r} "
+                    f"(main at {cur['snapshot_id']}, not an ancestor of "
+                    f"branch head {head['snapshot_id']}); rebase the "
+                    f"branch and retry")
+        _advance_current(path, head["snapshot_id"])
+        return head
 
 
 # ------------------------------------------------------------ public writes
@@ -868,6 +1014,23 @@ def expire_snapshots(path: str, keep_last: int = 2,
             except LookupError:          # already-expired ancestor
                 break
         keep_ids = set(chain[:max(1, keep_last)])
+        # branch refs pin their whole ancestor chain (Iceberg's expire
+        # keeps every snapshot reachable from a ref): a branch head is
+        # committed-but-unpublished state, not an orphan
+        for bname in list_branches(path):
+            snap = _read_ref(path, bname)
+            while snap is not None:
+                if snap["snapshot_id"] in keep_ids:
+                    break
+                keep_ids.add(snap["snapshot_id"])
+                chain.append(snap["snapshot_id"])
+                pid = snap["parent_id"]
+                if pid is None:
+                    break
+                try:
+                    snap = _read_snapshot(path, pid)
+                except LookupError:
+                    break
         drop: list[str] = []
         for name in sorted(os.listdir(mdir)):
             if not name.endswith(".metadata.json"):

@@ -582,3 +582,106 @@ def rolling_windows_duckdb(seq_cte: str, window: int = 64,
              / CAST(sum(c_w) {fr} AS DOUBLE) AS roll_mean
     FROM ex
     """
+
+
+# --------------------------------------------------- whole-series dynamics
+
+def series_dynamics(seq: DataFrame, pnn_th: int = 40) -> DataFrame:
+    """catch22-style whole-series dynamics over the token arrays —
+    three statistics the window kernels don't cover, each a single
+    row-local fold (compare catch22's CO_trev_1_num /
+    MD_hrv_classic_pnn40 / SB_BinaryStats_mean_longstretch1; the
+    reference's per-window catalogue is `src/Features.jl`, these are
+    the whole-series "beyond" shelf next to `outlier_windows`):
+
+    - ``trev_sum`` / ``trev_mean`` — time-reversal asymmetry: sum and
+      mean of (x_{t+1} - x_t)^3. Each cube of an integer diff is < 2^53
+      so it is EXACTLY representable in float64; the fold is a strict
+      left-to-right IEEE sum in both Spark ``aggregate`` and DuckDB
+      ``list_reduce``, so the result is bit-identical across engines
+      and (being row-local) across cluster sizes.
+    - ``pnn_ppm`` — fraction (integer ppm, floor division of exact
+      BIGINTs) of successive diffs with |diff| > pnn_th.
+    - ``longstretch_above`` — longest run of consecutive values
+      strictly above the series mean, with the comparison evaluated
+      denominators-cleared (x * n > sum) so it is pure BIGINT.
+
+    Docs with n_tok < 2 keep a row (NULL trev/pnn; longstretch 0 — a
+    single value is never above its own mean).
+
+    Scale shape (100 TB): Scan → Project only, ZERO Exchange, no
+    Generate, no UDF (plan-asserted)."""
+    th = int(pnn_th)
+    diffs = ("zip_with(slice(tokens, 2, greatest(n_tok - 1, 0)), "
+             "slice(tokens, 1, greatest(n_tok - 1, 0)), "
+             "(a, b) -> CAST(a AS BIGINT) - CAST(b AS BIGINT))")
+    trev = (f"aggregate({diffs}, CAST(0 AS DOUBLE), (a, x) -> "
+            "a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE) "
+            "* CAST(x AS DOUBLE))")
+    pnn_cnt = (f"aggregate({diffs}, 0L, (a, x) -> "
+               f"a + IF(abs(x) > {th}L, 1L, 0L))")
+    stretch = ("aggregate(tokens, named_struct('cur', 0L, 'best', 0L), "
+               "(a, x) -> named_struct("
+               "'cur', IF(CAST(x AS BIGINT) * CAST(n_tok AS BIGINT) > s_d, "
+               "a.cur + 1L, 0L), "
+               "'best', greatest(a.best, "
+               "IF(CAST(x AS BIGINT) * CAST(n_tok AS BIGINT) > s_d, "
+               "a.cur + 1L, 0L))), a -> a.best)")
+    base = seq.withColumn(
+        "s_d", F.expr("aggregate(tokens, 0L, (a, x) -> a + x)"))
+    return base.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.expr(f"IF(n_tok >= 2, {trev}, CAST(NULL AS DOUBLE))")
+         .alias("trev_sum"),
+        F.expr(f"IF(n_tok >= 2, {trev} / CAST(n_tok - 1 AS DOUBLE), "
+               "CAST(NULL AS DOUBLE))").alias("trev_mean"),
+        F.expr(f"IF(n_tok >= 2, (1000000L * {pnn_cnt}) div "
+               "CAST(n_tok - 1 AS BIGINT), CAST(NULL AS BIGINT))")
+         .alias("pnn_ppm"),
+        F.expr(stretch).alias("longstretch_above"))
+
+
+def series_dynamics_duckdb(seq_cte: str, pnn_th: int = 40) -> str:
+    """DuckDB replay of :func:`series_dynamics` — same folds in the
+    same left-to-right order (IEEE sums bit-identical), same cleared
+    denominators for the above-mean test, same BIGINT floor division
+    for the ppm."""
+    th = int(pnn_th)
+    diffs = ("list_transform(range(2, n_tok + 1), i -> "
+             "CAST(tokens[i] AS BIGINT) - CAST(tokens[i - 1] AS BIGINT))")
+    trev = (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform({diffs}, zx -> CAST(zx AS DOUBLE) "
+            f"* CAST(zx AS DOUBLE) * CAST(zx AS DOUBLE))), "
+            "(a, x) -> a + x)")
+    pnn_cnt = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+               f"list_transform({diffs}, zx -> "
+               f"CASE WHEN abs(zx) > {th} THEN CAST(1 AS BIGINT) "
+               "ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x)")
+    s_d = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           "list_transform(tokens, zx -> CAST(zx AS BIGINT))), "
+           "(a, x) -> a + x)")
+    # run-length fold over the (above-mean) booleans: pack (cur, best)
+    # into one BIGINT as cur * 2^31 + best (runs < 2^31 — n_tok is INT)
+    stretch = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+               "list_transform(tokens, zx -> CAST(zx AS BIGINT))), "
+               "(a, x) -> CASE WHEN x * CAST(n_tok AS BIGINT) > s_d "
+               "THEN ((a // 2147483648) + 1) * 2147483648 "
+               "+ greatest(a % 2147483648, (a // 2147483648) + 1) "
+               "ELSE a % 2147483648 END) % 2147483648")
+    return f"""
+    WITH seq AS ({seq_cte}),
+    base AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok_l, n_tok,
+                    {s_d} AS s_d, tokens
+             FROM seq)
+    SELECT doc_id, n_tok_l AS n_tok,
+           CASE WHEN n_tok >= 2 THEN {trev}
+                ELSE CAST(NULL AS DOUBLE) END AS trev_sum,
+           CASE WHEN n_tok >= 2 THEN {trev} / CAST(n_tok - 1 AS DOUBLE)
+                ELSE CAST(NULL AS DOUBLE) END AS trev_mean,
+           CASE WHEN n_tok >= 2 THEN (1000000 * {pnn_cnt}) // (n_tok - 1)
+                ELSE CAST(NULL AS BIGINT) END AS pnn_ppm,
+           CASE WHEN n_tok >= 1 THEN {stretch}
+                ELSE CAST(0 AS BIGINT) END AS longstretch_above
+    FROM base
+    """
