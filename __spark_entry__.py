@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import bpe, cms, dedup, dsir, gapfill, hll, lm, multimodal, pairwise, pii, pmi, sampling, similarity, textstats  # noqa: E402
+from tsf import bpe, cms, dedup, dsir, gapfill, hll, lm, multimodal, pairwise, pii, pmi, sampling, similarity, textstats, zorder  # noqa: E402
 from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
@@ -1519,6 +1519,36 @@ def q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order clustering key for 2-D data skipping: equi-width BIGINT
+    buckets of (n_chars, lang-code) Morton-interleaved into one key —
+    range-partitioning the write by it keeps every file's bounding box
+    tight in BOTH dimensions so 2-D box scans prune on footer stats
+    (the skipping win is pytest-pinned against a sorted-by-one-column
+    layout; this query value-checks the key math bit-for-bit). Stats
+    come from ONE broadcast aggregate row; the key is a row-local
+    fold — no corpus hash Exchange."""
+    from tsf.zorder import with_zorder
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr("CAST(ascii(substring(lang, 1, 1)) * 256 "
+               "+ ascii(substring(lang, 2, 1)) AS BIGINT)")
+         .alias("lang_code"))
+    return (with_zorder(docs, "n_chars", "lang_code", bits=8)
+            .select("doc_id", "b_a", "b_b", "zkey"))
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per query vector (first 8 by
+    vec_id), the 5 most cosine-similar vectors with a DIFFERENT label.
+    The query set broadcasts (corpus embeddings never shuffle raw);
+    the per-query top-k runs as WindowGroupLimit so the q_id Exchange
+    moves local top-k rows, not the corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.hard_negatives(emb, n_queries=8, k=5)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN top-k over multiprobe LSH buckets (2 tables x 8 bits, 4 probes)
     — the DuckDB oracle replays bucketing, margin-ranked probing, and
@@ -1819,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_super_check": q_pairwise_super_check,
         "cosine_threshold": q_cosine_threshold,
         "cosine_topk": q_cosine_topk,
+        "hard_negatives": q_hard_negatives,
+        "zorder_key": q_zorder_key,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk_indexed": q_ann_lsh_topk_indexed,
@@ -3016,6 +3048,14 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM d, q
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
+        "hard_negatives": similarity.hard_negatives_duckdb(
+            n_queries=8, k=5),
+        "zorder_key": zorder.zorder_duckdb(
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(ascii(substring(lang, 1, 1)) * 256 "
+            "+ ascii(substring(lang, 2, 1)) AS BIGINT) AS lang_code "
+            "FROM documents", "n_chars", "lang_code", bits=8),
         "ann_lsh_topk": similarity.lsh_topk_duckdb(dim=64),
         "ann_ivf_topk": similarity.ivf_topk_duckdb(),
         # the indexed variants produce the identical candidate set and

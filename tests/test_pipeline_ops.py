@@ -1711,3 +1711,74 @@ def test_series_dynamics_hand_computed(spark):
     assert rows["single"].longstretch_above == 0
     assert rows["empty"].trev_sum is None
     assert rows["empty"].longstretch_above == 0
+
+
+# ------------------------------------------------------- hard negatives
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from tsf.similarity import hard_negatives
+    # q0 (label A) at [1,0]; same-label near-twin must NOT appear;
+    # different-label vectors rank by cosine
+    rows = [
+        (0, [1.0, 0.0], "A"),
+        (1, [0.99, 0.1], "A"),       # same label: excluded for q0
+        (2, [0.9, 0.1], "B"),        # nearest negative for q0
+        (3, [0.0, 1.0], "B"),        # orthogonal
+        (4, [-1.0, 0.0], "C"),       # opposite
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    out = hard_negatives(emb, n_queries=1, k=2).collect()
+    assert [r.q_id for r in out] == [0, 0]
+    assert [r.vec_id for r in out] == [2, 3]
+    assert all(r.label != r.q_label for r in out)
+    assert [r.rnk for r in out] == [1, 2]
+
+
+# ------------------------------------------------------- z-order layout
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """The point of z-ordering: a 1-D sorted layout gives tight file
+    bounds on ONE column (a y-band predicate prunes nothing), the
+    Morton layout keeps every file's bounding box tight in BOTH."""
+    import glob
+
+    from tsf.icelite import _file_stats
+    from tsf.zorder import zorder_layout
+
+    rows = [(i * 32 + j, i, j) for i in range(32) for j in range(32)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    p1, p2 = str(tmp_path / "naive"), str(tmp_path / "zo")
+    df.repartitionByRange(16, "x").write.parquet(p1)
+    zorder_layout(df, "x", "y", num_files=16, bits=5).write.parquet(p2)
+
+    def kept(path, lo, hi):     # files a y-band scan must still read
+        files = [f for f in glob.glob(path + "/*.parquet")
+                 if _file_stats(f)[0] > 0]
+        k = 0
+        for f in files:
+            st = _file_stats(f)[2].get("y")
+            if st is None or not (st[1] < lo or st[0] > hi):
+                k += 1
+        return len(files), k
+
+    n1, k1 = kept(p1, 4, 7)
+    n2, k2 = kept(p2, 4, 7)
+    assert k1 == n1, "1-D layout: every file spans all y"
+    assert k2 <= n2 // 2, f"z-order should prune most files ({k2}/{n2})"
+
+
+def test_zorder_key_bit_interleave(spark):
+    from tsf.zorder import with_zorder
+    # ranges 0..15 at bits=4: bucket == value; zkey == morton(x, y)
+    rows = [(0, 0, 0), (1, 15, 0), (2, 0, 15), (3, 5, 3), (4, 15, 15)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {r.id: r for r in with_zorder(df, "x", "y", bits=4).collect()}
+
+    def morton(a, b):
+        return sum(((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+                   for i in range(4))
+
+    for i, x, y in rows:
+        assert out[i].b_a == x and out[i].b_b == y
+        assert out[i].zkey == morton(x, y), (i, out[i].zkey, morton(x, y))

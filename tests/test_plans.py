@@ -380,3 +380,31 @@ def test_series_dynamics_zero_shuffle_no_generate(spark, sf001):
     assert "Exchange" not in p, p
     assert "Generate" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_hard_negatives_broadcast_and_window_group_limit(spark, sf001):
+    """Hard-negative mining: the query set broadcasts (corpus
+    embeddings never shuffle raw) and the per-query top-k is a
+    WindowGroupLimit — the only hash Exchange carries local-top-k rows
+    keyed by q_id."""
+    from tsf.similarity import hard_negatives
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    p = _plan(hard_negatives(emb, n_queries=8, k=5))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_zorder_no_corpus_hash_exchange(spark, sf001):
+    """Z-order key: min/max stats are one broadcast aggregate row; the
+    key is a row-local fold — no hash Exchange touches the corpus; the
+    layout's only corpus shuffle is the RangePartitioning that IS the
+    requested file order."""
+    from tsf.zorder import with_zorder, zorder_layout
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    p = _plan(with_zorder(docs, "n_chars", "doc_id", bits=8))
+    assert "Exchange hashpartitioning" not in p, p
+    assert "BroadcastExchange" in p, p
+    p2 = _plan(zorder_layout(docs, "n_chars", "doc_id", 8, bits=8))
+    assert "Exchange rangepartitioning" in p2, p2
+    assert "Exchange hashpartitioning" not in p2, p2

@@ -747,3 +747,64 @@ def rand_proj_duckdb(dim: int, out_dim: int = 16, seed: int = 7) -> str:
            round(unnest(pr), 6) AS val
     FROM p
     """
+
+
+# --------------------------------------------------- hard-negative mining
+
+def hard_negatives(emb: DataFrame, n_queries: int = 8,
+                   k: int = 5) -> DataFrame:
+    """Contrastive hard-negative mining: for each of the first
+    ``n_queries`` vectors (by vec_id — deterministic), the ``k`` most
+    cosine-similar vectors with a DIFFERENT label (the near-miss
+    negatives contrastive training wants; same-label rows are
+    positives, not negatives). Returns (q_id, q_label, vec_id, label,
+    cos, rnk), cosine rounded to 6 (the cross-engine contract every
+    similarity query here uses), ties broken by vec_id.
+
+    Scale shape (100 TB): the query set is tiny and BROADCASTS (one
+    BroadcastNestedLoopJoin with the label-mismatch condition — the
+    corpus side never shuffles raw embeddings); the per-query top-k is
+    a row_number window whose rank filter Spark rewrites to
+    WindowGroupLimit, so each partition keeps only its local top-k
+    BEFORE the q_id Exchange — the shuffle moves O(n_queries × k ×
+    partitions) rows, not the corpus (plan-asserted)."""
+    from pyspark.sql import Window
+
+    q = (emb.orderBy("vec_id").limit(int(n_queries))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("label").alias("q_label"),
+                 F.expr(EMB_DOUBLE).alias("q_emb")))
+    d = emb.select("vec_id", "label", F.expr(EMB_DOUBLE).alias("v"))
+    j = d.join(F.broadcast(q), F.expr("label != q_label"))
+    cos = (F.expr(_dot("v", "q_emb"))
+           / F.nullif(F.sqrt(F.expr(_dot("v", "v")))
+                      * F.sqrt(F.expr(_dot("q_emb", "q_emb"))),
+                      F.lit(0.0)))
+    scored = j.select("q_id", "q_label", "vec_id", "label",
+                      F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .where(F.col("rnk") <= int(k)))
+
+
+def hard_negatives_duckdb(n_queries: int = 8, k: int = 5) -> str:
+    """DuckDB replay of :func:`hard_negatives` (same round-6 cosine,
+    same (cos DESC, vec_id) order, same label-mismatch condition)."""
+    return f"""
+    WITH d AS (SELECT vec_id, label,
+                      list_transform(embedding, zx -> CAST(zx AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_emb
+          FROM d ORDER BY vec_id LIMIT {int(n_queries)}),
+    s AS (SELECT q_id, q_label, d.vec_id, d.label,
+                 round(list_dot_product(v, q_emb)
+                       / nullif(sqrt(list_dot_product(v, v))
+                                * sqrt(list_dot_product(q_emb, q_emb)),
+                                0.0), 6) AS cos
+          FROM d, q WHERE d.label != q.q_label)
+    SELECT q_id, q_label, vec_id, label, cos,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC NULLS LAST, vec_id) AS BIGINT) AS rnk
+    FROM s
+    QUALIFY rnk <= {int(k)}
+    """
