@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tsf import bpe, cms, dedup, dsir, gapfill, hll, lm, multimodal, pairwise, pii, pmi, sampling, similarity, textstats, zorder  # noqa: E402
+from tsf import bpe, cms, dedup, dsir, expectations, gapfill, hll, lm, multimodal, pairwise, pii, pmi, sampling, similarity, textstats, zorder  # noqa: E402
 from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
@@ -1519,6 +1519,29 @@ def q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+#: the audit-gate contract used by both the driver query and the
+#: WAP-integration pytest
+AUDIT_RULES = [
+    ("not_null", "text"),
+    ("min_length", "text", 1),
+    ("in_range", "n_chars", 0, 1000000),
+    ("matches", "lang", "^[a-z][a-z]$"),
+    ("unique", "doc_id"),
+]
+
+
+def q_audit_expectations(spark, sf_dir):
+    """Data-contract audit (the AUDIT stage of write-audit-publish):
+    five rules validated in ONE partial-aggregated pass + one exact
+    distinct, unpivoted to (rule, col, violations, total, pass).
+    Integer counting end to end — the oracle replays bit-exactly.
+    The branch-gate composition (violations -> drop_branch, clean ->
+    fast_forward) is pytest-pinned in tests/test_icelite.py."""
+    from tsf.expectations import audit_expectations
+    docs = _docs(spark, sf_dir)
+    return audit_expectations(docs, AUDIT_RULES)
+
+
 def q_zorder_key(spark, sf_dir):
     """Z-order clustering key for 2-D data skipping: equi-width BIGINT
     buckets of (n_chars, lang-code) Morton-interleaved into one key —
@@ -1851,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "hard_negatives": q_hard_negatives,
         "zorder_key": q_zorder_key,
+        "audit_expectations": q_audit_expectations,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk_indexed": q_ann_lsh_topk_indexed,
@@ -3050,6 +3074,8 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "hard_negatives": similarity.hard_negatives_duckdb(
             n_queries=8, k=5),
+        "audit_expectations": expectations.audit_expectations_duckdb(
+            "SELECT * FROM documents", AUDIT_RULES),
         "zorder_key": zorder.zorder_duckdb(
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(n_chars AS BIGINT) AS n_chars, "

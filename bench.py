@@ -160,6 +160,7 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           # pii_scrub is timed separately below (the driver query's
           # doc_id-derived injection assumes BIGINT ids)
           "sessionize_stats", "events_asof",
+          "audit_expectations",
           "cosine_topk", "hard_negatives", "zorder_key",
           "ann_lsh_topk", "ann_ivf_topk",
           "media_features", "compression_roundtrip", "bpe_pair_counts",
@@ -348,6 +349,7 @@ def main() -> None:
                 "dataset_split", "curriculum_rank", "dup_span_stats", "remove_dup_spans",
                 "dsir_weights", "dsir_sample",
                 "simhash_check", "minhash_check", "window_z", "embedding_near_dups", "text_quality", "langid", "fingerprint",
+                "audit_expectations",
                 "cosine_topk", "hard_negatives", "zorder_key",
                 "ann_lsh_topk", "ann_ivf_topk",
                 "ann_lsh_topk_indexed", "ann_ivf_topk_indexed",

@@ -664,3 +664,35 @@ def test_branch_name_validation_and_duplicates(spark, table):
     icelite.create_branch(path, "ok-1")
     with pytest.raises(FileExistsError):
         icelite.create_branch(path, "ok-1")
+
+
+def test_wap_with_expectations_gate(spark, table):
+    """The full write-AUDIT-publish loop with a real audit operator:
+    a staged append that violates the contract is dropped (main never
+    sees it); the clean restage passes the gate and publishes."""
+    from tsf.expectations import audit_passes
+    path, roll = table
+    rules = [("not_null", "doc_id"), ("in_range", "cnt", 1, 20)]
+
+    # bad increment: cnt outside the contract range
+    bad = _rollup(spark, n_docs=4, seed=21).select(*roll.columns) \
+        .withColumn("doc_id", F.concat(F.lit("g-"), "doc_id")) \
+        .withColumn("cnt", F.lit(999).cast(roll.schema["cnt"].dataType))
+    icelite.create_branch(path, "audit")
+    icelite.append_to_branch(bad, path, "audit")
+    head = icelite.branch_head(path, "audit")
+    staged = icelite.scan(spark, path, snapshot_id=head["snapshot_id"])
+    assert not audit_passes(staged, rules)
+    icelite.drop_branch(path, "audit")          # audit failed
+    _assert_same(icelite.scan(spark, path), roll)
+
+    # clean restage passes and publishes
+    good = _rollup(spark, n_docs=4, seed=21).select(*roll.columns) \
+        .withColumn("doc_id", F.concat(F.lit("g-"), "doc_id"))
+    icelite.create_branch(path, "audit")
+    icelite.append_to_branch(good, path, "audit")
+    head = icelite.branch_head(path, "audit")
+    staged = icelite.scan(spark, path, snapshot_id=head["snapshot_id"])
+    assert audit_passes(staged, rules)
+    icelite.fast_forward(path, "audit")
+    _assert_same(icelite.scan(spark, path), roll.unionByName(good))

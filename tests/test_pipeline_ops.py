@@ -1782,3 +1782,40 @@ def test_zorder_key_bit_interleave(spark):
     for i, x, y in rows:
         assert out[i].b_a == x and out[i].b_b == y
         assert out[i].zkey == morton(x, y), (i, out[i].zkey, morton(x, y))
+
+
+# ------------------------------------------------------- expectations audit
+
+def test_audit_expectations_rule_semantics(spark):
+    from tsf.expectations import audit_expectations
+    rows = [
+        (1, "hello", "en", 5),
+        (2, None, "en", 0),          # null text
+        (3, "", "EN", -1),           # empty text, bad lang, bad range
+        (3, "dup", "fr", 3),         # duplicate id
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    rules = [("not_null", "text"), ("min_length", "text", 1),
+             ("in_range", "n_chars", 0, 100),
+             ("matches", "lang", "^[a-z][a-z]$"), ("unique", "doc_id")]
+    out = {r.rule: r for r in audit_expectations(df, rules).collect()}
+    assert out["not_null_text"].violations == 1
+    # min_length: NULL violates too (documented NULL-violates semantics)
+    assert out["min_length_text_1"].violations == 2
+    assert out["in_range_n_chars_0_100"].violations == 1
+    assert out["matches_lang_^[a-z][a-z]$"].violations == 1
+    assert out["unique_doc_id"].violations == 1
+    assert all(r.total == 4 for r in out.values())
+    assert not any(r["pass"] for r in out.values())
+
+
+def test_audit_expectations_all_pass(spark):
+    from tsf.expectations import audit_expectations, audit_passes
+    df = spark.createDataFrame(
+        [(1, "a", "en", 1), (2, "bb", "fr", 2)],
+        "doc_id long, text string, lang string, n_chars long")
+    rules = [("not_null", "text"), ("unique", "doc_id"),
+             ("in_range", "n_chars", 0, 10)]
+    assert audit_passes(df, rules)
+    assert all(r["pass"] for r in audit_expectations(df, rules).collect())

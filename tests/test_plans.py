@@ -408,3 +408,20 @@ def test_zorder_no_corpus_hash_exchange(spark, sf001):
     p2 = _plan(zorder_layout(docs, "n_chars", "doc_id", 8, bits=8))
     assert "Exchange rangepartitioning" in p2, p2
     assert "Exchange hashpartitioning" not in p2, p2
+
+
+def test_audit_expectations_single_pass(spark, sf001):
+    """Expectations audit: all conditional-sum rules share one
+    partial-aggregated scan (one SinglePartition Exchange of partial
+    stats rows); the exact-unique rule adds exactly one keyed Exchange
+    of DISTINCT values — nothing else shuffles."""
+    from tsf.expectations import audit_expectations
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    rules = [("not_null", "text"), ("min_length", "text", 1),
+             ("in_range", "n_chars", 0, 100), ("unique", "doc_id")]
+    p = _plan(audit_expectations(docs, rules))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange SinglePartition") == 1, p
+    # without a unique rule the keyed Exchange disappears entirely
+    p2 = _plan(audit_expectations(docs, rules[:3]))
+    assert p2.count("Exchange hashpartitioning") == 0, p2
