@@ -696,3 +696,49 @@ def test_wap_with_expectations_gate(spark, table):
     assert audit_passes(staged, rules)
     icelite.fast_forward(path, "audit")
     _assert_same(icelite.scan(spark, path), roll.unionByName(good))
+
+
+# --------------------------------------------------- bloom file pruning
+
+def test_bloom_point_lookup_prunes_interleaved_ids(spark, tmp_path):
+    """High-cardinality ids hash-scattered across files: every file's
+    [min, max] spans the whole keyspace so footer stats prune NOTHING;
+    the per-file blooms prune to (almost) the one true file."""
+    ids = [f"{(i * 2654435761) % 2**32:08x}" for i in range(512)]
+    df = spark.createDataFrame([(d, i) for i, d in enumerate(ids)],
+                               "doc_id string, v long").repartition(8)
+    path = str(tmp_path / "btbl")
+    icelite.create(df, path, [], properties={"bloom_cols": ["doc_id"],
+                                             "bloom_m": 2048})
+    all_files = icelite.plan_files(path)
+    assert len(all_files) >= 8
+    target, absent = ids[137], "ffffffffff"
+    kept = icelite.plan_files(path, where=[("doc_id", "==", target)])
+    assert len(kept) <= 3, f"bloom should prune to ~1 file, kept {len(kept)}"
+    assert icelite.scan(spark, path,
+                        where=[("doc_id", "==", target)]).count() == 1
+    kept_absent = icelite.plan_files(path,
+                                     where=[("doc_id", "==", absent)])
+    assert len(kept_absent) <= 1    # min/max alone would keep all 8
+
+
+def test_bloom_survives_compact_and_append(spark, tmp_path):
+    """Table properties (and so blooms) carry through append and
+    compact — a rewrite that silently dropped them would quietly
+    de-optimize every later point lookup."""
+    ids = [f"{(i * 2654435761) % 2**32:08x}" for i in range(256)]
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(d, i) for i, d in enumerate(ids[lo:hi])],
+        "doc_id string, v long").repartition(4)
+    path = str(tmp_path / "btbl2")
+    icelite.create(mk(0, 128), path, [],
+                   properties={"bloom_cols": ["doc_id"]})
+    icelite.append(mk(128, 256), path)
+    icelite.compact(spark, path, target_bytes=1 << 30)
+    files = icelite.plan_files(path)
+    assert all("bloom" in f and "doc_id" in f["bloom"] for f in files), \
+        "compact must rebuild blooms for the packed files"
+    kept = icelite.plan_files(path, where=[("doc_id", "==", ids[7])])
+    assert len(kept) < len(files) or len(files) == 1
+    assert icelite.scan(spark, path,
+                        where=[("doc_id", "==", ids[7])]).count() == 1

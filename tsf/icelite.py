@@ -307,8 +307,66 @@ def history(path: str) -> list[dict]:
 
 # ------------------------------------------------------------ commit
 
-def _write_data_files(df: DataFrame, path: str,
-                      spec: list[tuple]) -> list[dict]:
+# --------------------------------------------------- manifest bloom filters
+
+def _bloom_conf(snap: dict | None) -> tuple[list[str], int]:
+    """(bloom_cols, m_bits) from a snapshot's table properties."""
+    props = (snap or {}).get("properties") or {}
+    return list(props.get("bloom_cols") or []), int(props.get("bloom_m",
+                                                              2048))
+
+
+_BLOOM_SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35)
+
+
+def _bloom_positions(value, m: int):
+    """k=3 bit positions for a value (int/str only — the equality-
+    lookup types). Hashing str(value) keeps the write-side pyarrow
+    native and the probe-side python literal in the same keyspace."""
+    import hashlib
+    for seed in _BLOOM_SEEDS:
+        h = int.from_bytes(hashlib.blake2b(
+            f"{seed}:{value}".encode(), digest_size=8).digest(), "big")
+        yield h % m
+
+
+def _file_bloom(fp: str, cols: list[str], m: int) -> dict:
+    """Per-file bloom bitmap ({col: [m/64 longs]}) over the DISTINCT
+    values of each configured column — read once per file at COMMIT
+    time (one column read; the same moment the footer stats are
+    harvested), so scans pay nothing."""
+    import pyarrow.parquet as pq
+    words = max(1, m // 64)
+    avail = [c for c in cols]
+    try:
+        tbl = pq.read_table(fp, columns=avail)
+    except Exception:
+        return {}
+    out = {}
+    for c in avail:
+        if c not in tbl.column_names:
+            continue
+        vals = {v for v in tbl.column(c).to_pylist()
+                if isinstance(v, (int, str)) and not isinstance(v, bool)}
+        if not vals:
+            continue
+        bits = [0] * words
+        for v in vals:
+            for p in _bloom_positions(v, words * 64):
+                bits[p // 64] |= 1 << (p % 64)
+        out[c] = bits
+    return out
+
+
+def _bloom_maybe_contains(bits: list[int], value) -> bool:
+    m = len(bits) * 64
+    return all(bits[p // 64] >> (p % 64) & 1 for p in
+               _bloom_positions(value, m))
+
+
+def _write_data_files(df: DataFrame, path: str, spec: list[tuple],
+                      bloom: tuple[list[str], int] | None = None
+                      ) -> list[dict]:
     """Stage `df` under data/<uuid>/ (a normal parallel Spark write) and
     return manifest entries. Nothing is visible until a commit
     references these files."""
@@ -319,6 +377,7 @@ def _write_data_files(df: DataFrame, path: str,
     if pcols:
         w = w.partitionBy(*pcols)
     w.parquet(full)
+    bcols, bm = bloom if bloom is not None else ([], 0)
     entries = []
     for root, _dirs, names in os.walk(full):
         for name in names:
@@ -327,10 +386,14 @@ def _write_data_files(df: DataFrame, path: str,
             fp = os.path.join(root, name)
             rel = os.path.relpath(fp, path)
             rows, nbytes, stats = _file_stats(fp)
-            entries.append({"path": rel, "rows": rows, "bytes": nbytes,
-                            "partition": _parse_partition(
-                                os.path.relpath(fp, full)),
-                            "stats": stats})
+            e = {"path": rel, "rows": rows, "bytes": nbytes,
+                 "partition": _parse_partition(os.path.relpath(fp, full)),
+                 "stats": stats}
+            if bcols:
+                bl = _file_bloom(fp, bcols, bm)
+                if bl:
+                    e["bloom"] = bl
+            entries.append(e)
     return entries
 
 
@@ -339,7 +402,8 @@ def _commit(path: str, operation: str, new_files: list[dict],
             schema_json: str | None = None, retries: int = 3,
             extra: dict | None = None,
             require_removed: set | None = None,
-            validate=None, branch: str | None = None) -> dict:
+            validate=None, branch: str | None = None,
+            properties: dict | None = None) -> dict:
     """Optimistic snapshot commit. Derives the file list from the
     CURRENT snapshot (minus ``remove_pred`` matches, plus ``new_files``),
     claims the next metadata version with a hard-link (EEXIST = another
@@ -354,14 +418,16 @@ def _commit(path: str, operation: str, new_files: list[dict],
         fcntl.flock(lock, fcntl.LOCK_EX)
         return _commit_locked(path, operation, new_files, remove_pred,
                               spec, schema_json, retries, extra,
-                              require_removed, validate, branch)
+                              require_removed, validate, branch,
+                              properties)
 
 
 def _commit_locked(path: str, operation: str, new_files: list[dict],
                    remove_pred, spec, schema_json, retries: int,
                    extra: dict | None,
                    require_removed: set | None = None,
-                   validate=None, branch: str | None = None) -> dict:
+                   validate=None, branch: str | None = None,
+                   properties: dict | None = None) -> dict:
     """The read-derive-claim-advance sequence, under the table's commit
     lock. The lock serializes WRITERS (readers never take it): without
     it, a writer could derive its file list from a stale CURRENT while
@@ -431,6 +497,8 @@ def _commit_locked(path: str, operation: str, new_files: list[dict],
                                else (cur["partition_spec"] if cur else [])),
             "schema": (schema_json if schema_json is not None
                        else (cur["schema"] if cur else None)),
+            "properties": (properties if properties is not None
+                           else (cur.get("properties", {}) if cur else {})),
             "extra": extra or {},
             "manifests": refs,
         }
@@ -582,7 +650,8 @@ def append_to_branch(df: DataFrame, path: str, name: str,
     if base is None:
         raise LookupError(f"no branch {name!r} at {path} "
                           f"(create_branch() first)")
-    files = _write_data_files(df, path, base["partition_spec"])
+    files = _write_data_files(df, path, base["partition_spec"],
+                              bloom=_bloom_conf(base))
     return _commit(path, "append", files, extra=extra, branch=name)
 
 
@@ -625,11 +694,17 @@ def fast_forward(path: str, name: str) -> dict:
 # ------------------------------------------------------------ public writes
 
 def create(df: DataFrame, path: str, partition_by: list[tuple],
-           extra: dict | None = None) -> dict:
+           extra: dict | None = None,
+           properties: dict | None = None) -> dict:
     """Create the table with an initial snapshot of ``df``.
     ``partition_by``: ``("identity", col)`` / ``("bucket", col, n)``.
     ``extra``: JSON-plain metadata recorded on the snapshot (e.g. a
     streaming micro-batch id for exactly-once idempotence checks).
+    ``properties``: table properties carried forward by every commit —
+    ``{"bloom_cols": [col, ...], "bloom_m": bits}`` turns on per-file
+    bloom filters for equality pruning (see :func:`plan_files`); size
+    ``bloom_m`` (default 2048 bits) to ~10 bits per expected DISTINCT
+    value per file.
 
     Refuses a path that already holds a committed table: a create over
     live state would carry the old files forward under a NEW partition
@@ -640,9 +715,12 @@ def create(df: DataFrame, path: str, partition_by: list[tuple],
             f"table already exists at {path}; use replace() to swap "
             f"its contents or create() at a fresh path")
     os.makedirs(path, exist_ok=True)
-    files = _write_data_files(df, path, partition_by)
+    files = _write_data_files(df, path, partition_by,
+                              bloom=_bloom_conf({"properties":
+                                                 properties or {}}))
     return _commit(path, "create", files, spec=partition_by,
-                   schema_json=df.schema.json(), extra=extra)
+                   schema_json=df.schema.json(), extra=extra,
+                   properties=properties or {})
 
 
 def append(df: DataFrame, path: str, extra: dict | None = None) -> dict:
@@ -650,7 +728,8 @@ def append(df: DataFrame, path: str, extra: dict | None = None) -> dict:
     cur = _read_current(path)
     if cur is None:
         raise LookupError(f"no table at {path} (create() first)")
-    files = _write_data_files(df, path, cur["partition_spec"])
+    files = _write_data_files(df, path, cur["partition_spec"],
+                              bloom=_bloom_conf(cur))
     return _commit(path, "append", files, extra=extra)
 
 
@@ -688,7 +767,7 @@ def overwrite_partitions(df: DataFrame, path: str) -> dict:
     if cur is None:
         raise LookupError(f"no table at {path} (create() first)")
     spec = cur["partition_spec"]
-    files = _write_data_files(df, path, spec)
+    files = _write_data_files(df, path, spec, bloom=_bloom_conf(cur))
     touched = {tuple(sorted(f["partition"].items())) for f in files}
     return _commit(
         path, "overwrite", files,
@@ -733,7 +812,8 @@ def merge_into(spark: SparkSession, path: str, updates: DataFrame,
         merged = survivors.unionByName(updates.select(*existing.columns))
     else:
         merged = updates.select(*[f.name for f in schema.fields])
-    new_files = _write_data_files(merged, path, spec)
+    new_files = _write_data_files(merged, path, spec,
+                                  bloom=_bloom_conf(cur))
     return _commit(path, "merge", new_files, remove_pred=touched,
                    require_removed={f["path"] for f in cand})
 
@@ -746,7 +826,8 @@ def replace(df: DataFrame, path: str) -> dict:
     cur = _read_current(path)
     if cur is None:
         raise LookupError(f"no table at {path} (create() first)")
-    files = _write_data_files(df, path, cur["partition_spec"])
+    files = _write_data_files(df, path, cur["partition_spec"],
+                              bloom=_bloom_conf(cur))
     return _commit(path, "replace", files, remove_pred=lambda f: True)
 
 
@@ -841,7 +922,13 @@ def plan_files(path: str, where: list[tuple] | None = None,
     1. identity-partition values (exact, any op),
     2. bucket-partition values (``==`` on the bucket's source column;
        needs ``spark`` to hash the literal),
-    3. footer min/max stats (any op, conservative).
+    3. footer min/max stats (any op, conservative),
+    4. per-file bloom filters (``==`` only, on the table's
+       ``bloom_cols`` property) — the point-lookup pruner min/max can't
+       be on high-cardinality columns whose values interleave across
+       files (every file's [min, max] spans the probe). Iceberg gets
+       this from parquet bloom filters / puffin; here the bitmap lives
+       in the manifest entry, built once at commit time.
 
     A file survives unless one source PROVES it empty for the scan."""
     snap = (_read_snapshot(path, snapshot_id) if snapshot_id is not None
@@ -880,6 +967,11 @@ def plan_files(path: str, where: list[tuple] | None = None,
             if st is not None and not fn(st[0], st[1], v):
                 keep = False
                 break
+            if op == "==":
+                bl = f.get("bloom", {}).get(col)
+                if bl is not None and not _bloom_maybe_contains(bl, v):
+                    keep = False      # definitely absent from this file
+                    break
         if keep:
             out.append(f)
     return out
@@ -954,7 +1046,8 @@ def compact(spark: SparkSession, path: str,
         part = spark.read.schema(schema).parquet(
             *[os.path.join(path, f["path"]) for f in fs_]).coalesce(int(n_i))
         packed = part if packed is None else packed.unionByName(part)
-    new_files = _write_data_files(packed, path, spec)
+    new_files = _write_data_files(packed, path, spec,
+                                  bloom=_bloom_conf(cur))
     _commit(path, "compact", new_files,
             remove_pred=lambda f: f["path"] in victim_paths,
             require_removed=victim_paths)
@@ -1126,7 +1219,8 @@ def apply_retention(spark: SparkSession, path: str,
     for t in pruned:
         kept = _keep_last(scan(spark, path, where=[("tier", "==", t)],
                                snapshot_id=snap_id), policy[t])
-        entries = _write_data_files(kept, path, cur["partition_spec"])
+        entries = _write_data_files(kept, path, cur["partition_spec"],
+                                    bloom=_bloom_conf(cur))
         out[t] = sum(e["rows"] for e in entries)
         new_files += entries
 
