@@ -36,7 +36,8 @@ from tsf import events as evops  # noqa: E402
 from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
 from tsf.rollup import (next_tier, outlier_windows_duckdb,  # noqa: E402
-                        rolling_windows_duckdb, series_dynamics_duckdb,
+                        rolling_windows_duckdb, series_changepoint_duckdb,
+                        series_dynamics_duckdb,
                         tier0, tier0_vectors)
 
 STATS = ["cnt", "sum_tok", "min_tok", "max_tok", "mean", "std"]
@@ -786,6 +787,17 @@ def q_series_dynamics(spark, sf_dir):
     Scan → Project only: ZERO Exchange, no Generate, no UDF."""
     from tsf.rollup import series_dynamics
     return series_dynamics(_seq(spark, sf_dir), pnn_th=40)
+
+
+def q_series_changepoint(spark, sf_dir):
+    """CUSUM mean-shift changepoint per series (Page 1954 AMOC split):
+    argmax_k |n*S_k - k*S_n| with the statistic denominators-cleared so
+    every compare is exact BIGINT — the argmax, the statistic, and both
+    side sums are bit-identical across engines. Ties to smallest k
+    (strict-> fold == oracle's g DESC, k ASC row_number). Scan →
+    Project only: ZERO Exchange, no Generate, no UDF."""
+    from tsf.rollup import series_changepoint
+    return series_changepoint(_seq(spark, sf_dir))
 
 
 def q_rolling_rollup(spark, sf_dir):
@@ -1834,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_windows": q_outlier_windows,
         "rolling_rollup": q_rolling_rollup,
         "series_dynamics": q_series_dynamics,
+        "series_changepoint": q_series_changepoint,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -2963,6 +2976,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "outlier_windows": outlier_windows_duckdb(_SEQ, window=64),
         "rolling_rollup": rolling_windows_duckdb(_SEQ, window=64, k=4),
         "series_dynamics": series_dynamics_duckdb(_SEQ, pnn_th=40),
+        "series_changepoint": series_changepoint_duckdb(_SEQ),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(
             _SEQ, epoch=3, n_shards=8),
         "curriculum_rank": sampling.curriculum_rank_duckdb(

@@ -1819,3 +1819,33 @@ def test_audit_expectations_all_pass(spark):
              ("in_range", "n_chars", 0, 10)]
     assert audit_passes(df, rules)
     assert all(r["pass"] for r in audit_expectations(df, rules).collect())
+
+
+def test_series_changepoint_hand_computed(spark):
+    from tsf.rollup import series_changepoint
+    seq = spark.createDataFrame(
+        [("shift", [0, 0, 0, 10, 10, 10], 6, "web"),
+         ("flat", [5, 5, 5, 5], 4, "web"),
+         ("tie", [0, 10, 0, 10], 4, "web"),
+         ("single", [9], 1, "web"),
+         ("empty", [], 0, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    rows = {r.doc_id: r for r in series_changepoint(seq).collect()}
+    # shift: S=(0,0,0,10,20,30), S_n=30, G_k=|6*S_k - 30k| =
+    # (30,60,90,60,30) -> argmax k=3, G=90, left 0, right 30
+    assert rows["shift"].cp_pos == 3
+    assert rows["shift"].cp_stat == 90
+    assert rows["shift"].left_sum == 0
+    assert rows["shift"].right_sum == 30
+    # flat: G_k = 0 everywhere -> first k wins
+    assert rows["flat"].cp_pos == 1
+    assert rows["flat"].cp_stat == 0
+    # tie: S=(0,10,10,20), S_n=20, G=|4*S_k-20k| = (20,0,20,-) ->
+    # k=1 and k=3 tie at 20; strict > keeps the FIRST
+    assert rows["tie"].cp_pos == 1
+    assert rows["tie"].cp_stat == 20
+    # degenerate lengths keep rows with NULL changepoint columns
+    for d in ("single", "empty"):
+        assert rows[d].cp_pos is None
+        assert rows[d].cp_stat is None
+        assert rows[d].left_sum is None

@@ -425,3 +425,14 @@ def test_audit_expectations_single_pass(spark, sf001):
     # without a unique rule the keyed Exchange disappears entirely
     p2 = _plan(audit_expectations(docs, rules[:3]))
     assert p2.count("Exchange hashpartitioning") == 0, p2
+
+
+def test_series_changepoint_zero_shuffle_no_generate(spark, sf001):
+    """CUSUM changepoint: one row-local BIGINT fold — Scan -> Project
+    only; ZERO Exchange, no Generate, no UDF."""
+    from tsf.rollup import series_changepoint
+    seq = sequences_from_documents(spark, sf001)
+    p = _plan(series_changepoint(seq))
+    assert "Exchange" not in p, p
+    assert "Generate" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -685,3 +685,86 @@ def series_dynamics_duckdb(seq_cte: str, pnn_th: int = 40) -> str:
                 ELSE CAST(0 AS BIGINT) END AS longstretch_above
     FROM base
     """
+
+# --------------------------------------------------- CUSUM changepoint
+
+def series_changepoint(seq: DataFrame) -> DataFrame:
+    """Single mean-shift changepoint per series by the CUSUM statistic
+    (Page 1954 / the AMOC "at most one changepoint" split): the split
+    k in [1, n-1] maximizing |S_k - (k/n) S_n|, evaluated
+    denominators-cleared as G_k = |n * S_k - k * S_n| so every compare
+    is EXACT BIGINT (n <= ~2^18 token positions, S <= 2^34 token mass
+    -> n * S < 2^53 << 2^63; no float enters the argmax). Ties break to
+    the SMALLEST k (strict > in the fold), matching the oracle's
+    row_number ORDER BY g DESC, k ASC.
+
+    One strict left-to-right ``aggregate`` fold per row carrying
+    (k, S_k, best_k, best_G, best_S): position-dependent, but every
+    quantity is integer so the result is bit-identical across engines
+    and cluster sizes. Docs with n_tok < 2 keep their row with NULL
+    changepoint columns (no valid split).
+
+    Output: doc_id, n_tok, cp_pos (1-based prefix length), cp_stat
+    (= G at the argmax), left_sum / right_sum (exact token mass on
+    each side of the split).
+
+    Scale shape (100 TB): Scan -> Project only, ZERO Exchange, no
+    Generate, no UDF (plan-asserted, the series_dynamics precedent)."""
+    fold = (
+        "aggregate(tokens, "
+        "named_struct('k', 0L, 's', 0L, 'bk', 0L, 'bg', -1L, 'bs', 0L), "
+        "(a, x) -> named_struct("
+        "'k', a.k + 1L, "
+        "'s', a.s + CAST(x AS BIGINT), "
+        "'bk', IF(a.k + 1L < CAST(n_tok AS BIGINT) AND "
+        "abs(CAST(n_tok AS BIGINT) * (a.s + CAST(x AS BIGINT)) "
+        "- (a.k + 1L) * s_d) > a.bg, a.k + 1L, a.bk), "
+        "'bg', IF(a.k + 1L < CAST(n_tok AS BIGINT) AND "
+        "abs(CAST(n_tok AS BIGINT) * (a.s + CAST(x AS BIGINT)) "
+        "- (a.k + 1L) * s_d) > a.bg, "
+        "abs(CAST(n_tok AS BIGINT) * (a.s + CAST(x AS BIGINT)) "
+        "- (a.k + 1L) * s_d), a.bg), "
+        "'bs', IF(a.k + 1L < CAST(n_tok AS BIGINT) AND "
+        "abs(CAST(n_tok AS BIGINT) * (a.s + CAST(x AS BIGINT)) "
+        "- (a.k + 1L) * s_d) > a.bg, a.s + CAST(x AS BIGINT), a.bs)))")
+    base = seq.withColumn(
+        "s_d", F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")
+    ).withColumn("cp", F.expr(fold))
+    has = "n_tok >= 2"
+    return base.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.expr(f"IF({has}, cp.bk, CAST(NULL AS BIGINT))").alias("cp_pos"),
+        F.expr(f"IF({has}, cp.bg, CAST(NULL AS BIGINT))").alias("cp_stat"),
+        F.expr(f"IF({has}, cp.bs, CAST(NULL AS BIGINT))").alias("left_sum"),
+        F.expr(f"IF({has}, s_d - cp.bs, CAST(NULL AS BIGINT))")
+         .alias("right_sum"))
+
+
+def series_changepoint_duckdb(seq_cte: str) -> str:
+    """DuckDB replay of :func:`series_changepoint` — prefix sums as a
+    window SUM, the same cleared-denominator BIGINT statistic, argmax
+    via row_number (g DESC, k ASC) = the fold's strict-> first-k tie
+    rule; LEFT JOIN keeps docs with no valid split (n_tok < 2)."""
+    return f"""
+    WITH seq AS ({seq_cte}),
+    tok AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n,
+                   CAST(unnest(tokens) AS BIGINT) AS x,
+                   CAST(generate_subscripts(tokens, 1) AS BIGINT) AS k
+            FROM seq),
+    pre AS (SELECT doc_id, n, k,
+                   sum(x) OVER (PARTITION BY doc_id ORDER BY k) AS s_k,
+                   sum(x) OVER (PARTITION BY doc_id) AS s_n
+            FROM tok),
+    g AS (SELECT doc_id, k, s_k, s_n,
+                 abs(n * s_k - k * s_n) AS g,
+                 row_number() OVER (PARTITION BY doc_id
+                     ORDER BY abs(n * s_k - k * s_n) DESC, k ASC) AS rn
+          FROM pre WHERE k < n),
+    best AS (SELECT doc_id, k AS cp_pos, g AS cp_stat,
+                    s_k AS left_sum, s_n - s_k AS right_sum
+             FROM g WHERE rn = 1)
+    SELECT seq.doc_id, CAST(seq.n_tok AS BIGINT) AS n_tok,
+           best.cp_pos, best.cp_stat, best.left_sum, best.right_sum
+    FROM seq LEFT JOIN best ON seq.doc_id = best.doc_id
+    """
