@@ -1437,6 +1437,20 @@ def q_pairwise_mi_check(spark, sf_dir):
                     _nn("mi").alias("mi"))
 
 
+def q_pairwise_dtw(spark, sf_dir):
+    """Banded DTW (Sakoe & Chiba 1978, r=6) between the 24-token heads
+    of every same-source doc pair — costs |a_i - b_j| on BIGINT tokens
+    so the whole DP is EXACT integer arithmetic, bit-identical across
+    engines and partitionings. The DuckDB oracle replays the DP as a
+    recursive CTE (one iteration per row, the within-row recurrence in
+    its unrolled prefix-min closed form) with out-of-band cells clamped
+    to the same INF both sides. Engine: one source equi-join (never a
+    cartesian), one Arrow kernel pass vectorized across the pair
+    batch."""
+    seq = _seq(spark, sf_dir).where("n_tok >= 64 AND n_tok <= 512")
+    return pairwise.pairwise_dtw(seq, length=24, radius=6)
+
+
 def q_phase_sync_check(spark, sf_dir):
     """Two-series PLV/PPC of the analytic phase difference with a FULL
     DuckDB oracle: the FFT Hilbert transform is replayed as its
@@ -1798,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rad_check": q_rad_check,
         "acf_timescale_check": q_acf_timescale_check,
         "pairwise_mi_check": q_pairwise_mi_check,
+        "pairwise_dtw": q_pairwise_dtw,
         "phase_sync_check": q_phase_sync_check,
         "pairwise_featureset_check": q_pairwise_featureset_check,
         "hilbert_series_check": q_hilbert_series_check,
@@ -2244,6 +2259,9 @@ def _oracle_sql_base() -> dict[str, str]:
             LEFT JOIN ab ON ab.doc_id = f.doc_id
             LEFT JOIN v av ON av.doc_id = ab.doc_id AND av.k = ab.a_lag
         """,
+        "pairwise_dtw": pairwise.pairwise_dtw_duckdb(
+            _SEQ, length=24, radius=6,
+            where="n_tok >= 64 AND n_tok <= 512"),
         "pairwise_mi_check": f"""
             WITH seq AS ({_SEQ}),
             f AS (SELECT * FROM seq WHERE n_tok >= 64 AND n_tok <= 512),

@@ -1849,3 +1849,56 @@ def test_series_changepoint_hand_computed(spark):
         assert rows[d].cp_pos is None
         assert rows[d].cp_stat is None
         assert rows[d].left_sum is None
+
+
+def test_dtw_batch_matches_naive_banded_dp(spark):
+    import numpy as np
+    from tsf.pairwise import dtw_batch, DTW_INF
+    rng = np.random.RandomState(7)
+    L, r = 16, 4
+    A = rng.randint(0, 50257, (30, L)).astype(np.int64)
+    B = rng.randint(0, 50257, (30, L)).astype(np.int64)
+
+    def naive(a, b, rad):
+        D = np.full((L, L), DTW_INF, dtype=object)
+        for i in range(L):
+            for j in range(L):
+                if abs(i - j) > rad:
+                    continue
+                c = abs(int(a[i]) - int(b[j]))
+                if i == 0 and j == 0:
+                    D[i, j] = c
+                elif i == 0:
+                    D[i, j] = min(DTW_INF, c + D[i, j - 1])
+                elif j == 0:
+                    D[i, j] = min(DTW_INF, c + D[i - 1, j])
+                else:
+                    D[i, j] = min(DTW_INF, c + min(D[i - 1, j], D[i, j - 1],
+                                                   D[i - 1, j - 1]))
+        return int(D[L - 1, L - 1])
+
+    got = dtw_batch(A, B, r)
+    assert list(got) == [naive(A[k], B[k], r) for k in range(30)]
+    # a wider band can only improve (or keep) the cost; r >= L-1 == full
+    full = dtw_batch(A, B, L)
+    assert all(int(g) >= int(f) for g, f in zip(got, full))
+    assert list(full) == [naive(A[k], B[k], L + 5) for k in range(30)]
+
+
+def test_pairwise_dtw_identity_and_shift(spark):
+    from tsf.pairwise import pairwise_dtw
+    # identical series -> cost 0; a one-step shift of a ramp is cheap
+    # under DTW but expensive pointwise
+    ramp = list(range(0, 160, 10))          # 16 values
+    seq = spark.createDataFrame(
+        [("a", ramp, 16, "s"),
+         ("b", ramp, 16, "s"),
+         ("c", [ramp[0]] + ramp[:-1], 16, "s")],   # shifted ramp
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    rows = {(r.doc_a, r.doc_b): r.dtw_cost
+            for r in pairwise_dtw(seq, length=16, radius=4).collect()}
+    assert rows[("a", "b")] == 0
+    # pointwise L1 of the shift is 15*10 = 150; DTW re-aligns: pays the
+    # duplicated first point only -> far cheaper
+    assert 0 < rows[("a", "c")] < 50
+    assert rows[("a", "c")] == rows[("b", "c")]

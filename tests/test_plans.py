@@ -436,3 +436,15 @@ def test_series_changepoint_zero_shuffle_no_generate(spark, sf001):
     assert "Exchange" not in p, p
     assert "Generate" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_pairwise_dtw_equi_join_no_cartesian(spark, sf001):
+    """DTW pairs same-source heads via an equi-join on source (never a
+    cartesian) and runs ONE Arrow kernel pass after the pair
+    repartition."""
+    from tsf.pairwise import pairwise_dtw
+    seq = sequences_from_documents(spark, sf001).where("n_tok >= 64")
+    p = _plan(pairwise_dtw(seq, length=24, radius=6))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("MapInPandas") == 1, p

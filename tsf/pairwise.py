@@ -377,3 +377,146 @@ def pairwise_super_check_duckdb(seq_cte: str, window: int = 64) -> str:
                      AND a.doc_id < b.doc_id
     GROUP BY 1, 2, 3
     """
+
+
+# --------------------------------------------------------------------------
+# Dynamic time warping — banded (Sakoe & Chiba 1978) integer DTW between
+# the length-L heads of every same-source doc pair. Costs are |a_i - b_j|
+# on BIGINT tokens, so the whole DP — and therefore the final distance —
+# is EXACT integer arithmetic: bit-identical across engines, cluster
+# sizes, and partitionings. Out-of-band cells are clamped to exactly
+# INF = 10^15 every row (both engines), so band semantics replay
+# bit-for-bit in the DuckDB recursive-CTE oracle.
+# --------------------------------------------------------------------------
+
+DTW_INF = 10 ** 15
+
+
+def dtw_batch(A: np.ndarray, B: np.ndarray, radius: int) -> np.ndarray:
+    """Banded DTW for a batch of aligned pairs.
+
+    A, B: (nb, L) int64 — equal-length series (the operator slices
+    doc heads to a fixed L). Returns (nb,) int64 exact costs. The DP
+    runs row-by-row vectorized across the batch: O(L^2) numpy ops of
+    width nb, never a per-pair python loop over cells."""
+    A = np.asarray(A, dtype=np.int64)
+    B = np.asarray(B, dtype=np.int64)
+    nb, L = A.shape
+    r = int(radius)
+    if r < 1:
+        raise ValueError("radius must be >= 1")
+    D = np.full((nb, L), DTW_INF, dtype=np.int64)
+    c0 = np.abs(A[:, 0:1] - B)
+    D[:, 0] = c0[:, 0]
+    for j in range(1, min(r, L - 1) + 1):
+        D[:, j] = np.minimum(D[:, j - 1] + c0[:, j], DTW_INF)
+    for i in range(1, L):
+        P = D
+        D = np.full((nb, L), DTW_INF, dtype=np.int64)
+        ci = np.abs(A[:, i:i + 1] - B)
+        for j in range(max(0, i - r), min(L - 1, i + r) + 1):
+            best = P[:, j]
+            if j > 0:
+                best = np.minimum(best, P[:, j - 1])
+                best = np.minimum(best, D[:, j - 1])
+            D[:, j] = np.minimum(ci[:, j] + best, DTW_INF)
+    return D[:, L - 1]
+
+
+def pairwise_dtw(seq: DataFrame, length: int = 24, radius: int = 6,
+                 num_partitions: int | None = None) -> DataFrame:
+    """Banded DTW distance between the first ``length`` tokens of every
+    same-source doc pair (the N x N-within-collection product is the
+    reference's pairwise semantics, src/PairwiseFeatures.jl:48-60; DTW
+    itself is the beyond-reference timeseries shelf).
+
+    Scale shape (100 TB): heads are a row-local slice (tokens never
+    shuffle at full length — L BIGINTs per doc cross the one source
+    equi-join), the self-join is an equi-join on source (no cartesian),
+    and the DP runs as ONE Arrow kernel pass after an explicit pair
+    repartition, vectorized across the batch. Cost is exact BIGINT —
+    partitioning-invariant by construction."""
+    L, r = int(length), int(radius)
+    heads = (seq.where(F.size("tokens") >= L)
+             .select("doc_id", "source",
+                     F.expr(f"transform(slice(tokens, 1, {L}), "
+                            "x -> CAST(x AS BIGINT))").alias("h")))
+    a, b = heads.alias("a"), heads.alias("b")
+    pairs = (a.join(b, (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.source").alias("source"),
+                     F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.h").alias("ha"), F.col("b.h").alias("hb")))
+    if num_partitions is None:
+        num_partitions = int(pairs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "64"))
+    pairs = pairs.repartition(num_partitions, "doc_a", "doc_b", "source")
+
+    def dtw_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cost = dtw_batch(np.stack(pdf["ha"].to_numpy()),
+                             np.stack(pdf["hb"].to_numpy()), r)
+            yield pd.DataFrame({"source": pdf["source"],
+                                "doc_a": pdf["doc_a"],
+                                "doc_b": pdf["doc_b"],
+                                "dtw_cost": cost})
+
+    return pairs.mapInPandas(
+        dtw_fn, "source string, doc_a string, doc_b string, "
+                "dtw_cost bigint")
+
+
+def pairwise_dtw_duckdb(seq_cte: str, length: int = 24, radius: int = 6,
+                        where: str = "TRUE") -> str:
+    """DuckDB replay of :func:`pairwise_dtw` as a recursive CTE: one
+    iteration per DP row, the whole row carried as a LIST per pair.
+    The within-row recurrence D(i,j) = c + min(D(i-1,j), D(i-1,j-1),
+    D(i,j-1)) is applied in its unrolled closed form
+
+        D(i, j) = C(j) + min_{j0 <= j} ( min(P[j0], P[j0-1]) - C(j0-1) )
+
+    (C = prefix sums of row i's costs, P = row i-1) — exact integer
+    algebra, identical to the engine's clamped DP for every in-band
+    cell (out-of-band cells are clamped to exactly INF in BOTH engines
+    each row, and an INF-sourced entry exceeds any real path by >= 8
+    orders of magnitude, so it never wins a min)."""
+    L, r, INF = int(length), int(radius), DTW_INF
+    base_row = (f"list_transform(range(1, {L + 1}), j -> "
+                f"CASE WHEN j - 1 > {r} THEN CAST({INF} AS BIGINT) "
+                f"ELSE least(CAST({INF} AS BIGINT), "
+                f"COALESCE(list_sum(list_transform(range(1, j + 1), "
+                f"t -> abs(ha[1] - hb[t]))), 0)) END)")
+    step_row = (
+        f"list_transform(range(1, {L + 1}), j -> "
+        f"CASE WHEN abs(i + 1 - j) > {r} THEN CAST({INF} AS BIGINT) "
+        f"ELSE least(CAST({INF} AS BIGINT), "
+        f"COALESCE(list_sum(list_transform(range(1, j + 1), "
+        f"t -> abs(ha[i + 1] - hb[t]))), 0) "
+        f"+ list_min(list_transform(range(1, j + 1), j0 -> "
+        f"least(row[j0], CASE WHEN j0 >= 2 THEN row[j0 - 1] "
+        f"ELSE CAST({2 * INF} AS BIGINT) END) "
+        f"- COALESCE(list_sum(list_transform(range(1, j0), "
+        f"t -> abs(ha[i + 1] - hb[t]))), 0)))) END)")
+    return f"""
+    WITH RECURSIVE seq AS ({seq_cte}),
+    heads AS (SELECT doc_id, source,
+                     list_transform(tokens[1:{L}],
+                                    zx -> CAST(zx AS BIGINT)) AS h
+              FROM seq WHERE n_tok >= {L} AND ({where})),
+    p AS (SELECT a.source AS source, a.doc_id AS doc_a,
+                 b.doc_id AS doc_b, a.h AS ha, b.h AS hb
+          FROM heads a JOIN heads b
+            ON a.source = b.source AND a.doc_id < b.doc_id),
+    dp AS (
+      SELECT source, doc_a, doc_b, ha, hb, 1 AS i, {base_row} AS row
+      FROM p
+      UNION ALL
+      SELECT source, doc_a, doc_b, ha, hb, i + 1, {step_row} AS row
+      FROM dp WHERE i < {L}
+    )
+    SELECT source, doc_a, doc_b, CAST(row[{L}] AS BIGINT) AS dtw_cost
+    FROM dp WHERE i = {L}
+    """
