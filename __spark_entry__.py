@@ -37,7 +37,7 @@ from tsf.io import sequences_duckdb_cte, sequences_from_documents  # noqa: E402
 from tsf.registry import catalogue  # noqa: E402
 from tsf.rollup import (next_tier, outlier_windows_duckdb,  # noqa: E402
                         rolling_windows_duckdb, series_changepoint_duckdb,
-                        series_dynamics_duckdb,
+                        series_dynamics_duckdb, series_lttb_duckdb,
                         tier0, tier0_vectors)
 
 STATS = ["cnt", "sum_tok", "min_tok", "max_tok", "mean", "std"]
@@ -798,6 +798,17 @@ def q_series_changepoint(spark, sf_dir):
     Project only: ZERO Exchange, no Generate, no UDF."""
     from tsf.rollup import series_changepoint
     return series_changepoint(_seq(spark, sf_dir))
+
+
+def q_series_lttb(spark, sf_dir):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    to 12 points per series — the area compare runs denominators-
+    cleared in pure BIGINT so the whole selection is bit-identical
+    across engines; ties to smallest position. Row-local folds only
+    (Scan → Project → Generate, ZERO Exchange, no UDF); the oracle
+    replays the sequential bucket selection as a recursive CTE."""
+    from tsf.rollup import series_lttb
+    return series_lttb(_seq(spark, sf_dir), buckets=12)
 
 
 def q_rolling_rollup(spark, sf_dir):
@@ -1862,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_rollup": q_rolling_rollup,
         "series_dynamics": q_series_dynamics,
         "series_changepoint": q_series_changepoint,
+        "series_lttb": q_series_lttb,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -2995,6 +3007,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "rolling_rollup": rolling_windows_duckdb(_SEQ, window=64, k=4),
         "series_dynamics": series_dynamics_duckdb(_SEQ, pnn_th=40),
         "series_changepoint": series_changepoint_duckdb(_SEQ),
+        "series_lttb": series_lttb_duckdb(_SEQ, buckets=12),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(
             _SEQ, epoch=3, n_shards=8),
         "curriculum_rank": sampling.curriculum_rank_duckdb(

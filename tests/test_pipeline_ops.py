@@ -1902,3 +1902,29 @@ def test_pairwise_dtw_identity_and_shift(spark):
     # duplicated first point only -> far cheaper
     assert 0 < rows[("a", "c")] < 50
     assert rows[("a", "c")] == rows[("b", "c")]
+
+
+def test_series_lttb_hand_computed_and_edges(spark):
+    from tsf.rollup import series_lttb
+    # 12 points, 4 buckets -> first + 2 middle picks + last
+    ramp = [0, 1, 2, 3, 4, 100, 6, 7, 8, 9, 10, 11]
+    seq = spark.createDataFrame(
+        [("spike", ramp, 12, "s"),
+         ("short", [7, 8, 9], 3, "s"),
+         ("single", [5], 1, "s"),
+         ("empty", [], 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    out = series_lttb(seq, buckets=4).toPandas()
+    spike = out[out.doc_id == "spike"].sort_values("rank")
+    # endpoints always kept
+    assert list(spike["pos"])[0] == 1 and list(spike["pos"])[-1] == 12
+    assert len(spike) == 4
+    # the spike at pos 6 dominates its bucket's triangle area
+    assert 6 in list(spike["pos"])
+    # n < buckets -> identity; empty docs emit no rows
+    assert list(out[out.doc_id == "short"].sort_values("rank")["pos"]) \
+        == [1, 2, 3]
+    assert list(out[out.doc_id == "single"]["pos"]) == [1]
+    assert len(out[out.doc_id == "empty"]) == 0
+    # y values are the tokens at the kept positions
+    assert all(r.y == ramp[int(r.pos) - 1] for r in spike.itertuples())

@@ -448,3 +448,14 @@ def test_pairwise_dtw_equi_join_no_cartesian(spark, sf001):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert p.count("MapInPandas") == 1, p
+
+
+def test_series_lttb_zero_shuffle_no_udf(spark, sf001):
+    """LTTB: sequential bucket selection as row-local folds — Scan ->
+    Project -> Generate only; ZERO Exchange, no join, no UDF."""
+    from tsf.rollup import series_lttb
+    seq = sequences_from_documents(spark, sf001)
+    p = _plan(series_lttb(seq, buckets=12))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -768,3 +768,141 @@ def series_changepoint_duckdb(seq_cte: str) -> str:
            best.cp_pos, best.cp_stat, best.left_sum, best.right_sum
     FROM seq LEFT JOIN best ON seq.doc_id = best.doc_id
     """
+
+
+# --------------------------------------------------- LTTB downsampling
+
+def series_lttb(seq: DataFrame, buckets: int = 12) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    of each token series to ``buckets`` points — the standard
+    shape-preserving decimation for plotting/thumbnailing long series.
+
+    x = 1-based position, y = token value. First and last points are
+    always kept; each of the ``buckets - 2`` middle buckets contributes
+    the point maximizing the triangle area with the previously SELECTED
+    point and the NEXT bucket's centroid. The area compare runs
+    denominators-cleared (x the centroid's count c):
+
+        A'(i) = |(px*c - Sx)(y_i - py) - (px - i)(Sy - c*py)|
+
+    — pure BIGINT (|terms| < 2^62 for n < ~3e6 positions), so the
+    argmax, and therefore the whole selection, is bit-identical across
+    engines and cluster sizes. Ties break to the smallest position
+    (strict > fold == the oracle's first-max list_position).
+
+    Docs with n_tok < buckets emit their full series (downsampling is
+    the identity there); empty docs emit no rows.
+
+    Output: (doc_id, n_tok, rank, pos, y) — rank 1..min(n, buckets),
+    pos the kept 1-based position, y its token value.
+
+    Scale shape (100 TB): row-local folds only — Scan -> Project ->
+    Generate (the explode of the <= buckets kept positions); ZERO
+    Exchange, no join, no UDF (plan-asserted). O(n) work per doc: the
+    candidate and centroid passes each visit a position once."""
+    B = int(buckets)
+    if B < 3:
+        raise ValueError("buckets must be >= 3")
+    nb = B - 2
+    n = "CAST(n_tok AS BIGINT)"
+    m = f"({n} - 2L)"
+
+    def tok(i: str) -> str:
+        return f"CAST(element_at(tokens, CAST({i} AS INT)) AS BIGINT)"
+
+    # bucket k (0-based): positions [lo, hi]; bucket k+1 (the centroid
+    # source) is [hi+1, nhi] — or the final point for the last bucket
+    lo = f"(2L + (k * {m}) div {nb}L)"
+    hi = f"(1L + ((k + 1L) * {m}) div {nb}L)"
+    nhi = f"(1L + ((k + 2L) * {m}) div {nb}L)"
+    ctx = (f"named_struct("
+           f"'lo', {lo}, 'hi', {hi}, "
+           f"'c',  IF(k < {nb - 1}L, {nhi} - {hi}, 1L), "
+           f"'sx', IF(k < {nb - 1}L, "
+           f"(({hi} + 1L + {nhi}) * ({nhi} - {hi})) div 2L, {n}), "
+           f"'sy', IF(k < {nb - 1}L, "
+           f"aggregate(sequence({hi} + 1L, {nhi}), 0L, "
+           f"(s, i) -> s + {tok('i')}), {tok(n)}))")
+    area = (f"abs((acc.px * t.c - t.sx) * ({tok('i')} - acc.py) "
+            f"- (acc.px - i) * (t.sy - t.c * acc.py))")
+    pick = (f"aggregate(sequence(t.lo, t.hi), "
+            f"named_struct('a', -1L, 'i', 0L), "
+            f"(b, i) -> IF({area} > b.a, "
+            f"named_struct('a', {area}, 'i', i), b))")
+    step = (f"transform(array({ctx}), t -> "
+            f"transform(array({pick}), p -> named_struct("
+            f"'px', p.i, 'py', {tok('p.i')}, "
+            f"'sel', concat(acc.sel, array(p.i))))[0])[0]")
+    fold = (f"aggregate(sequence(0L, {nb - 1}L), "
+            f"named_struct('px', 1L, 'py', {tok('1L')}, "
+            f"'sel', array(1L)), "
+            f"(acc, k) -> {step}, "
+            f"acc -> concat(acc.sel, array({n})))")
+    sel = (f"IF({n} >= {B}L, {fold}, "
+           f"IF({n} >= 1L, sequence(1L, {n}), "
+           f"CAST(array() AS ARRAY<BIGINT>)))")
+    return (seq
+            .select("doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+                    "tokens", F.expr(sel).alias("sel"))
+            .select("doc_id", "n_tok", "tokens",
+                    F.posexplode("sel").alias("rank0", "pos"))
+            .select("doc_id", "n_tok",
+                    (F.col("rank0") + 1).cast("long").alias("rank"),
+                    F.col("pos").cast("long").alias("pos"),
+                    F.expr(tok("pos")).alias("y")))
+
+
+def series_lttb_duckdb(seq_cte: str, buckets: int = 12) -> str:
+    """DuckDB replay of :func:`series_lttb` — the sequential bucket
+    selection as a recursive CTE (one iteration per middle bucket,
+    the DTW-oracle idiom), the same cleared-denominator BIGINT area,
+    first-max tie rule via list_position, identity path for short
+    docs."""
+    B = int(buckets)
+    nb = B - 2
+    m = "(n - 2)"
+    lo = f"(2 + (k * {m}) // {nb})"
+    hi = f"(1 + ((k + 1) * {m}) // {nb})"
+    nhi = f"(1 + ((k + 2) * {m}) // {nb})"
+    c_ = f"CASE WHEN k < {nb - 1} THEN {nhi} - {hi} ELSE 1 END"
+    sx = (f"CASE WHEN k < {nb - 1} THEN "
+          f"(({hi} + 1 + {nhi}) * ({nhi} - {hi})) // 2 ELSE n END")
+    sy = (f"CASE WHEN k < {nb - 1} THEN "
+          f"COALESCE(list_sum(y[{hi} + 1:{nhi}]), 0) ELSE y[n] END")
+    areas = (f"list_transform(range({lo}, {hi} + 1), i -> "
+             f"abs((px * ({c_}) - ({sx})) * (y[i] - py) "
+             f"- (px - i) * (({sy}) - ({c_}) * py)))")
+    return f"""
+    WITH RECURSIVE seq AS ({seq_cte}),
+    f AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n,
+                 list_transform(tokens, zx -> CAST(zx AS BIGINT)) AS y
+          FROM seq WHERE n_tok >= {B}),
+    it AS (
+      SELECT doc_id, n, y, CAST(0 AS BIGINT) AS k,
+             CAST(1 AS BIGINT) AS px, y[1] AS py,
+             [CAST(1 AS BIGINT)] AS sel
+      FROM f
+      UNION ALL
+      SELECT doc_id, n, y, k + 1,
+             {lo} - 1 + CAST(list_position({areas},
+                 list_aggregate({areas}, 'max')) AS BIGINT) AS npx,
+             y[{lo} - 1 + list_position({areas},
+                 list_aggregate({areas}, 'max'))] AS npy,
+             list_append(sel, {lo} - 1 + CAST(list_position({areas},
+                 list_aggregate({areas}, 'max')) AS BIGINT))
+      FROM it WHERE k < {nb}
+    ),
+    done AS (SELECT doc_id, n, y, list_append(sel, n) AS sel
+             FROM it WHERE k = {nb}
+             UNION ALL
+             SELECT doc_id, CAST(n_tok AS BIGINT) AS n,
+                    list_transform(tokens, zx -> CAST(zx AS BIGINT)) AS y,
+                    list_transform(range(1, n_tok + 1),
+                                   zx -> CAST(zx AS BIGINT)) AS sel
+             FROM seq WHERE n_tok >= 1 AND n_tok < {B})
+    SELECT doc_id, n AS n_tok,
+           CAST(generate_subscripts(sel, 1) AS BIGINT) AS rank,
+           CAST(unnest(sel) AS BIGINT) AS pos,
+           CAST(unnest(list_transform(sel, zp -> y[zp])) AS BIGINT) AS y
+    FROM done
+    """
