@@ -38,6 +38,7 @@ from tsf.registry import catalogue  # noqa: E402
 from tsf.rollup import (next_tier, outlier_windows_duckdb,  # noqa: E402
                         rolling_windows_duckdb, series_changepoint_duckdb,
                         series_dynamics_duckdb, series_lttb_duckdb,
+                        series_motif_duckdb,
                         tier0, tier0_vectors)
 
 STATS = ["cnt", "sum_tok", "min_tok", "max_tok", "mean", "std"]
@@ -809,6 +810,18 @@ def q_series_lttb(spark, sf_dir):
     replays the sequential bucket selection as a recursive CTE."""
     from tsf.rollup import series_lttb
     return series_lttb(_seq(spark, sf_dir), buckets=12)
+
+
+def q_series_motif(spark, sf_dir):
+    """Matrix-profile-lite motif discovery: per doc, the closest pair
+    of non-overlapping tumbling windows by EXACT BIGINT L1 distance
+    (Yeh et al. 2016's motif over a tumbling grid — the grid is its
+    own exclusion zone). Argmin ties break lexicographically via ONE
+    struct-min aggregate == the oracle's (dist, win_a, win_b)
+    row_number. Windows explode row-locally; the self-join is a
+    co-partitioned doc_id equi-join, never a cartesian."""
+    from tsf.rollup import series_motif
+    return series_motif(_seq(spark, sf_dir), window=32, max_windows=64)
 
 
 def q_rolling_rollup(spark, sf_dir):
@@ -1874,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_dynamics": q_series_dynamics,
         "series_changepoint": q_series_changepoint,
         "series_lttb": q_series_lttb,
+        "series_motif": q_series_motif,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -3008,6 +3022,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "series_dynamics": series_dynamics_duckdb(_SEQ, pnn_th=40),
         "series_changepoint": series_changepoint_duckdb(_SEQ),
         "series_lttb": series_lttb_duckdb(_SEQ, buckets=12),
+        "series_motif": series_motif_duckdb(_SEQ, window=32,
+                                            max_windows=64),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(
             _SEQ, epoch=3, n_shards=8),
         "curriculum_rank": sampling.curriculum_rank_duckdb(

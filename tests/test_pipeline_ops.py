@@ -1928,3 +1928,32 @@ def test_series_lttb_hand_computed_and_edges(spark):
     assert len(out[out.doc_id == "empty"]) == 0
     # y values are the tokens at the kept positions
     assert all(r.y == ramp[int(r.pos) - 1] for r in spike.itertuples())
+
+
+def test_series_motif_planted_and_edges(spark):
+    from tsf.rollup import series_motif
+    base = list(range(0, 160, 10))      # 16 tokens, the planted motif
+    noise = [9999, 1, 9998, 2] * 12     # 48 tokens of jitter
+    seq = spark.createDataFrame(
+        [("plant", base + noise + base, 80, "s"),   # motif at wins 0,4
+         ("onewin", list(range(20)), 20, "s"),      # < 2 windows -> none
+         ("empty", [], 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    rows = {r.doc_id: r
+            for r in series_motif(seq, window=16, max_windows=8).collect()}
+    assert rows["plant"].motif_dist == 0
+    assert (rows["plant"].win_a, rows["plant"].win_b) == (0, 4)
+    assert rows["plant"].n_win == 5
+    assert "onewin" not in rows and "empty" not in rows
+
+
+def test_series_motif_tie_breaks_to_smallest_pair(spark):
+    from tsf.rollup import series_motif
+    # three identical windows -> pairs (0,1),(0,2),(1,2) all dist 0;
+    # the struct-min must pick (0,1)
+    w16 = list(range(16))
+    seq = spark.createDataFrame(
+        [("tri", w16 * 3, 48, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    r = series_motif(seq, window=16, max_windows=8).collect()[0]
+    assert (r.win_a, r.win_b, r.motif_dist) == (0, 1, 0)

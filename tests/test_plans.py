@@ -459,3 +459,15 @@ def test_series_lttb_zero_shuffle_no_udf(spark, sf001):
     assert "Exchange" not in p, p
     assert "Join" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_series_motif_equi_join_no_cartesian(spark, sf001):
+    """Motif discovery: window explode is row-local, the self-join is
+    an equi-join on doc_id (never a cartesian / BNLJ), the argmin a
+    partial-aggregated struct-min."""
+    from tsf.rollup import series_motif
+    seq = sequences_from_documents(spark, sf001)
+    p = _plan(series_motif(seq, window=32, max_windows=64))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "partial_min" in p or "partial_" in p, p

@@ -906,3 +906,90 @@ def series_lttb_duckdb(seq_cte: str, buckets: int = 12) -> str:
            CAST(unnest(list_transform(sel, zp -> y[zp])) AS BIGINT) AS y
     FROM done
     """
+
+
+# --------------------------------------------------- motif discovery
+
+def series_motif(seq: DataFrame, window: int = 32,
+                 max_windows: int = 64) -> DataFrame:
+    """Matrix-profile-lite motif discovery: per document, the closest
+    pair of non-overlapping tumbling windows by L1 distance — the
+    dominant repeated pattern (Yeh et al. 2016's motif definition over
+    a tumbling grid; tumbling windows are their own exclusion zone, so
+    no trivial-match masking is needed).
+
+    Distance is sum |a_i - b_i| over BIGINT tokens — EXACT, so the
+    argmin is bit-deterministic; ties break lexicographically to the
+    smallest (win_a, win_b) via a single struct-min aggregate (=
+    the oracle's ORDER BY dist, win_a, win_b row_number).
+
+    ``max_windows`` caps the per-doc grid (first max_windows*window
+    tokens), bounding the pair count at W(W-1)/2 per doc — the
+    documented trade for a corpus-linear plan. Docs with < 2 windows
+    emit no row.
+
+    Output: (doc_id, n_win, win_a, win_b, motif_dist).
+
+    Scale shape (100 TB): windows explode row-locally (w BIGINTs per
+    window, never full docs), the self-join is an equi-join on doc_id
+    (co-partitioned, no cartesian across docs), and the argmin is one
+    partial-aggregated struct-min — the only Exchanges carry window
+    rows and per-doc minima (plan-asserted)."""
+    w, cap = int(window), int(max_windows)
+    wins = (seq.where(F.size("tokens") >= 2 * w)
+            .select("doc_id",
+                    F.posexplode(F.expr(
+                        f"transform(sequence(0, "
+                        f"least(size(tokens) div {w}, {cap}) - 1), "
+                        f"k -> transform(slice(tokens, k * {w} + 1, {w}), "
+                        f"x -> CAST(x AS BIGINT)))"))
+                    .alias("win_id", "win")))
+    a, b = wins.alias("a"), wins.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("b.win_id") > F.col("a.win_id")))
+             .select(F.col("a.doc_id").alias("doc_id"),
+                     F.col("a.win_id").cast("long").alias("win_a"),
+                     F.col("b.win_id").cast("long").alias("win_b"),
+                     F.expr("aggregate(zip_with(a.win, b.win, "
+                            "(x, y) -> abs(x - y)), 0L, (s, v) -> s + v)")
+                     .alias("dist")))
+    best = (pairs.groupBy("doc_id")
+            .agg(F.min(F.struct("dist", "win_a", "win_b")).alias("m"),
+                 (F.max("win_b") + 1).alias("n_win"))
+            .select("doc_id", F.col("n_win").cast("long").alias("n_win"),
+                    F.col("m.win_a").alias("win_a"),
+                    F.col("m.win_b").alias("win_b"),
+                    F.col("m.dist").alias("motif_dist")))
+    return best
+
+
+def series_motif_duckdb(seq_cte: str, window: int = 32,
+                        max_windows: int = 64) -> str:
+    """DuckDB replay of :func:`series_motif` — the same tumbling grid,
+    the same exact-BIGINT L1, the argmin as a row_number over
+    (dist, win_a, win_b)."""
+    w, cap = int(window), int(max_windows)
+    return f"""
+    WITH seq AS ({seq_cte}),
+    f AS (SELECT doc_id,
+                 list_transform(tokens, zx -> CAST(zx AS BIGINT)) AS y,
+                 least(CAST(n_tok AS BIGINT) // {w}, {cap}) AS nw
+          FROM seq WHERE n_tok >= {2 * w}),
+    wins AS (SELECT doc_id, CAST(t.k AS BIGINT) AS win_id,
+                    y[t.k * {w} + 1 : t.k * {w} + {w}] AS win
+             FROM f, UNNEST(range(0, nw)) AS t(k)),
+    pairs AS (SELECT a.doc_id AS doc_id, a.win_id AS win_a,
+                     b.win_id AS win_b,
+                     CAST(list_sum(list_transform(range(1, {w} + 1),
+                        i -> abs(a.win[i] - b.win[i]))) AS BIGINT) AS dist
+              FROM wins a JOIN wins b
+                ON a.doc_id = b.doc_id AND b.win_id > a.win_id),
+    rk AS (SELECT doc_id, win_a, win_b, dist,
+                  row_number() OVER (PARTITION BY doc_id
+                      ORDER BY dist, win_a, win_b) AS rn,
+                  max(win_b) OVER (PARTITION BY doc_id) + 1 AS n_win
+           FROM pairs)
+    SELECT doc_id, CAST(n_win AS BIGINT) AS n_win, win_a, win_b,
+           dist AS motif_dist
+    FROM rk WHERE rn = 1
+    """
