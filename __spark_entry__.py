@@ -38,7 +38,7 @@ from tsf.registry import catalogue  # noqa: E402
 from tsf.rollup import (next_tier, outlier_windows_duckdb,  # noqa: E402
                         rolling_windows_duckdb, series_changepoint_duckdb,
                         series_dynamics_duckdb, series_lttb_duckdb,
-                        series_motif_duckdb,
+                        series_motif_duckdb, series_sax_duckdb,
                         tier0, tier0_vectors)
 
 STATS = ["cnt", "sum_tok", "min_tok", "max_tok", "mean", "std"]
@@ -822,6 +822,17 @@ def q_series_motif(spark, sf_dir):
     co-partitioned doc_id equi-join, never a cartesian."""
     from tsf.rollup import series_motif
     return series_motif(_seq(spark, sf_dir), window=32, max_windows=64)
+
+
+def q_series_sax(spark, sf_dir):
+    """SAX-style symbolic shape words (Lin et al. 2003): PAA into 16
+    segments, symbols 0-3 by the doc's own EXACT quartiles; the
+    mean-vs-breakpoint compare runs denominators-cleared in BIGINT so
+    every word is bit-identical across engines. One row-local
+    array_sort + one segment-sum pass: Scan → Project only, ZERO
+    Exchange, no UDF."""
+    from tsf.rollup import series_sax
+    return series_sax(_seq(spark, sf_dir), segments=16)
 
 
 def q_rolling_rollup(spark, sf_dir):
@@ -1888,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_changepoint": q_series_changepoint,
         "series_lttb": q_series_lttb,
         "series_motif": q_series_motif,
+        "series_sax": q_series_sax,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -3024,6 +3036,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "series_lttb": series_lttb_duckdb(_SEQ, buckets=12),
         "series_motif": series_motif_duckdb(_SEQ, window=32,
                                             max_windows=64),
+        "series_sax": series_sax_duckdb(_SEQ, segments=16),
         "epoch_shuffle": sampling.epoch_shuffle_duckdb(
             _SEQ, epoch=3, n_shards=8),
         "curriculum_rank": sampling.curriculum_rank_duckdb(

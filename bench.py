@@ -137,7 +137,7 @@ X10_QS = ["tier0_rollup", "tier1_rollup", "series_acf", "acf_features",
           "pack_examples", "pack_nfd", "epoch_shuffle", "dataset_split",
           "curriculum_rank", "dup_span_stats", "outlier_windows", "rolling_rollup",
           "series_dynamics", "series_changepoint", "series_lttb",
-          "series_motif",
+          "series_motif", "series_sax",
           "hll_distinct", "pmi_topk", "fim_examples", "sft_examples",
           # line_dedup / bm25_topk cast doc_id to BIGINT for the oracle
           # hash; the x10 fixture's replica ids are strings, so they are
@@ -368,7 +368,7 @@ def main() -> None:
                 "frame_sample", "compression_roundtrip",
                 "line_dedup", "bm25_topk", "outlier_windows",
                 "rolling_rollup", "series_dynamics", "series_changepoint",
-                "series_lttb", "series_motif", "pairwise_dtw", "bpe_pair_counts", "cms_topk",
+                "series_lttb", "series_motif", "series_sax", "pairwise_dtw", "bpe_pair_counts", "cms_topk",
                 "hll_distinct", "pmi_topk", "fim_examples", "sft_examples",
                 "lm_perplexity", "lm_filter", "badwords_filter",
                 "corpus_drift", "span_corrupt", "winnow_fp",

@@ -1957,3 +1957,25 @@ def test_series_motif_tie_breaks_to_smallest_pair(spark):
         "doc_id string, tokens array<int>, n_tok int, source string")
     r = series_motif(seq, window=16, max_windows=8).collect()[0]
     assert (r.win_a, r.win_b, r.motif_dist) == (0, 1, 0)
+
+
+def test_series_sax_hand_computed(spark):
+    from tsf.rollup import series_sax
+    # 8 tokens, 4 segments of 2; sorted = [1..8], quartiles at
+    # ceil(j*8/4) = positions 2,4,6 -> breakpoints 2,4,6
+    seq = spark.createDataFrame(
+        [("ramp", [1, 2, 3, 4, 5, 6, 7, 8], 8, "s"),
+         ("vee", [8, 7, 1, 1, 1, 1, 7, 8], 8, "s"),
+         ("short", [1, 2, 3], 3, "s"),
+         ("empty", [], 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    rows = {r.doc_id: r.sax_word
+            for r in series_sax(seq, segments=4).collect()}
+    # ramp segments sums (3,7,11,15) vs q*c = (4,8,12): word 0123
+    assert rows["ramp"] == "0123"
+    # vee: sorted=[1,1,1,1,7,7,8,8], q=(1,1,7); sums (15,2,2,15),
+    # symbols: 15>2,15>2,15>14 -> 3; 2>2? no -> 0; 0; 3
+    assert rows["vee"] == "3003"
+    # n < segments -> NULL word, row kept; empty doc likewise
+    assert rows["short"] is None
+    assert rows["empty"] is None

@@ -471,3 +471,14 @@ def test_series_motif_equi_join_no_cartesian(spark, sf001):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "partial_min" in p or "partial_" in p, p
+
+
+def test_series_sax_zero_shuffle_no_udf(spark, sf001):
+    """SAX words: one row-local array_sort + segment sums — Scan ->
+    Project only; ZERO Exchange, no Generate, no UDF."""
+    from tsf.rollup import series_sax
+    seq = sequences_from_documents(spark, sf001)
+    p = _plan(series_sax(seq, segments=16))
+    assert "Exchange" not in p, p
+    assert "Generate" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -993,3 +993,79 @@ def series_motif_duckdb(seq_cte: str, window: int = 32,
            dist AS motif_dist
     FROM rk WHERE rn = 1
     """
+
+
+# --------------------------------------------------- SAX symbolic words
+
+def series_sax(seq: DataFrame, segments: int = 16) -> DataFrame:
+    """SAX-style symbolic approximation (Lin et al. 2003) of each
+    series: PAA into ``segments`` equal buckets, each bucket mapped to
+    a symbol 0-3 by its mean's position among the document's own EXACT
+    quartiles — the shape word that lets series be grouped / indexed /
+    deduplicated symbolically.
+
+    Two deviations from textbook SAX, both in service of cross-engine
+    bit-exactness: breakpoints are the doc's empirical quartiles
+    (sorted[ceil(j*n/4)], j=1..3 — no float z-normalization, no
+    Gaussian table), and the mean-vs-breakpoint compare runs
+    denominators-cleared (sum_seg > q_j * cnt_seg) in pure BIGINT, so
+    every symbol — and the whole word — is bit-identical across
+    engines and cluster sizes.
+
+    Docs with n_tok < segments keep a row with a NULL word (PAA is
+    undefined); the word is a string of digits, e.g. '0013322011...'.
+
+    Scale shape (100 TB): one row-local array_sort + one pass of
+    segment sums per doc — Scan -> Project only, ZERO Exchange, no
+    Generate, no UDF (plan-asserted)."""
+    S = int(segments)
+    if S < 2:
+        raise ValueError("segments must be >= 2")
+    n = "CAST(n_tok AS BIGINT)"
+    qpos = {j: f"CAST((({j}L * {n}) + 3L) div 4L AS INT)" for j in (1, 2, 3)}
+    lo = f"(1L + (k * {n}) div {S}L)"
+    hi = f"(((k + 1L) * {n}) div {S}L)"
+    ssum = (f"aggregate(sequence({lo}, {hi}), 0L, "
+            f"(s, i) -> s + CAST(element_at(tokens, CAST(i AS INT)) "
+            f"AS BIGINT))")
+    cnt = f"({hi} - {lo} + 1L)"
+    sym = " + ".join(
+        f"IF({ssum} > CAST(element_at(srt, {qpos[j]}) AS BIGINT) "
+        f"* {cnt}, 1L, 0L)" for j in (1, 2, 3))
+    word = (f"concat_ws('', transform(sequence(0L, {S - 1}L), "
+            f"k -> CAST(({sym}) AS STRING)))")
+    return (seq
+            .withColumn("srt", F.expr(
+                "array_sort(transform(tokens, x -> CAST(x AS BIGINT)))"))
+            .select("doc_id",
+                    F.col("n_tok").cast("long").alias("n_tok"),
+                    F.expr(f"IF({n} >= {S}L, {word}, "
+                           f"CAST(NULL AS STRING))").alias("sax_word")))
+
+
+def series_sax_duckdb(seq_cte: str, segments: int = 16) -> str:
+    """DuckDB replay of :func:`series_sax` — same quartile positions,
+    same cleared-denominator BIGINT compares, same digit word."""
+    S = int(segments)
+    qpos = {j: f"CAST((({j} * n) + 3) // 4 AS BIGINT)" for j in (1, 2, 3)}
+    lo = f"(1 + (k * n) // {S})"
+    hi = f"(((k + 1) * n) // {S})"
+    ssum = f"COALESCE(list_sum(y[{lo}:{hi}]), 0)"
+    cnt = f"({hi} - {lo} + 1)"
+    sym = " + ".join(
+        f"CASE WHEN {ssum} > srt[{qpos[j]}] * {cnt} "
+        f"THEN 1 ELSE 0 END" for j in (1, 2, 3))
+    return f"""
+    WITH seq AS ({seq_cte}),
+    f AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n,
+                 list_transform(tokens, zx -> CAST(zx AS BIGINT)) AS y,
+                 list_sort(list_transform(tokens,
+                                          zx -> CAST(zx AS BIGINT))) AS srt
+          FROM seq)
+    SELECT doc_id, n AS n_tok,
+           CASE WHEN n >= {S} THEN
+             array_to_string(list_transform(range(0, {S}),
+                 k -> CAST(({sym}) AS VARCHAR)), '')
+           ELSE CAST(NULL AS VARCHAR) END AS sax_word
+    FROM f
+    """
