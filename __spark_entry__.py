@@ -805,9 +805,10 @@ def q_series_lttb(spark, sf_dir):
     """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
     to 12 points per series — the area compare runs denominators-
     cleared in pure BIGINT so the whole selection is bit-identical
-    across engines; ties to smallest position. Row-local folds only
-    (Scan → Project → Generate, ZERO Exchange, no UDF); the oracle
-    replays the sequential bucket selection as a recursive CTE."""
+    across engines; ties to smallest position. ONE row-local Arrow
+    kernel pass (Scan → MapInPandas, ZERO Exchange — the pure-SQL-HOF
+    shape measured 8x slower at sf0.1); the oracle replays the
+    sequential bucket selection as a recursive CTE."""
     from tsf.rollup import series_lttb
     return series_lttb(_seq(spark, sf_dir), buckets=12)
 

@@ -450,15 +450,15 @@ def test_pairwise_dtw_equi_join_no_cartesian(spark, sf001):
     assert p.count("MapInPandas") == 1, p
 
 
-def test_series_lttb_zero_shuffle_no_udf(spark, sf001):
-    """LTTB: sequential bucket selection as row-local folds — Scan ->
-    Project -> Generate only; ZERO Exchange, no join, no UDF."""
+def test_series_lttb_zero_shuffle_one_kernel_pass(spark, sf001):
+    """LTTB: ONE row-local Arrow kernel pass — Scan -> MapInPandas;
+    ZERO Exchange, no join."""
     from tsf.rollup import series_lttb
     seq = sequences_from_documents(spark, sf001)
     p = _plan(series_lttb(seq, buckets=12))
     assert "Exchange" not in p, p
     assert "Join" not in p, p
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert p.count("MapInPandas") == 1, p
 
 
 def test_series_motif_equi_join_no_cartesian(spark, sf001):

