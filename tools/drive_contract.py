@@ -5,6 +5,11 @@ rows sorted by all columns, NaN==NULL) — the same semantics as the driver's
 order-insensitive value hash.
 
 Usage: python tools/drive_contract.py [query ...]   (no args = all)
+
+A full (no-args) run also writes ``BENCH/CORRECTNESS_SELF.json`` in the
+driver's row format — self-reported full-contract evidence covering the
+queries the driver's ~50-row per-round cap leaves out (spot-checkable by
+re-running this script with any subset of names).
 """
 from __future__ import annotations
 
@@ -65,6 +70,7 @@ def main() -> int:
                     f"read_parquet('{SF}/{t}.parquet')")
     qs, os_ = e.queries(), e.oracle_sql()
     bad = []
+    rows_out: dict[str, dict] = {}
     import time as _time
     for k, fn in qs.items():
         if only and k not in only:
@@ -75,10 +81,16 @@ def main() -> int:
         except Exception as ex:
             print(f"{k}: SPARK ERROR {ex}")
             bad.append(k)
+            rows_out[k] = {"rows_match": None, "schema_match": None,
+                           "hash_match": None, "spark_rows": None,
+                           "oracle_rows": None, "err": f"spark: {ex}"}
             continue
         t_s = _time.time() - t0
         if k not in os_:
             print(f"{k}: rows={len(sdf)} (rows-only) [{t_s:.1f}s]")
+            rows_out[k] = {"rows_match": None, "schema_match": None,
+                           "hash_match": None, "spark_rows": len(sdf),
+                           "oracle_rows": None, "err": "no_oracle"}
             continue
         t0 = _time.time()
         ddf = con.execute(os_[k]).fetchdf()
@@ -88,6 +100,11 @@ def main() -> int:
         print(f"{k}: rows={len(sdf)}/{len(ddf)} "
               f"{'MATCH' if ok else '*** MISMATCH ***'} "
               f"[spark {t_s:.1f}s, duckdb {t_d:.1f}s]")
+        rows_out[k] = {
+            "rows_match": len(sdf) == len(ddf),
+            "schema_match": list(a.columns) == list(b.columns),
+            "hash_match": ok, "spark_rows": len(sdf),
+            "oracle_rows": len(ddf), "err": None}
         if not ok:
             bad.append(k)
             # show first divergent cells for debugging
@@ -103,6 +120,12 @@ def main() -> int:
                 print(f"    cols spark={list(a.columns)}")
                 print(f"    cols oracle={list(b.columns)}")
     print("FAILED:" if bad else "ALL GREEN", bad if bad else "")
+    if not only:  # full sweep: persist driver-format self-evidence
+        import json
+        out = Path(__file__).resolve().parent.parent / "BENCH" \
+            / "CORRECTNESS_SELF.json"
+        out.write_text(json.dumps(rows_out, indent=1) + "\n")
+        print(f"wrote {out} ({len(rows_out)} rows)")
     return 1 if bad else 0
 
 
