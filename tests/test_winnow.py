@@ -73,4 +73,5 @@ def test_density_and_plan(spark, sf001):
     assert 1.2 / (w + 1) < dens < 3.0 / (w + 1), dens
     p = _plan(fp)
     assert "Exchange" not in p, p
-    assert "Generate" in p, p  # the explode of the selected set only
+    assert "MapInPandas" in p, p  # one batched Arrow kernel pass
+    assert "Generate" not in p, p  # no explode: rows come out of the kernel

@@ -1478,39 +1478,86 @@ def winnow_fingerprints(seq: DataFrame, k: int = WINNOW_K,
     selects ~2/(win+1) of positions yet GUARANTEES any shared substring
     of >= win+k-1 tokens is caught.
 
-    Scale shape: hashing and selection are one row-local pass over the
-    token array (HOF folds — no UDF, no shuffle below the explode of
-    the ~2/(win+1)-sized selected set; plan-asserted in
-    tests/test_winnow.py). Hashes reuse the engine's span-identity
-    polynomial family (`_span_positions`), so the DuckDB oracle replays
-    every selected (pos, h) bit-for-bit.
+    Scale shape: ONE batched row-local Arrow kernel pass (Scan ->
+    MapInPandas; ZERO Exchange, no join — plan-asserted in
+    tests/test_winnow.py). Per Arrow batch the kernel concatenates all
+    token arrays into one flat int64 buffer and computes every k-gram
+    hash, every sliding-window min and every rightmost-argmin as O(k+w)
+    whole-buffer numpy vector ops — no per-doc Python loop on the
+    common path (only the rare docs with fewer than `win` hash
+    positions take a tiny per-doc branch). Hashes reuse the engine's
+    span-identity polynomial family mod FP_MOD with Java `%`
+    truncated-remainder semantics (np.fmod), so the DuckDB oracle
+    replays every selected (pos, h) bit-for-bit. (The previous
+    nested-HOF SQL formulation re-evaluated the window subtree per
+    lambda: 16.5s -> ~2s on the x10 corpus with this kernel.)
 
     Output: (doc_id, pos, h) — 1-based position of each selected
-    k-gram. The hash array and the effective window materialize as
-    columns BEFORE the selection expression: inlining them textually
-    repeats the whole subtree ~6x inside nested HOF lambdas, which
-    Spark re-evaluates per window and the optimizer chews on for
-    seconds (measured 23s -> 0.6s at sf0.01)."""
+    k-gram, deduped per doc (adjacent windows reselect the same
+    position; a position's hash is unique, so dedup on position)."""
     from tsf.textstats import FP_MOD
     K, W = int(k), int(win)
-    gh = (f"aggregate(slice(tokens, i, {K}), 0L, "
-          f"(a, x) -> (a * 31 + x) % {FP_MOD})")
-    hs = f"transform(sequence(1, size(tokens) - {K} + 1), i -> {gh})"
-    # rightmost-minimal per window; effective window shrinks on docs
-    # with fewer than `win` hash positions
-    sel = (
-        "array_distinct(transform(sequence(1, size(hs) - we + 1, 1), "
-        "w -> struct("
-        "CAST(w - 1 + array_max(filter(sequence(1, we), "
-        "j -> element_at(hs, w + j - 1) = array_min(slice(hs, w, we)))) "
-        "AS INT) AS pos, "
-        "array_min(slice(hs, w, we)) AS h)))")
+
+    def fp_fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = pdf["tokens"].to_numpy()
+            dids = pdf["doc_id"].to_numpy()
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=len(toks))
+            keep = lens >= K
+            if not keep.any():
+                continue
+            toks, dids, lens = toks[keep], dids[keep], lens[keep]
+            T = np.concatenate(
+                [np.asarray(t, dtype=np.int64) for t in toks])
+            off = np.concatenate(([0], np.cumsum(lens)))
+            L = T.shape[0]
+            # k-gram hash at every global token position (tail entries
+            # that would read across a doc boundary are never indexed)
+            Tp = np.concatenate((T, np.zeros(K - 1, dtype=np.int64)))
+            h = np.zeros(L, dtype=np.int64)
+            for j in range(K):
+                h = np.fmod(h * 31 + Tp[j:j + L], FP_MOD)
+            m = lens - K + 1          # hash positions per doc
+            hstart = off[:-1]
+            sel_parts = []
+            big = m >= W              # full-width windows
+            if big.any():
+                nw = m[big] - W + 1   # windows per doc
+                tot = int(nw.sum())
+                csum = np.cumsum(nw) - nw
+                g = (np.repeat(hstart[big], nw)
+                     + (np.arange(tot, dtype=np.int64)
+                        - np.repeat(csum, nw)))
+                wmin = h[g].copy()
+                for j in range(1, W):
+                    np.minimum(wmin, h[g + j], out=wmin)
+                # rightmost offset in the window matching the min
+                sel = np.full(tot, -1, dtype=np.int64)
+                for j in range(W - 1, -1, -1):
+                    mask = (sel < 0) & (h[g + j] == wmin)
+                    sel[mask] = j
+                sel_parts.append(g + sel)
+            if (~big).any():          # shrunk effective window: 1 window
+                for s, mm in zip(hstart[~big], m[~big]):
+                    hs = h[s:s + mm]
+                    mn = hs.min()
+                    j = mm - 1 - int(np.argmax(hs[::-1] == mn))
+                    sel_parts.append(np.array([s + j], dtype=np.int64))
+            gsel = np.unique(np.concatenate(sel_parts))
+            di = np.searchsorted(off, gsel, side="right") - 1
+            yield pd.DataFrame({
+                "doc_id": dids[di],
+                "pos": (gsel - hstart[di] + 1).astype(np.int32),
+                "h": h[gsel]})
+
     return (seq.where(F.expr(f"size(tokens) >= {K}"))
-            .withColumn("hs", F.expr(hs))
-            .withColumn("we", F.expr(f"least({W}, size(hs))"))
-            .select("doc_id", F.explode(F.expr(sel)).alias("s"))
-            .select("doc_id", F.col("s.pos").alias("pos"),
-                    F.col("s.h").alias("h")))
+            .select("doc_id", "tokens")
+            .mapInPandas(fp_fn, "doc_id string, pos int, h bigint"))
 
 
 def winnow_candidates(seq: DataFrame, k: int = WINNOW_K,
