@@ -963,22 +963,26 @@ def duplicate_groups(docs: DataFrame, pairs: DataFrame,
         .withColumn("label", F.col("doc_id"))
     converged = False
     for _ in range(max_iter):
-        # relax: each vertex takes the min of its own and neighbors' labels
+        # relax: each vertex takes the min of its own and neighbors'
+        # labels. The vertex's PREVIOUS label rides along on its self
+        # row (msgs carry NULL), so convergence detection is a WHERE
+        # over this round's result — no extra labels join per round.
         msgs = (edges.join(labels.withColumnRenamed("doc_id", "u"), "u")
-                .select(F.col("v").alias("doc_id"), "label"))
-        new = (labels.unionByName(msgs)
-               .groupBy("doc_id").agg(F.min("label").alias("label")))
+                .select(F.col("v").alias("doc_id"), "label",
+                        F.lit(None).cast("string").alias("prev")))
+        new = (labels.withColumn("prev", F.col("label"))
+               .unionByName(msgs)
+               .groupBy("doc_id").agg(F.min("label").alias("label"),
+                                      F.max("prev").alias("prev")))
         # pointer jump: label <- label's label (labels are vertex ids)
         jump = new.select(F.col("doc_id").alias("label"),
                           F.col("label").alias("label2"))
         new = (new.join(jump, "label")
-               .select("doc_id", F.col("label2").alias("label")))
+               .select("doc_id", F.col("label2").alias("label"), "prev"))
         new = (new.checkpoint(eager=False) if checkpoint_dir is not None
                else new.localCheckpoint(eager=False))
-        changed = (new.withColumnRenamed("label", "new_label")
-                   .join(labels, "doc_id")
-                   .where(F.col("new_label") != F.col("label")).count())
-        labels = new
+        changed = new.where(F.col("label") != F.col("prev")).count()
+        labels = new.select("doc_id", "label")
         if changed == 0:
             converged = True
             break
