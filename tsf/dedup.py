@@ -935,10 +935,12 @@ def duplicate_groups(docs: DataFrame, pairs: DataFrame,
     doc_id — no collect, no cross product; at 100 TB each round shuffles
     one (doc_id, label) pair per vertex plus one message per edge.
     Every label is itself a vertex id (min over a set containing the
-    vertex), so the pointer-jump join is total. The fixpoint test is one
-    count() job per round (the price of convergence detection); each
-    round's result is checkpointed so round N's plan never replays
-    rounds 1..N-1.
+    vertex), so the pointer-jump join is total. Convergence detection
+    is FREE of extra joins: each vertex's previous label rides along on
+    its self row through the relax aggregate (messages carry NULL), so
+    the fixpoint test is one WHERE + count() over the round's
+    checkpointed result. Each round's result is checkpointed so round
+    N's plan never replays rounds 1..N-1.
 
     Durability: by default the per-round checkpoint is
     ``localCheckpoint`` — blocks live on EXECUTORS, so on a real cluster
