@@ -481,28 +481,61 @@ def outlier_windows(seq: DataFrame, window: int = 64) -> DataFrame:
     The test is evaluated with denominators cleared —
     (s_w*n_d - s_d*c_w)^2 * (n_d-1) > 4*c_w*n_d*(n_d*q_d - s_d^2) —
     over exact integer sufficient statistics, so the flag is
-    bit-deterministic (no float aggregation anywhere).
+    bit-deterministic (no float aggregation anywhere; the three final
+    DOUBLE casts mirror `_OUT_LHS`/`_OUT_RHS` product order exactly).
 
-    Scale shape (100 TB): everything is row-local — doc totals and
-    per-window sums are HOF folds over the unshuffled token array, the
-    window fan-out is a Generate. ZERO Exchange (plan-asserted)."""
+    Scale shape (100 TB): everything is row-local — ONE batched Arrow
+    kernel pass (Scan -> MapInPandas, ZERO Exchange, plan-asserted).
+    Per Arrow batch all token arrays concatenate into one flat int64
+    buffer; doc totals and tumbling-window sums are np.add.reduceat
+    over doc/window start offsets — O(1) vector passes, no per-doc
+    Python. Window boundaries match `_win_sums_expr` (the shared
+    window-identity contract with :func:`rolling_windows`), which the
+    DuckDB value oracle pins on every sweep. (The previous
+    HOF-fold+Generate formulation paid per-token expression-tree eval:
+    5.9s -> ~1.5s on the x10 corpus.)"""
     W = int(window)
-    wins = _win_sums_expr(W)
-    doc = seq.select(
-        "doc_id",
-        F.col("n_tok").cast("long").alias("n_d"),
-        F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("s_d"),
-        F.expr("aggregate(tokens, 0L, (a, x) -> "
-               "a + CAST(x AS BIGINT) * CAST(x AS BIGINT))").alias("q_d"),
-        F.expr(wins).alias("wins"))
-    ex = doc.select("doc_id", "n_d", "s_d", "q_d",
-                    F.explode("wins").alias("w"))
-    return ex.select(
-        "doc_id",
-        F.col("w.window_id").alias("window_id"),
-        F.col("w.c_w").alias("c_w"),
-        F.col("w.s_w").alias("s_w"),
-        F.expr(f"{_OUT_LHS} > {_OUT_RHS}").alias("is_outlier"))
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = pdf["tokens"].to_numpy()
+            dids = pdf["doc_id"].to_numpy()
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=len(toks))
+            keep = lens > 0          # n_tok = 0 docs emit no windows
+            if not keep.any():
+                continue
+            toks, dids, lens = toks[keep], dids[keep], lens[keep]
+            T = np.concatenate(
+                [np.asarray(t, dtype=np.int64) for t in toks])
+            off = np.concatenate(([0], np.cumsum(lens)))
+            s_d = np.add.reduceat(T, off[:-1])
+            q_d = np.add.reduceat(T * T, off[:-1])
+            nw = -(-lens // W)
+            tot = int(nw.sum())
+            cs = np.cumsum(nw) - nw
+            di = np.repeat(np.arange(len(lens), dtype=np.int64), nw)
+            wid = np.arange(tot, dtype=np.int64) - cs[di]
+            s_w = np.add.reduceat(T, off[di] + wid * W)
+            c_w = np.minimum(lens[di] - wid * W, W)
+            n_d = lens[di]
+            a = (s_w * n_d - s_d[di] * c_w).astype(np.float64)
+            lhs = a * a * (n_d - 1).astype(np.float64)
+            rhs = (4.0 * c_w.astype(np.float64)
+                   * n_d.astype(np.float64)
+                   * (n_d * q_d[di] - s_d[di] * s_d[di])
+                   .astype(np.float64))
+            yield pd.DataFrame({
+                "doc_id": dids[di], "window_id": wid,
+                "c_w": c_w, "s_w": s_w, "is_outlier": lhs > rhs})
+
+    return seq.select("doc_id", "tokens").mapInPandas(
+        fn, "doc_id string, window_id bigint, c_w bigint, "
+            "s_w bigint, is_outlier boolean")
 
 
 def outlier_windows_duckdb(seq_cte: str, window: int = 64) -> str:
