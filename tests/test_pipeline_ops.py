@@ -63,6 +63,30 @@ def test_minhash_finds_exact_duplicates(spark):
     assert all({a, b} != {"d1", "d3"} for a, b in zip(pairs["doc_a"], pairs["doc_b"]))
 
 
+def test_np_xxh64_paths_match_spark(spark):
+    """The numpy hashLong/hashInt reimplementations behind the minhash
+    signature kernel are bit-exact vs Spark's xxhash64 on random longs
+    (incl. negatives) and the chained (long, int-literal) composition
+    the minhash family h_i(s) = xxhash64(s, i) uses."""
+    from tsf.dedup import _np_xxh64_int, _np_xxh64_long
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-(2 ** 63), 2 ** 63 - 1, 64, dtype=np.int64)
+    vals[:4] = [0, -1, 2 ** 63 - 1, -(2 ** 63)]
+    df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+    import pyspark.sql.functions as SF
+    for i in (0, 1, 7, 31):
+        want = [r[0] for r in df.select(
+            SF.xxhash64("v", SF.lit(i))).collect()]
+        t = _np_xxh64_long(vals.view(np.uint64), np.uint64(42))
+        got = _np_xxh64_int(i, t).view(np.int64).tolist()
+        assert got == want, i
+    # bare xxhash64(v) == hashLong(v, 42)
+    want = [r[0] for r in df.select(SF.xxhash64("v")).collect()]
+    got = _np_xxh64_long(vals.view(np.uint64),
+                         np.uint64(42)).view(np.int64).tolist()
+    assert got == want
+
+
 def _simhash_numpy(shingle_hashes):
     """Independent bit-majority recompute from 64-bit shingle hashes."""
     v = np.zeros(64, dtype=np.int64)

@@ -73,17 +73,123 @@ def shingle_strings(docs: DataFrame, k: int = 3) -> DataFrame:
                 _shingle_array_expr("{g}", k))).alias("shingle_str")))
 
 
+def _spread_rows(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before a kernel-heavy
+    Arrow stage when the scan under-partitions (a few large parquet
+    files -> a few tasks doing ALL the hashing; the media-decode
+    `_spread` rationale from tsf/multimodal.py). The exchange moves
+    only the pre-shingle columns (doc_id, text). No-op when the input
+    is already split at least that wide — on a real cluster reading
+    many files this never fires."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, "doc_id")
+
+
+# -- numpy XXH64 (Spark XxHash64 long/int paths) for Arrow kernels ----
+#
+# Spark's xxhash64(shingle, lit(i)) folds seed 42 through hashLong for
+# the BIGINT shingle, then hashInt for the IntegerType index literal.
+# Re-implementing those two fixed-width paths over uint64 numpy arrays
+# lets the minhash signature pass hash the shingle ONCE and derive all
+# num_hashes family members from that state — bit-exact vs F.xxhash64
+# (pytest-pinned in tests/test_pipeline_ops.py), wrap-around by uint64
+# modular arithmetic (no HUGEINT masking needed, unlike the SQL replay
+# in tsf/xxh64_sql.py which these constants mirror).
+
+_XXH_P1 = 11400714785074694791
+_XXH_P2 = 14029467366897019727
+_XXH_P3 = 1609587929392839161
+_XXH_P4 = 9650029242287828579
+_XXH_P5 = 2870177450012600261
+
+
+def _np_xxh64_avalanche(h):
+    import numpy as np
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(_XXH_P2)
+    h = (h ^ (h >> np.uint64(29))) * np.uint64(_XXH_P3)
+    return h ^ (h >> np.uint64(32))
+
+
+def _np_xxh64_long(l, seed):
+    """XXH64.hashLong(l, seed) — l, seed: uint64 arrays or scalars."""
+    import numpy as np
+    a = seed + np.uint64(_XXH_P5 + 8)
+    k = l * np.uint64(_XXH_P2)
+    k = ((k << np.uint64(31)) | (k >> np.uint64(33))) * np.uint64(_XXH_P1)
+    b = a ^ k
+    b = (((b << np.uint64(27)) | (b >> np.uint64(37)))
+         * np.uint64(_XXH_P1) + np.uint64(_XXH_P4))
+    return _np_xxh64_avalanche(b)
+
+
+def _np_xxh64_int(i, seed):
+    """XXH64.hashInt(i, seed) — the 4-byte path Spark uses for
+    IntegerType values (e.g. ``F.lit(i)``); ``i`` a python int,
+    ``seed`` a uint64 array or scalar."""
+    import numpy as np
+    a = seed + np.uint64(_XXH_P5 + 4)
+    k = np.uint64(((i & 0xFFFFFFFF) * _XXH_P1) % (1 << 64))
+    b = a ^ k
+    b = (((b << np.uint64(23)) | (b >> np.uint64(41)))
+         * np.uint64(_XXH_P2) + np.uint64(_XXH_P3))
+    return _np_xxh64_avalanche(b)
+
+
+def _minhash_sig_kernel(d: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, ss array<bigint>) -> (doc_id, sig array<bigint>): the
+    minhash family h_i(s) = xxhash64(s, i) evaluated as ONE batched
+    Arrow kernel pass. Per Arrow batch all shingle-hash arrays
+    concatenate into one flat uint64 buffer, hashLong(s, 42) runs once
+    over it, each family member is one vectorized hashInt pass over
+    that shared state, and the per-doc minima are np.minimum.reduceat
+    (signed int64 order — Spark's BIGINT min). ZERO Exchange; the
+    previous explode + num_hashes min-aggregates groupBy re-hashed
+    every shingle num_hashes times JVM-side. Docs with no shingles
+    emit no row (the groupBy-over-zero-rows behavior)."""
+    n_h = int(num_hashes)
+    id_type = d.schema["doc_id"].dataType.simpleString()
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = pdf["ss"].to_numpy()
+            dids = pdf["doc_id"].to_numpy()
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                               count=len(arrs))
+            keep = lens > 0
+            if not keep.any():
+                continue
+            arrs, dids, lens = arrs[keep], dids[keep], lens[keep]
+            H = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in arrs])
+            off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            T = _np_xxh64_long(H.view(np.uint64), np.uint64(42))
+            M = np.empty((len(lens), n_h), dtype=np.int64)
+            for i in range(n_h):
+                hi = _np_xxh64_int(i, T).view(np.int64)
+                M[:, i] = np.minimum.reduceat(hi, off)
+            yield pd.DataFrame({"doc_id": dids, "sig": list(M)})
+
+    return d.mapInPandas(fn, f"doc_id {id_type}, sig array<bigint>")
+
+
 def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 32) -> DataFrame:
     """(doc_id, sig array<long>) — minhash over shingle hashes.
 
-    h_i(s) = xxhash64(s, i): computed as one JVM expression per hash by
-    re-hashing the shingle with the hash index as a second column.
-    """
-    sh = shingles(docs, k)
-    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    h_i(s) = xxhash64(s, i), evaluated by :func:`_minhash_sig_kernel`
+    (one batched Arrow pass over the row-local hashed shingle arrays —
+    bit-identical to the JVM per-hash expressions, pytest-pinned)."""
+    d = (_spread_rows(docs.select("doc_id", "text"))
+         .select("doc_id", F.expr(_WORDS).alias("ws"))
+         .select("doc_id",
+                 F.expr(_shingle_array_expr("xxhash64({g})", k))
+                 .alias("ss")))
+    return _minhash_sig_kernel(d, num_hashes)
 
 
 def _banded(sig: DataFrame, bands: int, rows: int,
@@ -160,10 +266,13 @@ def simhash(docs: DataFrame, k: int = 3) -> DataFrame:
     count is a (shift, mask, np.add.reduceat) vector pass; the sketch
     packs via uint64 shifts and reinterprets as signed int64 (identical
     bits to the ANSI-safe JVM assembly `_assemble_simhash`, which
-    remains in use by the SQL-replayable `simhash_check` twin). ZERO
-    Exchange — the previous explode + 64-conditional-sum groupBy paid
-    64 CASE evaluations per shingle row JVM-side plus a doc-keyed
-    shuffle (measured 8.2s -> ~2s on the x10 corpus). Majority rule
+    remains in use by the SQL-replayable `simhash_check` twin). No
+    doc-keyed aggregation Exchange — the previous explode +
+    64-conditional-sum groupBy paid 64 CASE evaluations per shingle
+    row JVM-side plus a shuffle (measured 8.2s -> ~2s on the x10
+    corpus); the only possible Exchange is the `_spread_rows`
+    under-partitioned-scan guard, a no-op on real many-file inputs.
+    Majority rule
     unchanged: bit j set iff ones > zeros among the doc's DISTINCT
     shingles; docs with < k words emit no row (no shingles)."""
 
@@ -191,7 +300,8 @@ def simhash(docs: DataFrame, k: int = 3) -> DataFrame:
             yield pd.DataFrame({"doc_id": dids,
                                 "simhash": acc.view(np.int64)})
 
-    ss = (docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+    ss = (_spread_rows(docs.select("doc_id", "text"))
+          .select("doc_id", F.expr(_WORDS).alias("ws"))
           .select("doc_id",
                   F.expr(_shingle_array_expr("xxhash64({g})", k))
                   .alias("ss")))
@@ -755,17 +865,16 @@ def lsh_verified_pairs(docs: DataFrame, k: int = 3, num_hashes: int = 16,
                       .alias("h2")))
         mins = [F.min(F.expr(f"(h1 + {i} * h2) % 4294967296"))
                 .alias(f"m{i}") for i in range(num_hashes)]
+        sig = sh.groupBy("doc_id").agg(*mins)
+        sig = sig.select("doc_id", F.array(
+            *[f"m{i}" for i in range(num_hashes)]).alias("sig"))
     else:
-        d = (docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+        d = (_spread_rows(docs.select("doc_id", "text"))
+             .select("doc_id", F.expr(_WORDS).alias("ws"))
              .select("doc_id", F.expr(
                  _shingle_array_expr("xxhash64({g})", k)).alias("ss")))
         d = scoped_persist(d)
-        sh = d.select("doc_id", F.explode("ss").alias("shingle"))
-        mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i)))
-                .alias(f"m{i}") for i in range(num_hashes)]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    sig = sig.select("doc_id", F.array(
-        *[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+        sig = _minhash_sig_kernel(d.select("doc_id", "ss"), num_hashes)
     banded = (sig.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.slice("sig", b * rows + 1, rows).alias("bk"))
