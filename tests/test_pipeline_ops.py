@@ -63,6 +63,36 @@ def test_minhash_finds_exact_duplicates(spark):
     assert all({a, b} != {"d1", "d3"} for a, b in zip(pairs["doc_a"], pairs["doc_b"]))
 
 
+def test_arrow_kernels_null_rows_and_bigint_ids(spark):
+    """The batched Arrow kernels must (a) DROP rows whose token/shingle
+    array is NULL — the SQL formulations they replaced emitted nothing
+    for NULL (explode(NULL) / groupBy over zero rows), so crashing the
+    python worker on len(None) was a regression — and (b) pass
+    non-string doc_id types through (output schema derived from the
+    input schema, not hardcoded)."""
+    from tsf.rollup import outlier_windows, series_lttb
+    seq = spark.createDataFrame(
+        [(1, list(range(50)), 50, "s"), (2, None, 0, "s")],
+        "doc_id bigint, tokens array<int>, n_tok int, source string")
+    out = outlier_windows(seq, window=10)
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    assert {r.doc_id for r in out.collect()} == {1}
+    lt = series_lttb(seq, buckets=5)
+    assert dict(lt.dtypes)["doc_id"] == "bigint"
+    assert {r.doc_id for r in lt.collect()} == {1}
+    fp = dedup.winnow_fingerprints(seq)
+    assert dict(fp.dtypes)["doc_id"] == "bigint"
+    assert {r.doc_id for r in fp.collect()} == {1}
+    docs = spark.createDataFrame(
+        [(10, "a b c d e f", "s", "en"), (11, None, "s", "en")],
+        "doc_id bigint, text string, source string, lang string")
+    sh = dedup.simhash(docs)
+    assert dict(sh.dtypes)["doc_id"] == "bigint"
+    assert {r.doc_id for r in sh.collect()} == {10}
+    sig = dedup.minhash_signatures(docs)
+    assert {r.doc_id for r in sig.collect()} == {10}
+
+
 def test_np_xxh64_paths_match_spark(spark):
     """The numpy hashLong/hashInt reimplementations behind the minhash
     signature kernel are bit-exact vs Spark's xxhash64 on random longs

@@ -154,20 +154,16 @@ def _minhash_sig_kernel(d: DataFrame, num_hashes: int) -> DataFrame:
     def fn(batches):
         import numpy as np
         import pandas as pd
+        from tsf.kernels import ragged_batch
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            arrs = pdf["ss"].to_numpy()
-            dids = pdf["doc_id"].to_numpy()
-            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
-                               count=len(arrs))
-            keep = lens > 0
-            if not keep.any():
+            r = ragged_batch(pdf["ss"].to_numpy())
+            if r is None:
                 continue
-            arrs, dids, lens = arrs[keep], dids[keep], lens[keep]
-            H = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in arrs])
-            off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            keep, lens, H, off = r
+            dids = pdf["doc_id"].to_numpy()[keep]
+            off = off[:-1]
             T = _np_xxh64_long(H.view(np.uint64), np.uint64(42))
             M = np.empty((len(lens), n_h), dtype=np.int64)
             for i in range(n_h):
@@ -178,18 +174,26 @@ def _minhash_sig_kernel(d: DataFrame, num_hashes: int) -> DataFrame:
     return d.mapInPandas(fn, f"doc_id {id_type}, sig array<bigint>")
 
 
+def _hashed_shingles(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, ss): each doc's DISTINCT xxhash64 word-k-gram shingle
+    array, row-locally, behind the `_spread_rows` under-partitioned-scan
+    guard — the ONE chain shared by minhash_signatures / simhash /
+    lsh_verified_pairs so the three sketch families cannot silently
+    disagree on the shingle sets they hash."""
+    return (_spread_rows(docs.select("doc_id", "text"))
+            .select("doc_id", F.expr(_WORDS).alias("ws"))
+            .select("doc_id",
+                    F.expr(_shingle_array_expr("xxhash64({g})", k))
+                    .alias("ss")))
+
+
 def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 32) -> DataFrame:
     """(doc_id, sig array<long>) — minhash over shingle hashes.
 
     h_i(s) = xxhash64(s, i), evaluated by :func:`_minhash_sig_kernel`
     (one batched Arrow pass over the row-local hashed shingle arrays —
     bit-identical to the JVM per-hash expressions, pytest-pinned)."""
-    d = (_spread_rows(docs.select("doc_id", "text"))
-         .select("doc_id", F.expr(_WORDS).alias("ws"))
-         .select("doc_id",
-                 F.expr(_shingle_array_expr("xxhash64({g})", k))
-                 .alias("ss")))
-    return _minhash_sig_kernel(d, num_hashes)
+    return _minhash_sig_kernel(_hashed_shingles(docs, k), num_hashes)
 
 
 def _banded(sig: DataFrame, bands: int, rows: int,
@@ -279,20 +283,16 @@ def simhash(docs: DataFrame, k: int = 3) -> DataFrame:
     def fn(batches):
         import numpy as np
         import pandas as pd
+        from tsf.kernels import ragged_batch
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            arrs = pdf["ss"].to_numpy()
-            dids = pdf["doc_id"].to_numpy()
-            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
-                               count=len(arrs))
-            keep = lens > 0
-            if not keep.any():
+            r = ragged_batch(pdf["ss"].to_numpy())
+            if r is None:
                 continue
-            arrs, dids, lens = arrs[keep], dids[keep], lens[keep]
-            H = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in arrs])
-            off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            keep, lens, H, off = r
+            dids = pdf["doc_id"].to_numpy()[keep]
+            off = off[:-1]
             acc = np.zeros(len(lens), dtype=np.uint64)
             for j in range(64):
                 ones = np.add.reduceat((H >> j) & 1, off)
@@ -300,13 +300,9 @@ def simhash(docs: DataFrame, k: int = 3) -> DataFrame:
             yield pd.DataFrame({"doc_id": dids,
                                 "simhash": acc.view(np.int64)})
 
-    ss = (_spread_rows(docs.select("doc_id", "text"))
-          .select("doc_id", F.expr(_WORDS).alias("ws"))
-          .select("doc_id",
-                  F.expr(_shingle_array_expr("xxhash64({g})", k))
-                  .alias("ss")))
     id_type = docs.schema["doc_id"].dataType.simpleString()
-    return ss.mapInPandas(fn, f"doc_id {id_type}, simhash bigint")
+    return _hashed_shingles(docs, k).mapInPandas(
+        fn, f"doc_id {id_type}, simhash bigint")
 
 
 def simhash_dups(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -869,11 +865,7 @@ def lsh_verified_pairs(docs: DataFrame, k: int = 3, num_hashes: int = 16,
         sig = sig.select("doc_id", F.array(
             *[f"m{i}" for i in range(num_hashes)]).alias("sig"))
     else:
-        d = (_spread_rows(docs.select("doc_id", "text"))
-             .select("doc_id", F.expr(_WORDS).alias("ws"))
-             .select("doc_id", F.expr(
-                 _shingle_array_expr("xxhash64({g})", k)).alias("ss")))
-        d = scoped_persist(d)
+        d = scoped_persist(_hashed_shingles(docs, k))
         sig = _minhash_sig_kernel(d.select("doc_id", "ss"), num_hashes)
     banded = (sig.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -1648,20 +1640,15 @@ def winnow_fingerprints(seq: DataFrame, k: int = WINNOW_K,
     def fp_fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import numpy as np
         import pandas as pd
+        from tsf.kernels import ragged_arange, ragged_batch
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            toks = pdf["tokens"].to_numpy()
-            dids = pdf["doc_id"].to_numpy()
-            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
-                               count=len(toks))
-            keep = lens >= K
-            if not keep.any():
+            r = ragged_batch(pdf["tokens"].to_numpy(), min_len=K)
+            if r is None:
                 continue
-            toks, dids, lens = toks[keep], dids[keep], lens[keep]
-            T = np.concatenate(
-                [np.asarray(t, dtype=np.int64) for t in toks])
-            off = np.concatenate(([0], np.cumsum(lens)))
+            keep, lens, T, off = r
+            dids = pdf["doc_id"].to_numpy()[keep]
             L = T.shape[0]
             # k-gram hash at every global token position (tail entries
             # that would read across a doc boundary are never indexed)
@@ -1676,10 +1663,8 @@ def winnow_fingerprints(seq: DataFrame, k: int = WINNOW_K,
             if big.any():
                 nw = m[big] - W + 1   # windows per doc
                 tot = int(nw.sum())
-                csum = np.cumsum(nw) - nw
-                g = (np.repeat(hstart[big], nw)
-                     + (np.arange(tot, dtype=np.int64)
-                        - np.repeat(csum, nw)))
+                _, di_w, seg_w = ragged_arange(nw)
+                g = hstart[big][di_w] + seg_w
                 wmin = h[g].copy()
                 for j in range(1, W):
                     np.minimum(wmin, h[g + j], out=wmin)
@@ -1702,9 +1687,10 @@ def winnow_fingerprints(seq: DataFrame, k: int = WINNOW_K,
                 "pos": (gsel - hstart[di] + 1).astype(np.int32),
                 "h": h[gsel]})
 
+    id_type = seq.schema["doc_id"].dataType.simpleString()
     return (seq.where(F.expr(f"size(tokens) >= {K}"))
             .select("doc_id", "tokens")
-            .mapInPandas(fp_fn, "doc_id string, pos int, h bigint"))
+            .mapInPandas(fp_fn, f"doc_id {id_type}, pos int, h bigint"))
 
 
 def winnow_candidates(seq: DataFrame, k: int = WINNOW_K,

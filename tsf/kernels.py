@@ -853,3 +853,42 @@ def decade_means(X: np.ndarray, n: np.ndarray, factor: int = 10):
     with np.errstate(invalid="ignore", divide="ignore"):
         means = sums / cnts
     return means, cnts
+
+
+# --------------------------------------------------- ragged-batch helpers
+#
+# Shared prologue of the batched Arrow kernels (winnow / simhash /
+# minhash / outlier_windows / LTTB): flatten a pandas column of ragged
+# arrays into ONE int64 buffer with per-row offsets, dropping rows too
+# short to produce output. A NULL cell counts as length 0 (the SQL
+# formulations these kernels replaced emitted nothing for NULL arrays —
+# explode(NULL) / groupBy over zero rows — so dropping is the
+# behavior-preserving choice, not a crash).
+
+
+def ragged_batch(values: np.ndarray, min_len: int = 1):
+    """values: numpy object array of list/ndarray cells (None allowed).
+    Returns (keep_mask, lens, flat_int64, offsets) — offsets has
+    len(kept)+1 entries — or None when no row survives ``min_len``."""
+    lens = np.fromiter((0 if v is None else len(v) for v in values),
+                       dtype=np.int64, count=len(values))
+    keep = lens >= min_len
+    if not keep.any():
+        return None
+    kept = values[keep]
+    lens = lens[keep]
+    flat = (np.concatenate([np.asarray(v, dtype=np.int64) for v in kept])
+            if len(kept) else np.empty(0, dtype=np.int64))
+    off = np.concatenate(([0], np.cumsum(lens)))
+    return keep, lens, flat, off
+
+
+def ragged_arange(counts: np.ndarray):
+    """(segment starts, per-element row index, within-segment 0-based
+    position) for per-row segments of the given lengths — the flat
+    indexing triple behind every segmented reduceat pass."""
+    tot = int(counts.sum())
+    cs = np.cumsum(counts) - counts
+    di = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    seg = np.arange(tot, dtype=np.int64) - np.repeat(cs, counts)
+    return cs, di, seg

@@ -499,27 +499,19 @@ def outlier_windows(seq: DataFrame, window: int = 64) -> DataFrame:
     def fn(batches):
         import numpy as np
         import pandas as pd
+        from tsf.kernels import ragged_arange, ragged_batch
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            toks = pdf["tokens"].to_numpy()
-            dids = pdf["doc_id"].to_numpy()
-            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
-                               count=len(toks))
-            keep = lens > 0          # n_tok = 0 docs emit no windows
-            if not keep.any():
+            r = ragged_batch(pdf["tokens"].to_numpy())
+            if r is None:
                 continue
-            toks, dids, lens = toks[keep], dids[keep], lens[keep]
-            T = np.concatenate(
-                [np.asarray(t, dtype=np.int64) for t in toks])
-            off = np.concatenate(([0], np.cumsum(lens)))
+            keep, lens, T, off = r   # n_tok = 0 docs emit no windows
+            dids = pdf["doc_id"].to_numpy()[keep]
             s_d = np.add.reduceat(T, off[:-1])
             q_d = np.add.reduceat(T * T, off[:-1])
             nw = -(-lens // W)
-            tot = int(nw.sum())
-            cs = np.cumsum(nw) - nw
-            di = np.repeat(np.arange(len(lens), dtype=np.int64), nw)
-            wid = np.arange(tot, dtype=np.int64) - cs[di]
+            _, di, wid = ragged_arange(nw)
             s_w = np.add.reduceat(T, off[di] + wid * W)
             c_w = np.minimum(lens[di] - wid * W, W)
             n_d = lens[di]
@@ -533,8 +525,9 @@ def outlier_windows(seq: DataFrame, window: int = 64) -> DataFrame:
                 "doc_id": dids[di], "window_id": wid,
                 "c_w": c_w, "s_w": s_w, "is_outlier": lhs > rhs})
 
+    id_type = seq.schema["doc_id"].dataType.simpleString()
     return seq.select("doc_id", "tokens").mapInPandas(
-        fn, "doc_id string, window_id bigint, c_w bigint, "
+        fn, f"doc_id {id_type}, window_id bigint, c_w bigint, "
             "s_w bigint, is_outlier boolean")
 
 
@@ -845,15 +838,6 @@ def series_lttb(seq: DataFrame, buckets: int = 12) -> DataFrame:
         raise ValueError("buckets must be >= 3")
     nb = B - 2
 
-    def _ragged(counts: np.ndarray):
-        """(flat segment offsets, per-element doc index, within-segment
-        0-based position) for per-doc segments of the given lengths."""
-        tot = int(counts.sum())
-        cs = np.cumsum(counts) - counts
-        di = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        seg = np.arange(tot, dtype=np.int64) - np.repeat(cs, counts)
-        return cs, di, seg
-
     def lttb_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # LOCKSTEP over the batch: the bucket recurrence is sequential
         # per doc, but bucket k of EVERY doc is independent — so the
@@ -865,23 +849,19 @@ def series_lttb(seq: DataFrame, buckets: int = 12) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            toks = pdf["tokens"].to_numpy()
-            dids = pdf["doc_id"].to_numpy()
-            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
-                               count=len(toks))
-            keep = lens > 0
-            if not keep.any():
+            from tsf.kernels import ragged_arange, ragged_batch
+            r = ragged_batch(pdf["tokens"].to_numpy())
+            if r is None:
                 continue
-            toks, dids, lens = toks[keep], dids[keep], lens[keep]
-            T = np.concatenate(
-                [np.asarray(t, dtype=np.int64) for t in toks])
-            off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            keep, lens, T, off = r
+            dids = pdf["doc_id"].to_numpy()[keep]
+            off = off[:-1]
             Cg = np.concatenate(([0], np.cumsum(T)))  # global prefix sum
             parts = []  # (doc_idx array, pos array) chunks, doc-major
 
             small = lens < B        # identity path: full series
             if small.any():
-                _, di_s, seg_s = _ragged(lens[small])
+                _, di_s, seg_s = ragged_arange(lens[small])
                 sidx = np.flatnonzero(small)
                 parts.append((sidx[di_s], seg_s + 1))
 
@@ -910,7 +890,7 @@ def series_lttb(seq: DataFrame, buckets: int = 12) -> DataFrame:
                         sx = n
                         sy = T[boff + n - 1]
                     counts = hi - lo + 1
-                    starts, di, seg = _ragged(counts)
+                    starts, di, seg = ragged_arange(counts)
                     iv = lo[di] + seg
                     yb = T[boff[di] + iv - 1]
                     area = np.abs((px[di] * c[di] - sx[di]) * (yb - py[di])
@@ -943,8 +923,9 @@ def series_lttb(seq: DataFrame, buckets: int = 12) -> DataFrame:
                 "pos": pos,
                 "y": T[off[di_all] + pos - 1]})
 
+    id_type = seq.schema["doc_id"].dataType.simpleString()
     return seq.select("doc_id", "tokens").mapInPandas(
-        lttb_fn, "doc_id string, n_tok bigint, rank bigint, "
+        lttb_fn, f"doc_id {id_type}, n_tok bigint, rank bigint, "
                  "pos bigint, y bigint")
 
 
