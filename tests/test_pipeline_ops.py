@@ -132,9 +132,9 @@ def _simhash_numpy(shingle_hashes):
 
 
 def test_simhash_matches_numpy_recompute(spark, sf001):
-    """Engine simhash (one-groupBy 64 conditional sums + ANSI-safe
-    assembly) == independent per-doc numpy bit-majority over the SAME
-    collected shingle hashes."""
+    """Engine simhash (batched reduceat bit-majority Arrow kernel) ==
+    independent per-doc numpy bit-majority over the SAME collected
+    shingle hashes."""
     docs = spark.read.parquet(f"{sf001}/documents.parquet").limit(50)
     sh = dedup.shingles(docs).toPandas()
     got = {r["doc_id"]: r["simhash"]
