@@ -732,7 +732,13 @@ def series_changepoint(seq: DataFrame) -> DataFrame:
 
     Output: doc_id, n_tok, cp_pos (1-based prefix length), cp_stat
     (= G at the argmax), left_sum / right_sum (exact token mass on
-    each side of the split).
+    each side of the split). cp_stat/left_sum/right_sum are emitted as
+    DOUBLE: the DuckDB oracle's windowed ``sum(BIGINT)`` yields HUGEINT
+    (the only HUGEINT columns in the 126-query contract), which pandas
+    fetches as float64 — emitting float64 here makes the engine/oracle
+    dtypes identical under a dtype-sensitive canonical hash. The values
+    themselves stay exact: the argmax runs in the all-BIGINT fold and
+    |G| < 2^47 is far below float64's 2^53 integer-exact range.
 
     Scale shape (100 TB): Scan -> Project only, ZERO Exchange, no
     Generate, no UDF (plan-asserted, the series_dynamics precedent)."""
@@ -761,10 +767,12 @@ def series_changepoint(seq: DataFrame) -> DataFrame:
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
         F.expr(f"IF({has}, cp.bk, CAST(NULL AS BIGINT))").alias("cp_pos"),
-        F.expr(f"IF({has}, cp.bg, CAST(NULL AS BIGINT))").alias("cp_stat"),
-        F.expr(f"IF({has}, cp.bs, CAST(NULL AS BIGINT))").alias("left_sum"),
-        F.expr(f"IF({has}, s_d - cp.bs, CAST(NULL AS BIGINT))")
-         .alias("right_sum"))
+        F.expr(f"IF({has}, CAST(cp.bg AS DOUBLE), CAST(NULL AS DOUBLE))")
+         .alias("cp_stat"),
+        F.expr(f"IF({has}, CAST(cp.bs AS DOUBLE), CAST(NULL AS DOUBLE))")
+         .alias("left_sum"),
+        F.expr(f"IF({has}, CAST(s_d - cp.bs AS DOUBLE), "
+               "CAST(NULL AS DOUBLE))").alias("right_sum"))
 
 
 def series_changepoint_duckdb(seq_cte: str) -> str:
