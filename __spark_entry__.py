@@ -74,11 +74,40 @@ R6F_SQL = "floor({x} * 1000000.0 + 0.5) / 1000000.0"
 
 
 def _seq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sequences_from_documents(spark, sf_dir)
+    """Driver sequences view. The documents fixture is a single small
+    parquet file (one row group), so the scan — and every row-local
+    stage above it: tokenize, window kernels, folds — would run as ONE
+    task; the narrow-scan guard (guide §2.5 input-skew remedy)
+    repartitions the raw (doc_id, text, source) scan to the session
+    parallelism first. No-op on many-file inputs (real tables) and
+    below the byte floor (where the Exchange round-trip costs more
+    than it buys); heavy-kernel queries use `_seq_wide`."""
+    from tsf.spread import SPREAD_MIN_BYTES
+    return sequences_from_documents(spark, sf_dir,
+                                    spread_min_bytes=SPREAD_MIN_BYTES)
+
+
+def _seq_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_seq` with unconditional spread — for the queries whose
+    single-task row-local work dominates even on sub-MB fixtures
+    (pairwise supers, batch kernel evaluation, motif join sides)."""
+    return sequences_from_documents(spark, sf_dir, spread_min_bytes=0)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tsf.spread import spread_rows
+    return spread_rows(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan behind the narrow-scan guard (guide §2.5): the
+    x10 fixture is a single multi-MB file, so cosine/JL/IVF row-local
+    math would run one-task-wide; no-op on many-file inputs and below
+    the byte floor."""
+    from tsf.spread import spread_rows
+    return spread_rows(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        by=("vec_id",))
 
 
 def _rollup_select(df: DataFrame) -> DataFrame:
@@ -376,7 +405,7 @@ def q_acf_features(spark, sf_dir):
     autocorrelations (lead() co-sums), regression PACF at lags 1-2
     (closed-form normal equations over exact integer sums), and the
     histogram-mode statistics (exact-sum z-scores + equal-width binning)."""
-    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
+    seq = _seq_wide(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 1000")
     fs = catalogue()[["ac_2", "ac_3", "ac_4", "ac_5", "pacf_1", "pacf_2",
                       "histmode5", "histmode10"]]
     r = tier0(seq, fs, window=1000, blocks=False)
@@ -395,7 +424,7 @@ def q_kernel_features(spark, sf_dir):
     single-window docs. rad-family engine NaN/±inf both map to NULL (the
     member checks' fin() convention; DuckDB's division-by-zero NULL
     matches)."""
-    seq = _seq(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 256")
+    seq = _seq_wide(spark, sf_dir).where("n_tok >= 3 AND n_tok <= 256")
     fs = catalogue()[["acf_timescale", "rad", "rad_raw",
                       "rad_tau", "plv_phase", "ppc_phase",
                       "analytic_amp_mean", "analytic_amp_std"]]
@@ -822,7 +851,7 @@ def q_series_motif(spark, sf_dir):
     row_number. Windows explode row-locally; the self-join is a
     co-partitioned doc_id equi-join, never a cartesian."""
     from tsf.rollup import series_motif
-    return series_motif(_seq(spark, sf_dir), window=32, max_windows=64)
+    return series_motif(_seq_wide(spark, sf_dir), window=32, max_windows=64)
 
 
 def q_series_sax(spark, sf_dir):
@@ -1370,7 +1399,7 @@ def q_dedup_incremental(spark, sf_dir):
 def q_series_pairwise_pearson(spark, sf_dir):
     """Reference-native pairwise operator: Pearson/covariance between the
     tier-0 mean series of same-source docs, aligned on window_id."""
-    seq = _seq(spark, sf_dir).where("n_tok >= 30")
+    seq = _seq_wide(spark, sf_dir).where("n_tok >= 30")
     r = tier0(seq, _stats_fs(), window=10, blocks=False)
     return similarity.series_pairwise_pearson(r, window=10, min_overlap=3)
 
@@ -1398,7 +1427,7 @@ def q_pairwise_mi(spark, sf_dir):
     removed (the O(W^2) distance join is per fixed-size window). Pytest
     additionally pins the kernel to the analytic bivariate-Gaussian MI
     and a brute-force scalar reimplementation."""
-    seq = _seq(spark, sf_dir).where("n_tok >= 64")
+    seq = _seq_wide(spark, sf_dir).where("n_tok >= 64")
     r = pairwise.pairwise_mi(seq, window=64, k=20)
     return r.select("source", "doc_a", "doc_b",
                     F.col("n_windows").cast("bigint").alias("n_windows"),
@@ -1412,7 +1441,7 @@ def q_pairwise_featureset(spark, sf_dir):
     UNCAPPED corpus — value-oracle-checked via the
     `pairwise_featureset_check` combined oracle with its n_tok cap
     removed. Pytest pins equality with each single-feature operator."""
-    seq = _seq(spark, sf_dir).where("n_tok >= 64")
+    seq = _seq_wide(spark, sf_dir).where("n_tok >= 64")
     r = pairwise.pairwise_features(
         seq, ("pearson", "cov", "plv", "ppc", "mi"), window=64, k_mi=20)
     return r.select("source", "doc_a", "doc_b",
@@ -1556,6 +1585,8 @@ def q_rad_tau_check(spark, sf_dir):
 
 
 def _query_vec(spark, sf_dir) -> list[float]:
+    # direct scan, no spread guard: this fetches ONE row — repartitioning
+    # first would shuffle the whole table to read a single vector
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .where("vec_id = 0").select("embedding").first())
     return [float(x) for x in row[0]]
@@ -1630,7 +1661,7 @@ def q_hard_negatives(spark, sf_dir):
     The query set broadcasts (corpus embeddings never shuffle raw);
     the per-query top-k runs as WindowGroupLimit so the q_id Exchange
     moves local top-k rows, not the corpus."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.hard_negatives(emb, n_queries=8, k=5)
 
 
@@ -1638,7 +1669,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     """ANN top-k over multiprobe LSH buckets (2 tables x 8 bits, 4 probes)
     — the DuckDB oracle replays bucketing, margin-ranked probing, and
     cosine ordering, so the whole ANN path is value-checked."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
@@ -1647,7 +1678,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     4 probed cells) — the DuckDB oracle replays centroid selection,
     first-maximum argmax cell assignment, probe ranking, and cosine
     ordering, so the whole IVF path is value-checked."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
@@ -1669,7 +1700,7 @@ def q_ann_lsh_topk_indexed(spark, sf_dir):
     same whole-path DuckDB oracle value-checks the indexed plan."""
     p = _ann_index_path(sf_dir, "lsh")
     if not Path(p, "_lsh_params.json").exists():
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _emb(spark, sf_dir)
         similarity.build_lsh_index(emb, p)
     return similarity.lsh_topk_indexed(spark, p, _query_vec(spark, sf_dir),
                                        k=10)
@@ -1681,7 +1712,7 @@ def q_ann_ivf_topk_indexed(spark, sf_dir):
     q_ann_ivf_topk, value-checked by the same whole-path oracle."""
     p = _ann_index_path(sf_dir, "ivf")
     if not Path(p, "_ivf_centroids.json").exists():
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _emb(spark, sf_dir)
         similarity.build_ivf_index(emb, p)
     return similarity.ivf_topk_indexed(spark, p, _query_vec(spark, sf_dir),
                                        k=10)
@@ -1691,7 +1722,7 @@ def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact cosine over LSH-bucket
     candidates); the oracle replays the bucket membership, so the whole
     pipeline is value-checked."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.embedding_near_dups(emb, threshold=0.35)
 
 
@@ -1707,7 +1738,7 @@ def q_semdedup(spark, sf_dir):
     oracle replays assignment, cell products and threshold end to end.
     Threshold 0.3 is data-scaled for the synthetic embeddings (max
     within-cell cosine ~0.49); production uses ~0.95+."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.semdedup(emb, threshold=0.3)
 
 
@@ -1716,7 +1747,7 @@ def q_rand_proj(spark, sf_dir):
     cheap dimensionality reduction ahead of ANN/clustering passes. One
     row-local projection, ZERO Exchange (plan-asserted); exploded
     long-form so the value hash covers every component."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.rand_proj(emb, out_dim=16)
 
 

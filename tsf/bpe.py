@@ -129,7 +129,14 @@ def train_bpe(seq: DataFrame, n_merges: int, base: int = VOCAB_BASE,
     the long-doc path), or "auto" (one bounded max-length probe; SQL
     below :data:`_SQL_FOLD_MAX_LEN`). Both paths are pytest-pinned
     equal."""
-    cur = seq.select("doc_id", "tokens", "source")
+    from tsf.spread import spread_rows
+    # narrow-scan guard (guide §2.5): every round's counting aggregate
+    # and rewrite is row-local over the training slice — on a
+    # single-row-group input the whole loop would run one-task-wide.
+    # One tiny (doc_id, tokens, source) Exchange up front parallelizes
+    # all rounds; no-op on many-file inputs.
+    cur = spread_rows(seq.select("doc_id", "tokens", "source"),
+                      min_bytes=0)
     if sample_ppm is not None:
         from tsf.sampling import _hash01_spark
         cur = (cur.withColumn("_k", F.col("doc_id").cast("string"))
@@ -141,10 +148,19 @@ def train_bpe(seq: DataFrame, n_merges: int, base: int = VOCAB_BASE,
     if rewrite not in ("sql", "arrow"):
         raise ValueError(f"unknown rewrite {rewrite!r}")
     merges: list[dict] = []
+    # `prev` = the persisted predecessor of `cur` (None for the round-0
+    # input, which is not persisted)
     prev: DataFrame | None = None
     for rnd in range(1, int(n_merges) + 1):
+        # this argmax is the action that MATERIALIZES cur's persisted
+        # rewrite (no separate count() job per round — the cache fills
+        # on first use); only after that is prev's cache safe to
+        # release (cur's cache now holds everything prev fed)
         best = (pair_counts(cur)
                 .orderBy(F.desc("cnt"), "lt", "rt").limit(1).collect())
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best or best[0]["cnt"] < 2:
             break  # nothing left worth merging
         lt, rt, cnt = int(best[0]["lt"]), int(best[0]["rt"]), int(best[0]["cnt"])
@@ -152,24 +168,19 @@ def train_bpe(seq: DataFrame, n_merges: int, base: int = VOCAB_BASE,
         merge = {"rnd": rnd, "lt": lt, "rt": rt,
                  "new_id": new_id, "cnt": cnt}
         merges.append(merge)
+        nxt = cur
         if rewrite == "sql":
             # JVM fold: no Python workers, but the fold copies its
             # accumulator per element — O(n^2) per doc. A 200k-token
             # longtail doc turns one round into ~4e10 array copies, so
             # this path is gated to short-doc corpora.
-            cur = cur.withColumn(
+            nxt = cur.withColumn(
                 "tokens", F.expr(merge_fold_expr("tokens", lt, rt, new_id)))
         else:
-            cur = apply_merges(cur, [merge], impl="arrow") \
+            nxt = apply_merges(cur, [merge], impl="arrow") \
                 .select("doc_id", "tokens", "source")
-        # Materialize this round so the next round's count (and the
-        # caller's terminal action) never re-executes the fold chain;
-        # release the previous round's cache once its successor exists.
-        cur = scoped_persist(cur)
-        cur.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = cur
+        prev = cur if rnd > 1 else None  # round-0 input is unpersisted
+        cur = scoped_persist(nxt)
     return merges, cur
 
 

@@ -47,6 +47,27 @@ def _shingle_array_expr(payload: str, k: int) -> str:
             f" else array() end")
 
 
+def _shingle_bytes_est(docs: DataFrame, d: DataFrame) -> int:
+    """Driver-side estimate of the hashed-shingle table's broadcast
+    size. Prefer the INPUT FILE bytes of the docs scan (free — no job):
+    the 8-byte-per-word-shingle arrays come out near the raw text size,
+    so 4x file bytes upper-bounds them comfortably. Only when the input
+    is not file-backed (in-memory test frames) fall back to the exact
+    one-row aggregate over the persisted sketch ``d`` — the previous
+    behavior, which cost a full Spark job at PLAN BUILD time for every
+    AllPairs caller (measured 0.3-0.7 s per query)."""
+    try:
+        from tsf.spread import _local_size
+        files = docs.inputFiles()
+        size = _local_size(files) if files else None
+        if size is not None:
+            return 4 * size
+    except Exception:
+        pass
+    st = d.agg(F.count("*").alias("n"), F.sum("sz").alias("cells")).first()
+    return int(st["cells"] or 0) * 8 + int(st["n"] or 0) * 64
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """One row per distinct text: keeper id + duplicate count."""
     return (docs
@@ -66,8 +87,11 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 def shingle_strings(docs: DataFrame, k: int = 3) -> DataFrame:
     """Distinct word k-gram shingle STRINGS per doc (pre-hash form, used
-    by the SQL-replayable simhash_check/minhash_check variants)."""
-    return (docs
+    by the SQL-replayable simhash_check/minhash_check variants). Behind
+    the same narrow-scan guard as `_hashed_shingles` (the per-character
+    LCG folds downstream are the heaviest row-local stage in the check
+    family)."""
+    return (_spread_rows(docs.select("doc_id", "text"))
             .select("doc_id", F.expr(_WORDS).alias("ws"))
             .select("doc_id", F.explode(F.expr(
                 _shingle_array_expr("{g}", k))).alias("shingle_str")))
@@ -80,11 +104,11 @@ def _spread_rows(df: DataFrame) -> DataFrame:
     `_spread` rationale from tsf/multimodal.py). The exchange moves
     only the pre-shingle columns (doc_id, text). No-op when the input
     is already split at least that wide — on a real cluster reading
-    many files this never fires."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
-        return df
-    return df.repartition(sc.defaultParallelism, "doc_id")
+    many files this never fires. Shared guard: :func:`tsf.spread.
+    spread_rows` (``min_bytes=0``: shingling is heavy enough per row
+    that spreading wins even on sub-MB narrow scans)."""
+    from tsf.spread import spread_rows
+    return spread_rows(df, by=("doc_id",), min_bytes=0)
 
 
 # -- numpy XXH64 (Spark XxHash64 long/int paths) for Arrow kernels ----
@@ -739,8 +763,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
     eps = 1e-9  # float-safe ceil: never overshoot (overshoot = lossy prefix)
     # hashed shingles end-to-end: 8-byte join/shuffle keys and arrays
     # instead of ~30-byte strings (set sizes are hash-collision-exact,
-    # which the string-based DuckDB oracle confirms on every fixture)
-    d = (docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+    # which the string-based DuckDB oracle confirms on every fixture);
+    # shingling sits behind the narrow-scan guard like the sketch family
+    d = (_spread_rows(docs.select("doc_id", "text"))
+         .select("doc_id", F.expr(_WORDS).alias("ws"))
          .select("doc_id",
                  F.expr(_shingle_array_expr("xxhash64({g})", k)).alias("ss"))
          .withColumn("sz", F.size("ss")))
@@ -789,12 +815,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3,
     # shuffle-join chain re-shuffles the pair table with a ~|ss|*8B
     # array payload attached (measured 14+ GB at the x10 fixture).
     # Broadcast the doc side when its array payload fits comfortably
-    # (driver-side estimate from the persisted sketch — Spark's static
-    # 10MB autoBroadcast threshold can't see this); beyond that, fall
-    # back to the shuffle join (the 100x path).
-    st = d.agg(F.count("*").alias("n"), F.sum("sz").alias("cells")).first()
-    est_bytes = int(st["cells"] or 0) * 8 + int(st["n"] or 0) * 64
-    side = F.broadcast if est_bytes < (256 << 20) else (lambda x: x)
+    # (Spark's static 10MB autoBroadcast threshold can't see this);
+    # beyond that, fall back to the shuffle join (the 100x path).
+    side = F.broadcast if _shingle_bytes_est(docs, d) < (256 << 20) \
+        else (lambda x: x)
     verify = (cand
               .join(side(d.select(F.col("doc_id").alias("doc_a"),
                                   F.col("ss").alias("sa"))), "doc_a")
@@ -849,7 +873,8 @@ def lsh_verified_pairs(docs: DataFrame, k: int = 3, num_hashes: int = 16,
     rows = num_hashes // bands
     if lcg:
         (s1, m1, a1), (s2, m2, a2) = _LCG
-        d = (docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+        d = (_spread_rows(docs.select("doc_id", "text"))
+             .select("doc_id", F.expr(_WORDS).alias("ws"))
              .select("doc_id", F.expr(
                  _shingle_array_expr("{g}", k)).alias("ss")))
         d = scoped_persist(d)
@@ -1090,12 +1115,29 @@ def duplicate_groups(docs: DataFrame, pairs: DataFrame,
     spark = docs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    e = pairs.select(F.col("doc_a").cast("string").alias("u"),
-                     F.col("doc_b").cast("string").alias("v"))
+    # persist + materialize the DIRECTED pair list once, BEFORE the
+    # both-directions union forks on it: each union branch is a full
+    # re-execution of the verify pipeline otherwise (only the shingle
+    # frame below it is cached — measured ~2x the pair cost on the
+    # AllPairs-fed queries). The pair list is bounded metadata (two id
+    # strings per verified pair), so the cache is scale-safe.
+    e = scoped_persist(pairs.select(
+        F.col("doc_a").cast("string").alias("u"),
+        F.col("doc_b").cast("string").alias("v")))
+    e.count()
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    labels = docs.select(F.col("doc_id").cast("string").alias("doc_id")) \
-        .withColumn("label", F.col("doc_id"))
+    # the fixpoint runs over TOUCHED vertices only (those on >= 1 edge):
+    # a vertex with no edge is its own component and never changes, so
+    # looping over it just scales every round by corpus size — on a
+    # dup-sparse 100-TB corpus that is orders of magnitude of wasted
+    # shuffle. Singletons re-attach in one left join at the end
+    # (identical output — the restriction to the touched subgraph is
+    # exact). The small label frames also let AQE broadcast the
+    # per-round joins instead of shuffling both sides.
+    labels = (edges.select("u").distinct()
+              .select(F.col("u").alias("doc_id"))
+              .withColumn("label", F.col("doc_id")))
     converged = False
     for _ in range(max_iter):
         # relax: each vertex takes the min of its own and neighbors'
@@ -1128,7 +1170,10 @@ def duplicate_groups(docs: DataFrame, pairs: DataFrame,
             f"(last round changed {changed} labels) — the label table "
             f"is NOT a component assignment; raise max_iter or inspect "
             f"the pair graph")
-    return labels.select("doc_id", F.col("label").alias("group_id"))
+    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+    return (base.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("label", F.col("doc_id")).alias("group_id")))
 
 
 def duplicate_groups_duckdb(threshold: float = 0.3, k: int = 3,
@@ -1813,7 +1858,8 @@ def containment_pairs(docs: DataFrame, num: int = 4, den: int = 5,
     pruned. See module notes above for the losslessness argument."""
     if not (0 < num <= den):
         raise ValueError(f"threshold {num}/{den} must be in (0, 1]")
-    d = (docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+    d = (_spread_rows(docs.select("doc_id", "text"))
+         .select("doc_id", F.expr(_WORDS).alias("ws"))
          .select("doc_id",
                  F.expr(_shingle_array_expr("xxhash64({g})", k)).alias("ss"))
          .withColumn("sz", F.size("ss"))
@@ -1844,9 +1890,8 @@ def containment_pairs(docs: DataFrame, num: int = 4, den: int = 5,
             .select(F.col("a.doc_id").alias("doc_inner"),
                     F.col("o.doc_id").alias("doc_outer"))
             .dropDuplicates(["doc_inner", "doc_outer"]))
-    st = d.agg(F.count("*").alias("n"), F.sum("sz").alias("cells")).first()
-    est_bytes = int(st["cells"] or 0) * 8 + int(st["n"] or 0) * 64
-    side = F.broadcast if est_bytes < (256 << 20) else (lambda x: x)
+    side = F.broadcast if _shingle_bytes_est(docs, d) < (256 << 20) \
+        else (lambda x: x)
     verify = (cand
               .join(side(d.select(F.col("doc_id").alias("doc_inner"),
                                   F.col("ss").alias("si"),

@@ -81,24 +81,41 @@ def dsir_weights(docs: DataFrame, target_where: str,
     """Per-document DSIR importance weight: (doc_id, n_grams,
     logw_micro) with logw_micro the integer micro-nat log importance
     ratio (target/raw) summed over the doc's hashed unigram+bigram
-    occurrences. Documents with no words keep (0, 0)."""
+    occurrences. Documents with no words keep (0, 0).
+
+    The corpus gram explode runs ONCE: occurrences aggregate immediately
+    to the compact per-(doc, bucket) count table ``occ_d`` (<= ``buckets``
+    rows per doc — text never crosses an Exchange), which is persisted
+    (scoped) and feeds the bucket stats, the totals AND the per-doc
+    score. The previous shape re-ran the explode+hash subtree once per
+    consumer branch (Catalyst does not CSE across branches — three full
+    corpus passes, plan-measured). All downstream sums are exact BIGINT
+    folds of the counts, so values are bit-identical to the
+    per-occurrence form the oracle replays."""
+    from tsf.caching import scoped_persist
+    from tsf.spread import spread_rows
     B = int(buckets)
-    occ = docs.select(
+    # narrow-scan guard (guide §2.5): the gram explode + per-gram hash
+    # is the heavy row-local stage — on a single-row-group input it
+    # would run as one task; no-op on real many-file tables
+    occ = spread_rows(docs, min_bytes=0).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.expr(f"CAST(({target_where}) AS INT)").alias("is_t"),
         F.explode(F.expr(_GRAMS)).alias("g"),
     ).withColumn("b", F.pmod(F.xxhash64("g"), F.lit(B)))
-    stats = occ.groupBy("b").agg(
-        F.count("*").alias("r_b"),
-        F.sum("is_t").alias("t_b"))
+    occ_d = scoped_persist(
+        occ.groupBy("doc_id", "is_t", "b").agg(F.count("*").alias("c")))
+    stats = occ_d.groupBy("b").agg(
+        F.sum("c").alias("r_b"),
+        F.sum(F.col("is_t").cast("bigint") * F.col("c")).alias("t_b"))
     tot = stats.agg(F.sum("r_b").alias("r_total"),
                     F.sum("t_b").alias("t_total"))
     lr = (stats.crossJoin(broadcast(tot))
           .select("b", F.expr(_LR_MICRO.format(B=B)).alias("lr_micro")))
-    sc = (occ.join(broadcast(lr), "b")
+    sc = (occ_d.join(broadcast(lr), "b")
           .groupBy("doc_id")
-          .agg(F.count("*").alias("n_grams"),
-               F.sum("lr_micro").alias("logw_micro")))
+          .agg(F.sum("c").alias("n_grams"),
+               F.sum(F.col("c") * F.col("lr_micro")).alias("logw_micro")))
     base = docs.select(F.col("doc_id").cast("string").alias("doc_id"))
     return (base.join(sc, "doc_id", "left")
             .select("doc_id",
@@ -215,9 +232,14 @@ def corpus_drift(docs: DataFrame, where_a: str, where_b: str,
     Output: (b, c_a, c_b, contrib_micro, kl_total_micro_scaled, n_a,
     n_b) — the k buckets with the largest drift contribution (ties by
     b)."""
+    from tsf.spread import spread_rows
     B = int(buckets)
-    occ = (docs
-           .where(F.expr(f"({where_a}) OR ({where_b})"))
+    # narrow-scan guard before the word explode (guide §2.5; no-op on
+    # many-file inputs AND below the byte floor — the contrib/tot/
+    # summary branches re-run this subtree, so on tiny fixtures the
+    # recomputes are cheaper than a persist barrier, while large narrow
+    # scans get parallel passes; measured both ways at sf0.1)
+    occ = (spread_rows(docs.where(F.expr(f"({where_a}) OR ({where_b})")))
            .select(F.expr(f"CAST(({where_a}) AS INT)").alias("is_a"),
                    F.expr(f"CAST(({where_b}) AS INT)").alias("is_b"),
                    F.explode(F.expr(_WORDS)).alias("g"))

@@ -22,10 +22,21 @@ TOKENIZE_DUCKDB = ("list_transform(list_filter(string_split(text, ' '), "
                    "w -> length(w) > 0), w -> CAST(length(w) * 97 + ascii(w) AS INT))")
 
 
-def sequences_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequences_from_documents(spark: SparkSession, sf_dir: str,
+                             spread_min_bytes: int | None = None) -> DataFrame:
     """documents.parquet -> the engine-native sequences shape
-    (doc_id string, tokens array<int>, n_tok int, source string)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (doc_id string, tokens array<int>, n_tok int, source string).
+
+    ``spread_min_bytes`` (None = never) enables the narrow-scan guard
+    (:func:`tsf.spread.spread_rows`, guide §2.5): a single-row-group
+    documents file otherwise serializes tokenize and every row-local
+    stage above it onto one task. The default keeps the historical
+    zero-Exchange plan (tokens/text never shuffle)."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "source"))
+    if spread_min_bytes is not None:
+        from tsf.spread import spread_rows
+        docs = spread_rows(docs, min_bytes=spread_min_bytes)
     return (docs
             .withColumn("tokens", F.expr(TOKENIZE_SPARK))
             .select(F.col("doc_id").cast("string").alias("doc_id"),

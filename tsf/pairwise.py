@@ -86,17 +86,28 @@ def _digamma(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def ksg1_mi_batch(X: np.ndarray, Y: np.ndarray, k: int = 20) -> np.ndarray:
+def ksg1_mi_batch(X: np.ndarray, Y: np.ndarray, k: int = 20,
+                  assume_int: bool = False) -> np.ndarray:
     """KSG1 mutual information for B aligned pairs at once.
 
     X, Y: (B, N) float64. Per pair: eps_i = max-norm distance to the k-th
     nearest joint-space neighbour of point i (self excluded); n_x(i) =
     #{j != i : |x_i-x_j| < eps_i}, n_y likewise; MI = psi(k) + psi(N)
     - mean_i[psi(n_x+1) + psi(n_y+1)] (KSG 2004 eq. 8, natural log).
-    O(B N^2) time / memory — callers bound B so B*N^2 stays ~1e7."""
+    O(B N^2) time / memory — callers bound B so B*N^2 stays ~1e7.
+
+    ``assume_int``: caller guarantees X/Y hold integer values < 2^30
+    (token series) — the distance tensors then run as int32 (half the
+    memory traffic of float64 through the O(B N^2) broadcasting,
+    partition and count passes). Distances, the k-th order statistic
+    and the strict-< counts are exact integers either way, so the
+    result is bit-identical to the float64 path (pytest-pinned)."""
     B, N = X.shape
     if N <= k:
         return np.full(B, np.nan)
+    if assume_int:
+        X = X.astype(np.int32)
+        Y = Y.astype(np.int32)
     if N * N > 4_000_000:
         # (B, N, N) tensors for large windows blow past cache AND RAM
         # (N=5000 -> 200 MB per tensor); row-chunk each pair instead:
@@ -108,7 +119,11 @@ def ksg1_mi_batch(X: np.ndarray, Y: np.ndarray, k: int = 20) -> np.ndarray:
     dy = np.abs(Y[:, :, None] - Y[:, None, :])
     dz = np.maximum(dx, dy)
     ii = np.arange(N)
-    dz[:, ii, ii] = np.inf  # exclude self from the kNN search
+    # exclude self from the kNN search; int path uses the dtype max as
+    # the +inf sentinel (N > k guarantees the k-th order statistic is a
+    # real neighbour distance, never the sentinel)
+    dz[:, ii, ii] = (np.iinfo(dz.dtype).max
+                     if np.issubdtype(dz.dtype, np.integer) else np.inf)
     eps = np.partition(dz, k - 1, axis=2)[:, :, k - 1][:, :, None]
     # eps == 0 means >= k points share this point's exact (x, y) joint
     # value — the estimator's continuous-density assumption collapsed
@@ -140,7 +155,9 @@ def _ksg1_mi_single_chunked(x: np.ndarray, y: np.ndarray, k: int,
         dy = np.abs(y[lo:hi, None] - y[None, :])
         dz = np.maximum(dx, dy)
         rows = np.arange(lo, hi)
-        dz[rows - lo, rows] = np.inf  # exclude self
+        dz[rows - lo, rows] = (np.iinfo(dz.dtype).max  # exclude self
+                               if np.issubdtype(dz.dtype, np.integer)
+                               else np.inf)
         eps = np.partition(dz, k - 1, axis=1)[:, k - 1][:, None]
         if (eps[:, 0] == 0).any():
             degenerate = True
@@ -301,9 +318,13 @@ def pairwise_features(seq: DataFrame,
                 mis = np.empty(len(pdf), dtype=np.float64)
                 for lo in range(0, len(pdf), block):
                     sub = pdf.iloc[lo:lo + block]
+                    # token windows are integers riding in float64 —
+                    # the int32 distance path is bit-identical and
+                    # halves the O(B W^2) tensor traffic
                     mis[lo:lo + len(sub)] = ksg1_mi_batch(
                         np.stack(sub["ta"].to_numpy()),
-                        np.stack(sub["tb"].to_numpy()), int(k_mi))
+                        np.stack(sub["tb"].to_numpy()), int(k_mi),
+                        assume_int=True)
                 out = {c: pdf[c] for c in
                        ["source", "doc_a", "doc_b"] + passthru}
                 out["mi"] = mis

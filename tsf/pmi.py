@@ -76,12 +76,28 @@ def pmi_topk(seq: DataFrame, k_vocab: int = K_VOCAB, window: int = WINDOW,
     if not vocab:
         raise ValueError("pmi_topk: empty corpus (no tokens)")
     n_tok = sum(c for _, c in vocab)  # in-vocab occurrence total
-    in_set = f"array({','.join(str(t) for t, _ in vocab)})"
     cmap = "map(" + ",".join(f"{t},{c}L" for t, c in vocab) + ")"
     ln = _LN_MICRO.format
-    pc = (seq.select(F.explode(F.expr(_pairs_expr(window))).alias("p"))
-             .where(F.expr(f"array_contains({in_set}, p.a)"
-                           f" AND array_contains({in_set}, p.b)"))
+    # membership as a packed-bitmap plan literal: element_at on an array
+    # literal is O(1) vs array_contains' O(K) scan, and the filter runs
+    # INSIDE the pair array (before explode) so out-of-vocab pairs never
+    # materialize as rows. Semantics identical to array_contains over
+    # the vocab list (tokens are non-negative; > maxv tests false).
+    maxv = max(t for t, _ in vocab)
+    words = [0] * (maxv // 64 + 1)
+    for t, _ in vocab:
+        words[t // 64] |= 1 << (t % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    mask = f"array({','.join(str(w) + 'L' for w in words)})"
+
+    def inv(x: str) -> str:
+        return (f"({x} <= {maxv} AND (shiftright(element_at({mask}, "
+                f"CAST({x} div 64 AS INT) + 1), "
+                f"CAST({x} % 64 AS INT)) & 1) = 1)")
+
+    filt = (f"filter({_pairs_expr(window)}, "
+            f"p -> {inv('p.a')} AND {inv('p.b')})")
+    pc = (seq.select(F.explode(F.expr(filt)).alias("p"))
              .groupBy(F.col("p.a").alias("t1"), F.col("p.b").alias("t2"))
              .agg(F.count(F.lit(1)).alias("c_pair")))
     return (pc

@@ -500,7 +500,11 @@ def decontam_overlap(docs: DataFrame, bench: DataFrame,
     # ignores right-side duplicates, so that tiny shuffle is dropped too
     bg = broadcast(grams(bench).select("gram").distinct())
     bench_ids = broadcast(bench.select("doc_id"))
-    hits = (grams(docs)
+    # narrow-scan guard on the CORPUS side only (guide §2.5): the n-gram
+    # build + explode is the heavy row-local stage; no-op on real
+    # many-file inputs (the bench side is tiny by contract)
+    from tsf.spread import spread_rows
+    hits = (grams(spread_rows(docs, min_bytes=0))
             .join(bench_ids, "doc_id", "left_anti")
             .join(bg, "gram"))
     return (hits.groupBy("doc_id")
