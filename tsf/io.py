@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TOKENIZE_SPARK = ("transform(filter(split(text, ' '), w -> length(w) > 0), "
                   "w -> cast(length(w) * 97 + ascii(w) as int))")
+#: the two tokenize stages split out so n_tok-only consumers can skip
+#: the per-token hash (see sequences_from_documents)
+_WORDS_SPARK = "filter(split(text, ' '), w -> length(w) > 0)"
+_HASH_WORDS_SPARK = "transform(_ws, w -> cast(length(w) * 97 + ascii(w) as int))"
 TOKENIZE_DUCKDB = ("list_transform(list_filter(string_split(text, ' '), "
                    "w -> length(w) > 0), w -> CAST(length(w) * 97 + ascii(w) AS INT))")
 
@@ -37,11 +41,16 @@ def sequences_from_documents(spark: SparkSession, sf_dir: str,
     if spread_min_bytes is not None:
         from tsf.spread import spread_rows
         docs = spread_rows(docs, min_bytes=spread_min_bytes)
+    # n_tok is the size of the FILTERED word list, before the per-token
+    # hash transform (size(transform(x)) == size(x) by construction), so
+    # queries that only consume n_tok — packing/shuffle/split layouts —
+    # prune the transform away entirely instead of hashing every token
+    # to count them (guide §2.3 "don't compute things you throw away").
     return (docs
-            .withColumn("tokens", F.expr(TOKENIZE_SPARK))
+            .withColumn("_ws", F.expr(_WORDS_SPARK))
             .select(F.col("doc_id").cast("string").alias("doc_id"),
-                    "tokens",
-                    F.size("tokens").cast("int").alias("n_tok"),
+                    F.expr(_HASH_WORDS_SPARK).alias("tokens"),
+                    F.size("_ws").cast("int").alias("n_tok"),
                     "source"))
 
 

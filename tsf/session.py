@@ -87,6 +87,15 @@ def get_spark(app_name: str = "tsf",
         # (measured: 9 tasks over 8 slots = 42% idle in the tail wave).
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.driver.memory", os.environ.get("TSF_DRIVER_MEM", "16g"))
+        # The r6 flat-dot/flat-score expressions compile into large
+        # generated classes (seconds of Janino work each). The default
+        # 100-entry codegen cache evicts them between a query's sf-dir
+        # and x10 runs in a 110-query suite, re-paying the compile; the
+        # cache holds compiled classes (small), so a few thousand
+        # entries cost MBs and keep every operator's code hot for the
+        # whole application lifetime (any cluster size — this is
+        # per-JVM, not data-dependent).
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

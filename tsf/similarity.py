@@ -36,16 +36,92 @@ def _dot(a: str, b: str) -> str:
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (s, v) -> s + v)"
 
 
+# --------------------------------------------------------------------------
+# Flat dot products (r6 optimization, guide §4.1/§4.2 "prefer built-ins
+# with codegen"): Catalyst's higher-order functions (transform/zip_with/
+# aggregate) are interpreted per row — every `_dot` call allocated a
+# zipped array and evaluated two lambdas per element outside
+# WholeStageCodegen. The helpers below emit the SAME arithmetic as the
+# fold — a left-associated sum starting at cast(0 as double), products
+# in index order, so every IEEE-754 operation sequence (and therefore
+# every bit of the result) is unchanged — as a flat expression Catalyst
+# compiles into straight-line code. Rows whose array length differs
+# from the expansion width fall back to the original fold via a CASE
+# guard, preserving the zip_with padding/NULL semantics exactly; under
+# ANSI the guarded branch never indexes out of bounds.
+# --------------------------------------------------------------------------
+
+
+def _ix(base: str, i: int, cast_elems: bool) -> str:
+    return (f"cast({base}[{i}] as double)" if cast_elems
+            else f"{base}[{i}]")
+
+
+def _lit_arr(consts) -> str:
+    return ("array(" + ",".join(f"cast({float(v)} as double)"
+                                for v in consts) + ")")
+
+
+def _flat_lit_terms(base: str, consts, cast_elems: bool) -> str:
+    """The flat sum body: ±1 constants fold into add/subtract (x * 1.0
+    == x and x * -1.0 == -x bit-exactly, and acc + (-x) is the same
+    IEEE operation as acc - x), which keeps the generated code small
+    enough to compile and JIT quickly."""
+    parts = []
+    for i, c in enumerate(consts):
+        c = float(c)
+        el = _ix(base, i, cast_elems)
+        if c == 1.0:
+            parts.append(f" + {el}")
+        elif c == -1.0:
+            parts.append(f" - {el}")
+        else:
+            parts.append(f" + {el} * cast({c} as double)")
+    return "cast(0 as double)" + "".join(parts)
+
+
+def _dot_flat_lit(base: str, consts, cast_elems: bool,
+                  fold_a: str) -> str:
+    """dot(vector column, literal vector): flat expansion with fold
+    fallback for rows of a different length."""
+    dim = len(consts)
+    return (f"(CASE WHEN size({base}) = {dim} "
+            f"THEN ({_flat_lit_terms(base, consts, cast_elems)}) "
+            f"ELSE {_dot(fold_a, _lit_arr(consts))} END)")
+
+
+def _dot_flat_self(base: str, dim: int, cast_elems: bool,
+                   fold_a: str) -> str:
+    """dot(v, v) flat expansion with fold fallback."""
+    terms = "".join(
+        f" + {_ix(base, i, cast_elems)} * {_ix(base, i, cast_elems)}"
+        for i in range(dim))
+    return (f"(CASE WHEN size({base}) = {dim} "
+            f"THEN (cast(0 as double){terms}) "
+            f"ELSE {_dot(fold_a, fold_a)} END)")
+
+
+def _dot_flat_cols(a: str, b: str, dim: int) -> str:
+    """dot(column, column) flat expansion with fold fallback (both
+    arrays must be array<double> columns of width ``dim``)."""
+    terms = "".join(f" + {a}[{i}] * {b}[{i}]" for i in range(dim))
+    return (f"(CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+            f"THEN (cast(0 as double){terms}) "
+            f"ELSE {_dot(a, b)} END)")
+
+
 def cosine_scores(emb: DataFrame, query: list[float]) -> DataFrame:
     """(vec_id, label, cos) against a constant query vector — JVM-only."""
-    qlit = "array(" + ",".join(f"cast({float(v)} as double)" for v in query) + ")"
     qn = float(np.sqrt(np.dot(query, query)))
     # nullif: a zero-norm row (dirty all-zero embedding) or zero query
     # yields NULL cosine instead of aborting the whole scan with ANSI
     # DIVIDE_BY_ZERO (Spark 4 default); downstream >= filters drop NULLs
-    cos = F.expr(_dot(EMB_DOUBLE, qlit)) / F.nullif(
-        F.sqrt(F.expr(_dot(EMB_DOUBLE, EMB_DOUBLE))) * F.lit(qn),
-        F.lit(0.0))
+    cos = (F.expr(_dot_flat_lit("embedding", query, True, EMB_DOUBLE))
+           / F.nullif(
+               F.sqrt(F.expr(_dot_flat_self("embedding", len(query),
+                                            True, EMB_DOUBLE)))
+               * F.lit(qn),
+               F.lit(0.0)))
     return emb.select("vec_id", "label", F.round(cos, 6).alias("cos"))
 
 
@@ -65,7 +141,15 @@ def random_hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
 
 
 def _bucket_col(vec_expr: str, planes: np.ndarray):
-    """Sign-bit bucket id column for a vector SQL expression (JVM dots)."""
+    """Sign-bit bucket id column for a vector SQL expression (JVM dots).
+
+    Deliberately the interpreted fold, not the r6 flat expansion: nbits
+    planes x dim terms in one projection crosses the code size where
+    Janino compile + JIT warmup (measured 8-46 s on first execution)
+    dwarfs the steady-state win, and the single-rep x10 bench pass runs
+    each operator exactly once. The flat form is kept for the <=~200-
+    term expressions (cosine_scores, pair cosines) where compile is
+    milliseconds and the win is real."""
     bucket = F.lit(0).cast("long")
     for i in range(planes.shape[0]):
         plane = "array(" + ",".join(f"cast({float(v)} as double)"
@@ -248,9 +332,9 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
         for t in range(tables)])).alias("s")) \
         .select("vec_id", "v", F.col("s.t").alias("t"), F.col("s.bk").alias("bk"))
     a, b = banded.alias("a"), banded.alias("b")
-    sxy = F.expr(_dot("a.v", "b.v"))
-    sxx = F.expr(_dot("a.v", "a.v"))
-    syy = F.expr(_dot("b.v", "b.v"))
+    sxy = F.expr(_dot_flat_cols("a.v", "b.v", dim))
+    sxx = F.expr(_dot_flat_self("a.v", dim, False, "a.v"))
+    syy = F.expr(_dot_flat_self("b.v", dim, False, "b.v"))
     # nullif: zero-norm candidates yield NULL (dropped by the >=
     # threshold filter) instead of aborting under ANSI
     cos = sxy / F.nullif(F.sqrt(sxx) * F.sqrt(syy), F.lit(0.0))
@@ -413,17 +497,21 @@ def _cell_expr(cents: list[list[float]]) -> str:
     cl = "array(" + ",".join(
         "array(" + ",".join(f"cast({float(v)} as double)" for v in c) + ")"
         for c in cents) + ")"
-    vec = EMB_DOUBLE
     # the row norm |v| is a positive factor common to every centroid's
     # score, so dividing by it cannot change the argmax — dropping it
     # removes n_centroids redundant v.v dot products per row. Centroid
-    # norms stay IN-ENGINE (not Python-precomputed literals) so the
-    # DuckDB oracle's identical in-SQL arithmetic is bit-equal; a
-    # numpy-side normalization would differ in the last ULP (different
-    # summation order) and could flip argmax on near-ties.
+    # norms stay IN-ENGINE (all-literal expressions Catalyst constant-
+    # folds with the same IEEE op order as the fold) so the DuckDB
+    # oracle's identical in-SQL arithmetic is bit-equal; a numpy-side
+    # normalization would differ in the last ULP (different summation
+    # order) and could flip argmax on near-ties.
     # nullif: a zero-norm centroid scores NULL (array_max skips it)
-    # instead of aborting the assignment scan under ANSI
-    scores = (f"transform({cl}, zc -> {_dotc(vec, 'zc')}"
+    # instead of aborting the assignment scan under ANSI.
+    # Deliberately the interpreted transform/fold, not the r6 flat
+    # expansion: n_centroids x dim terms is past the code size where
+    # compile + JIT warmup dominates a single-rep measurement (see
+    # _bucket_col).
+    scores = (f"transform({cl}, zc -> {_dotc(EMB_DOUBLE, 'zc')}"
               f" / nullif(sqrt({_dotc('zc', 'zc')}), cast(0 as double)))")
     return f"array_position({scores}, array_max({scores})) - 1"
 
@@ -597,13 +685,17 @@ def ivf_train_centroids(emb: DataFrame, k: int = 16, max_iter: int = 10,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    norm = (f"transform({EMB_DOUBLE}, zx -> zx / "
-            f"sqrt({_dot(EMB_DOUBLE, EMB_DOUBLE)}))")
     # zero-norm rows carry no angle: drop them rather than divide by
-    # zero (ANSI abort) / feed NaN features to the trainer
+    # zero (ANSI abort) / feed NaN features to the trainer.
+    # r6: hoist the row norm out of the transform lambda — the old
+    # in-lambda sqrt(dot) re-evaluated the full dot product per ELEMENT
+    # (dim x dim mult-adds per row); same arithmetic, computed once.
     d = (emb.where(F.col("embedding").isNotNull())
-         .where(F.expr(_dot(EMB_DOUBLE, EMB_DOUBLE)) > 0)
-         .select(array_to_vector(F.expr(norm)).alias("features")))
+         .select(F.expr(EMB_DOUBLE).alias("v"))
+         .withColumn("nrm", F.sqrt(F.expr(_dot("v", "v"))))
+         .where(F.col("nrm") > 0)
+         .select(array_to_vector(
+             F.expr("transform(v, zx -> zx / nrm)")).alias("features")))
     model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(d)
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
@@ -638,9 +730,11 @@ def semdedup(emb: DataFrame, n_cells: int = 16, threshold: float = 0.95,
         ivf_cells(emb, cents)
         .select("vec_id", F.expr(EMB_DOUBLE).alias("v"), "cell"))
     a, b = cells.alias("a"), cells.alias("b")
-    cos = F.expr(_dot("a.v", "b.v")) / F.nullif(
-        F.sqrt(F.expr(_dot("a.v", "a.v")))
-        * F.sqrt(F.expr(_dot("b.v", "b.v"))), F.lit(0.0))
+    dim = len(cents[0]) if cents else 0
+    cos = F.expr(_dot_flat_cols("a.v", "b.v", dim)) / F.nullif(
+        F.sqrt(F.expr(_dot_flat_self("a.v", dim, False, "a.v")))
+        * F.sqrt(F.expr(_dot_flat_self("b.v", dim, False, "b.v"))),
+        F.lit(0.0))
     dups = (a.join(b, "cell")
             .where(F.col("b.vec_id") < F.col("a.vec_id"))
             .where(F.round(cos, 6) >= threshold)
@@ -714,6 +808,10 @@ def rand_proj(emb: DataFrame, out_dim: int = 16,
     dim = row[0] if row is not None else 0
     signs = proj_signs(dim, out_dim, seed)
     scale = repr(float(np.sqrt(out_dim)))
+    # deliberately the interpreted fold, not the r6 flat expansion:
+    # out_dim x dim terms in one projection is past the code size where
+    # compile + JIT warmup dominates a single-rep measurement (see
+    # _bucket_col)
     comps = []
     for j in range(out_dim):
         s = ("array(" + ",".join(
@@ -776,9 +874,16 @@ def hard_negatives(emb: DataFrame, n_queries: int = 8,
                  F.expr(EMB_DOUBLE).alias("q_emb")))
     d = emb.select("vec_id", "label", F.expr(EMB_DOUBLE).alias("v"))
     j = d.join(F.broadcast(q), F.expr("label != q_label"))
-    cos = (F.expr(_dot("v", "q_emb"))
-           / F.nullif(F.sqrt(F.expr(_dot("v", "v")))
-                      * F.sqrt(F.expr(_dot("q_emb", "q_emb"))),
+    # flat dots need the vector width; one limit-1 probe (same idiom as
+    # embedding_near_dups). Empty input: dim 0, every row falls back to
+    # the fold — identical semantics.
+    row = (emb.where(F.col("embedding").isNotNull())
+           .select(F.size("embedding").alias("d")).first())
+    dim = row[0] if row is not None else 0
+    cos = (F.expr(_dot_flat_cols("v", "q_emb", dim))
+           / F.nullif(F.sqrt(F.expr(_dot_flat_self("v", dim, False, "v")))
+                      * F.sqrt(F.expr(_dot_flat_self("q_emb", dim, False,
+                                                     "q_emb"))),
                       F.lit(0.0)))
     scored = j.select("q_id", "q_label", "vec_id", "label",
                       F.round(cos, 6).alias("cos"))
