@@ -1078,7 +1078,8 @@ def cross_source_dup_matrix_duckdb(k: int = 3, num_hashes: int = 16,
 
 def duplicate_groups(docs: DataFrame, pairs: DataFrame,
                      max_iter: int = 25,
-                     checkpoint_dir: str | None = None) -> DataFrame:
+                     checkpoint_dir: str | None = None,
+                     touched_only: bool = False) -> DataFrame:
     """Connected components over a near-duplicate pair graph: one row per
     document with ``group_id`` = the lexicographically smallest doc_id in
     its component (the canonical keeper; singletons are their own group).
@@ -1127,17 +1128,23 @@ def duplicate_groups(docs: DataFrame, pairs: DataFrame,
     e.count()
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    # the fixpoint runs over TOUCHED vertices only (those on >= 1 edge):
-    # a vertex with no edge is its own component and never changes, so
-    # looping over it just scales every round by corpus size — on a
-    # dup-sparse 100-TB corpus that is orders of magnitude of wasted
-    # shuffle. Singletons re-attach in one left join at the end
-    # (identical output — the restriction to the touched subgraph is
-    # exact). The small label frames also let AQE broadcast the
-    # per-round joins instead of shuffling both sides.
-    labels = (edges.select("u").distinct()
-              .select(F.col("u").alias("doc_id"))
-              .withColumn("label", F.col("doc_id")))
+    # ``touched_only``: run the fixpoint over vertices with >= 1 edge and
+    # re-attach singletons in one final left join (identical output).
+    # Worth it ONLY on dup-SPARSE corpora where touched vertices are a
+    # tiny fraction — there it removes an O(corpus) term from every
+    # round. On dup-dense inputs it is pure overhead (interleaved
+    # same-session A/B on the dup-dense x10 fixture: 24.9 s touched vs
+    # 14.5 s full for the LSH group path; the extra distinct + final
+    # join + per-round broadcast flips cost more than the smaller label
+    # frame saves), so the default loops over all docs.
+    if touched_only:
+        labels = (edges.select("u").distinct()
+                  .select(F.col("u").alias("doc_id"))
+                  .withColumn("label", F.col("doc_id")))
+    else:
+        labels = (docs.select(F.col("doc_id").cast("string")
+                              .alias("doc_id"))
+                  .withColumn("label", F.col("doc_id")))
     converged = False
     for _ in range(max_iter):
         # relax: each vertex takes the min of its own and neighbors'
@@ -1170,10 +1177,13 @@ def duplicate_groups(docs: DataFrame, pairs: DataFrame,
             f"(last round changed {changed} labels) — the label table "
             f"is NOT a component assignment; raise max_iter or inspect "
             f"the pair graph")
-    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"))
-    return (base.join(labels, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("label", F.col("doc_id")).alias("group_id")))
+    if touched_only:
+        base = docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+        return (base.join(labels, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("label", F.col("doc_id"))
+                        .alias("group_id")))
+    return labels.select("doc_id", F.col("label").alias("group_id"))
 
 
 def duplicate_groups_duckdb(threshold: float = 0.3, k: int = 3,

@@ -79,10 +79,14 @@ def pmi_topk(seq: DataFrame, k_vocab: int = K_VOCAB, window: int = WINDOW,
     cmap = "map(" + ",".join(f"{t},{c}L" for t, c in vocab) + ")"
     ln = _LN_MICRO.format
     # membership as a packed-bitmap plan literal: element_at on an array
-    # literal is O(1) vs array_contains' O(K) scan, and the filter runs
-    # INSIDE the pair array (before explode) so out-of-vocab pairs never
-    # materialize as rows. Semantics identical to array_contains over
-    # the vocab list (tokens are non-negative; > maxv tests false).
+    # literal is O(1) vs array_contains' O(K) scan. The test runs as a
+    # codegen'd WHERE after the explode — NOT inside a filter() over the
+    # pair array: that variant keeps out-of-vocab pairs from ever
+    # materializing as rows, but the interpreted per-element lambda
+    # costs more than the rows save (interleaved x10 A/B: filter-in-
+    # array 5.4 s, array_contains WHERE 4.0 s, bitmap WHERE 3.6 s).
+    # Semantics identical to array_contains over the vocab list
+    # (tokens are non-negative; > maxv tests false).
     maxv = max(t for t, _ in vocab)
     words = [0] * (maxv // 64 + 1)
     for t, _ in vocab:
@@ -95,9 +99,8 @@ def pmi_topk(seq: DataFrame, k_vocab: int = K_VOCAB, window: int = WINDOW,
                 f"CAST({x} div 64 AS INT) + 1), "
                 f"CAST({x} % 64 AS INT)) & 1) = 1)")
 
-    filt = (f"filter({_pairs_expr(window)}, "
-            f"p -> {inv('p.a')} AND {inv('p.b')})")
-    pc = (seq.select(F.explode(F.expr(filt)).alias("p"))
+    pc = (seq.select(F.explode(F.expr(_pairs_expr(window))).alias("p"))
+             .where(F.expr(f"{inv('p.a')} AND {inv('p.b')}"))
              .groupBy(F.col("p.a").alias("t1"), F.col("p.b").alias("t2"))
              .agg(F.count(F.lit(1)).alias("c_pair")))
     return (pc
