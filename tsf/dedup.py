@@ -1706,7 +1706,17 @@ def winnow_fingerprints(seq: DataFrame, k: int = WINNOW_K,
             dids = pdf["doc_id"].to_numpy()[keep]
             L = T.shape[0]
             # k-gram hash at every global token position (tail entries
-            # that would read across a doc boundary are never indexed)
+            # that would read across a doc boundary are never indexed).
+            # Token-magnitude bound (r5 ADVICE): the h*31 + token step
+            # wraps silently on int64 overflow while the DuckDB
+            # oracle's BIGINT fold raises, so the bit-for-bit-replay
+            # guarantee holds only while |token| stays far below
+            # 2^63 - 31*FP_MOD. The engine's tokenizer emits small
+            # non-negative ints; assert it so a future token family
+            # fails loudly here instead of silently diverging.
+            assert T.size == 0 or \
+                (T.min() >= 0 and int(T.max()) < (1 << 40)), \
+                "winnow: token magnitude outside the oracle-replay bound"
             Tp = np.concatenate((T, np.zeros(K - 1, dtype=np.int64)))
             h = np.zeros(L, dtype=np.int64)
             for j in range(K):
