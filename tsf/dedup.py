@@ -1154,18 +1154,28 @@ def duplicate_groups(docs: DataFrame, pairs: DataFrame,
         msgs = (edges.join(labels.withColumnRenamed("doc_id", "u"), "u")
                 .select(F.col("v").alias("doc_id"), "label",
                         F.lit(None).cast("string").alias("prev")))
-        new = (labels.withColumn("prev", F.col("label"))
+        # r6: the relax aggregate is persisted for the round — the
+        # pointer-jump self-join reads it on BOTH sides, and exchange
+        # reuse does not fire across the AQE/localCheckpoint boundary,
+        # so without the cache every round executed the whole relax
+        # subtree twice (interleaved x10 A/B: 15.5/10.2 s uncached vs
+        # 7.7/7.6 s cached for the two-round LSH-group fixpoint).
+        # One round's aggregate is (doc_id, label, prev) per vertex —
+        # bounded metadata; released right after the convergence count.
+        agg = (labels.withColumn("prev", F.col("label"))
                .unionByName(msgs)
                .groupBy("doc_id").agg(F.min("label").alias("label"),
-                                      F.max("prev").alias("prev")))
+                                      F.max("prev").alias("prev"))
+               .persist())
         # pointer jump: label <- label's label (labels are vertex ids)
-        jump = new.select(F.col("doc_id").alias("label"),
+        jump = agg.select(F.col("doc_id").alias("label"),
                           F.col("label").alias("label2"))
-        new = (new.join(jump, "label")
+        new = (agg.join(jump, "label")
                .select("doc_id", F.col("label2").alias("label"), "prev"))
         new = (new.checkpoint(eager=False) if checkpoint_dir is not None
                else new.localCheckpoint(eager=False))
         changed = new.where(F.col("label") != F.col("prev")).count()
+        agg.unpersist()
         labels = new.select("doc_id", "label")
         if changed == 0:
             converged = True
