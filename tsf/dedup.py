@@ -161,6 +161,35 @@ def _np_xxh64_int(i, seed):
     return _np_xxh64_avalanche(b)
 
 
+def _np_xxh64_int_into(i, seed, b, t):
+    """:func:`_np_xxh64_int` with caller-provided work buffers ``b``
+    and ``t`` (uint64, same shape as ``seed``) — the identical uint64
+    operation sequence executed in place, so the minhash family loop
+    (num_hashes passes over the same shingle state) stops allocating
+    ~6 array temporaries per pass; on this DRAM-bandwidth-limited host
+    the allocation traffic, not the ALU work, is the kernel's cost.
+    Returns ``b``."""
+    import numpy as np
+    np.add(seed, np.uint64(_XXH_P5 + 4), out=b)
+    k = np.uint64(((i & 0xFFFFFFFF) * _XXH_P1) % (1 << 64))
+    np.bitwise_xor(b, k, out=b)
+    np.right_shift(b, np.uint64(41), out=t)
+    np.left_shift(b, np.uint64(23), out=b)
+    np.bitwise_or(b, t, out=b)
+    np.multiply(b, np.uint64(_XXH_P2), out=b)
+    np.add(b, np.uint64(_XXH_P3), out=b)
+    # avalanche: h = (h ^ h>>33) * P2; h = (h ^ h>>29) * P3; h ^ h>>32
+    np.right_shift(b, np.uint64(33), out=t)
+    np.bitwise_xor(b, t, out=b)
+    np.multiply(b, np.uint64(_XXH_P2), out=b)
+    np.right_shift(b, np.uint64(29), out=t)
+    np.bitwise_xor(b, t, out=b)
+    np.multiply(b, np.uint64(_XXH_P3), out=b)
+    np.right_shift(b, np.uint64(32), out=t)
+    np.bitwise_xor(b, t, out=b)
+    return b
+
+
 def _minhash_sig_kernel(d: DataFrame, num_hashes: int) -> DataFrame:
     """(doc_id, ss array<bigint>) -> (doc_id, sig array<bigint>): the
     minhash family h_i(s) = xxhash64(s, i) evaluated as ONE batched
@@ -190,8 +219,10 @@ def _minhash_sig_kernel(d: DataFrame, num_hashes: int) -> DataFrame:
             off = off[:-1]
             T = _np_xxh64_long(H.view(np.uint64), np.uint64(42))
             M = np.empty((len(lens), n_h), dtype=np.int64)
+            b = np.empty_like(T)
+            t = np.empty_like(T)
             for i in range(n_h):
-                hi = _np_xxh64_int(i, T).view(np.int64)
+                hi = _np_xxh64_int_into(i, T, b, t).view(np.int64)
                 M[:, i] = np.minimum.reduceat(hi, off)
             yield pd.DataFrame({"doc_id": dids, "sig": list(M)})
 
