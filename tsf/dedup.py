@@ -349,9 +349,18 @@ def simhash(docs: DataFrame, k: int = 3) -> DataFrame:
             dids = pdf["doc_id"].to_numpy()[keep]
             off = off[:-1]
             acc = np.zeros(len(lens), dtype=np.uint64)
+            # r6: progressive in-place shift + one reused mask buffer —
+            # bit j of H is bit 0 of H >> j, so the per-bit (H >> j) & 1
+            # (two fresh full-length temporaries per bit, 64x) becomes
+            # one masked write + one in-place shift; identical ones
+            # counts, ~2x less DRAM traffic on the kernel's hot loop.
+            work = H.copy()
+            mask = np.empty_like(H)
             for j in range(64):
-                ones = np.add.reduceat((H >> j) & 1, off)
+                np.bitwise_and(work, 1, out=mask)
+                ones = np.add.reduceat(mask, off)
                 acc |= (2 * ones > lens).astype(np.uint64) << np.uint64(j)
+                np.right_shift(work, 1, out=work)
             yield pd.DataFrame({"doc_id": dids,
                                 "simhash": acc.view(np.int64)})
 
