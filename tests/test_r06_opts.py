@@ -80,3 +80,75 @@ class TestSpreadRows:
             .coalesce(1).write.parquet(p)
         df = spark.read.parquet(p)
         assert spread_rows(df) is df  # default floor >> tiny file
+
+
+class TestFlatDotEquivalence:
+    """The r6 flat dot-product expansions must match the interpreted
+    fold bit-for-bit on conforming rows AND fall back to the fold's
+    exact NULL/padding semantics on off-width / NULL rows."""
+
+    def _frame(self, spark):
+        rows = [
+            (0, "a", [0.25, -1.5, 3.0, 0.125]),      # conforming width 4
+            (1, "a", [1.0, 2.0]),                     # too short
+            (2, "b", [1.0, 2.0, 3.0, 4.0, 5.0]),      # too long
+            (3, "b", None),                            # NULL embedding
+            (4, "a", [0.0, 0.0, 0.0, 0.0]),           # zero norm
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<double>")
+
+    def test_cosine_scores_matches_fold_reference(self, spark):
+        from pyspark.sql import functions as F
+        from tsf.similarity import EMB_DOUBLE, _dot, cosine_scores
+        emb = self._frame(spark)
+        q = [0.5, 0.25, -2.0, 1.0]
+        got = {r["vec_id"]: r["cos"]
+               for r in cosine_scores(emb, q).collect()}
+        qlit = ("array(" + ",".join(f"cast({float(v)} as double)"
+                                    for v in q) + ")")
+        import numpy as np
+        qn = float(np.sqrt(np.dot(q, q)))
+        ref_cos = (F.expr(_dot(EMB_DOUBLE, qlit)) / F.nullif(
+            F.sqrt(F.expr(_dot(EMB_DOUBLE, EMB_DOUBLE))) * F.lit(qn),
+            F.lit(0.0)))
+        ref = {r["vec_id"]: r["cos"] for r in emb.select(
+            "vec_id", F.round(ref_cos, 6).alias("cos")).collect()}
+        assert got == ref  # exact, including None for rows 1-4
+
+    def test_hard_negatives_handles_offwidth_rows(self, spark):
+        from tsf.similarity import hard_negatives
+        out = hard_negatives(self._frame(spark), n_queries=2, k=2)
+        rows = out.collect()
+        # label-mismatch pairs exist; off-width/NULL rows score NULL cos
+        # but still rank (NULLS LAST via desc) without erroring
+        assert len(rows) > 0
+        assert all(r["rnk"] <= 2 for r in rows)
+
+
+class TestInPlaceXxh64:
+    def test_into_matches_functional_path(self):
+        from tsf.dedup import _np_xxh64_int, _np_xxh64_int_into
+        rng = np.random.default_rng(3)
+        seed = rng.integers(0, 2 ** 63, 4096,
+                            dtype=np.int64).view(np.uint64)
+        b = np.empty_like(seed)
+        t = np.empty_like(seed)
+        for i in (0, 1, 17, 31, 63, 2 ** 31 - 1):
+            assert np.array_equal(_np_xxh64_int(i, seed),
+                                  _np_xxh64_int_into(i, seed, b, t)), i
+
+    def test_simhash_progressive_shift_counts(self):
+        # ones-per-bit via (H >> j) & 1 vs the in-place progressive
+        # shift must agree for negative (sign-extended) hashes too
+        rng = np.random.default_rng(5)
+        H = rng.integers(-2 ** 63, 2 ** 63 - 1, 1000, dtype=np.int64)
+        off = np.array([0, 100, 500])
+        work = H.copy()
+        mask = np.empty_like(H)
+        for j in range(64):
+            ref = np.add.reduceat((H >> j) & 1, off)
+            np.bitwise_and(work, 1, out=mask)
+            got = np.add.reduceat(mask, off)
+            assert np.array_equal(ref, got), j
+            np.right_shift(work, 1, out=work)
